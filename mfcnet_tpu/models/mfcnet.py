@@ -1,0 +1,208 @@
+"""MFCNet — multi-frame temporal-fusion head and wrappers (the paper's core).
+
+Reference: models/multiframe_model.py. ``MultiFrameNetBasic`` optionally
+flow-warps prior frames' per-frame segmentation probability maps (and depth
+maps) to the newest frame before a 4-conv fusion head;
+``MultiFrameNetLarge`` concatenates everything raw (including the flow
+channels themselves) into the head.
+
+TPU-first redesign vs the reference:
+  * Frames are one (B, T, H, W, 3) array; the per-frame base model runs a
+    single batched forward over B*T (reference loops Python-side per frame,
+    models/multiframe_model.py:226-228).
+  * Warping is channel-batched: all num_classes seg channels (+depth) of a
+    frame are warped by that frame's flow in one gather, instead of a
+    per-class Python loop (reference models/multiframe_model.py:111-121).
+  * Everything is jit-compatible with static shapes; optflow/depth presence
+    is a construction-time config, not a runtime branch.
+
+Frame order convention (matches the reference dataset: frame 0 is the
+*newest* frame, frames 1..T-1 go back in time —
+src/dataset_jigsaws.py:20-40; the video tracker feeds newest-first,
+scripts/test_multiframe_segmentation_on_videos_v3.py:251).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mfcnet_tpu.ops.warp import flow_warp
+
+# The reference builds its warp mesh grid at a fixed 576x720 and crops
+# (models/multiframe_model.py:172-185); kept for checkpoint/heatmap parity.
+REFERENCE_GRID_HW = (576, 720)
+
+
+class MultiFrameHead(nn.Module):
+    """The 4-conv fusion head shared by Basic and Large variants.
+
+    Conv11x11(-> T*C, no bias) + BN + ReLU, 2 x [Conv3x3 + BN + ReLU],
+    Conv1x1(-> C, no bias). Reference: models/multiframe_model.py:62-73.
+    """
+
+    num_classes: int
+    num_frames: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tc = self.num_frames * self.num_classes
+
+        def bn(y):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(y)
+
+        x = nn.Conv(tc, (11, 11), padding="SAME", use_bias=False)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(tc, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(tc, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.relu(bn(x))
+        return nn.Conv(self.num_classes, (1, 1), use_bias=False)(x)
+
+
+class MultiFrameNet(nn.Module):
+    """MFCNet fusion module: optional flow-warp alignment + fusion head.
+
+    variant='basic': warps frames 1..T-1's seg (and depth) channels to frame
+    0 using the per-frame flow, then fuses seg(+depth) channels only — the
+    flow channels are consumed by the warp and NOT given to the head
+    (reference: models/multiframe_model.py:51-87, head in_channels at :54-56).
+
+    variant='large': no warping; seg + flow + depth channels all go into the
+    head (reference: models/multiframe_model.py:187-205, in_channels at
+    :23-32).
+    """
+
+    num_classes: int
+    num_frames: int
+    variant: str = "basic"  # 'basic' | 'large'
+    parity_grid: bool = True  # reproduce the reference's 576x720 crop grid
+
+    @nn.compact
+    def __call__(self, seg, optflow=None, depth=None, train: bool = False):
+        """Fuse per-frame maps into current-frame class logits.
+
+        Args:
+          seg: (B, T, H, W, C) per-frame class probability/logit maps.
+          optflow: optional (B, T-1, H, W, 2) flow for frames 1..T-1
+            (flow[i-1] belongs to frame i), pixels, (x, y) last axis.
+          depth: optional (B, T, H, W, 1) per-frame depth maps.
+
+        Returns:
+          (B, H, W, C) fused logits.
+        """
+        B, T, H, W, C = seg.shape
+        assert T == self.num_frames and C == self.num_classes
+        grid_hw = REFERENCE_GRID_HW if self.parity_grid else None
+
+        if self.variant == "basic":
+            if optflow is not None:
+                frames = [seg[:, 0]]
+                depths = [depth[:, 0]] if depth is not None else None
+                for i in range(1, T):
+                    maps = seg[:, i]
+                    if depth is not None:
+                        maps = jnp.concatenate([maps, depth[:, i]], axis=-1)
+                    warped = flow_warp(maps, optflow[:, i - 1], grid_hw=grid_hw)
+                    frames.append(warped[..., :C])
+                    if depth is not None:
+                        depths.append(warped[..., C:])
+                parts = frames + (depths if depth is not None else [])
+            else:
+                parts = [seg[:, i] for i in range(T)]
+                if depth is not None:
+                    parts += [depth[:, i] for i in range(T)]
+            x = jnp.concatenate(parts, axis=-1)
+        elif self.variant == "large":
+            parts = [seg[:, i] for i in range(T)]
+            if optflow is not None:
+                parts += [optflow[:, i] for i in range(T - 1)]
+            if depth is not None:
+                parts += [depth[:, i] for i in range(T)]
+            x = jnp.concatenate(parts, axis=-1)
+        else:
+            raise ValueError(f"unknown MFCNet variant: {self.variant}")
+
+        return MultiFrameHead(
+            self.num_classes, self.num_frames, name="head"
+        )(x, train=train)
+
+
+class MultiFrameSegmenter(nn.Module):
+    """Per-frame base model + MFCNet fusion (reference wrappers x8,
+    models/multiframe_model.py:207-540, collapsed into one module).
+
+    ``base_output`` selects how the base model's output becomes the fusion
+    input, matching the reference per backbone:
+      'exp'      — base emits log-probs, exponentiate to probs (TernausNet:
+                   models/multiframe_model.py:227)
+      'identity' — base output used raw (DeepLab/FCN logits :294, HRNet
+                   logits :427, SegFormer log-probs :361)
+    """
+
+    base: nn.Module
+    num_classes: int
+    num_frames: int
+    variant: str = "basic"
+    base_output: str = "exp"
+    parity_grid: bool = True
+
+    def setup(self):
+        self.multiframe_net = MultiFrameNet(
+            self.num_classes,
+            self.num_frames,
+            variant=self.variant,
+            parity_grid=self.parity_grid,
+        )
+
+    def _base_transform(self, y):
+        if self.base_output == "exp":
+            return jnp.exp(y)
+        if self.base_output == "identity":
+            return y
+        raise ValueError(f"unknown base_output: {self.base_output}")
+
+    def __call__(
+        self,
+        frames,
+        optflow=None,
+        depth=None,
+        train: bool = False,
+        train_base: bool = False,
+    ):
+        """frames: (B, T, H, W, 3) normalized RGB, newest frame first."""
+        B, T, H, W, _ = frames.shape
+        flat = frames.reshape(B * T, H, W, frames.shape[-1])
+        y = self.base(flat, train=train and train_base)
+        y = self._base_transform(y.reshape(B, T, H, W, y.shape[-1]))
+        return self.multiframe_net(
+            y, optflow=optflow, depth=depth, train=train
+        )
+
+    def fuse_precomputed(
+        self, seg, optflow=None, depth=None, train: bool = False
+    ):
+        """Run only the fusion head on precomputed per-frame maps.
+
+        Used by the incremental video tracker: in a rolling T-frame window,
+        each new frame needs exactly one base-model forward; the previous
+        frames' seg maps are reused from a ring buffer. The reference
+        recomputes all T base forwards per output frame
+        (scripts/test_multiframe_segmentation_on_videos_v3.py:251-281); this
+        path cuts base-model FLOPs by T x at identical output.
+        Invoke via ``model.apply(vars, ..., method='fuse_precomputed')``.
+        """
+        return self.multiframe_net(
+            seg, optflow=optflow, depth=depth, train=train
+        )
+
+    def base_forward(self, frames, train: bool = False):
+        """Per-frame base forward for (B, H, W, 3), with base_output applied.
+
+        Invoke via ``model.apply(vars, frames, method='base_forward')``.
+        """
+        return self._base_transform(self.base(frames, train=train))

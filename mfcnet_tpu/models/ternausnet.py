@@ -1,0 +1,104 @@
+"""TernausNet11/16 — VGG-encoder U-Nets (reference: models/ternausnet.py).
+
+Emits per-pixel log-probabilities when ``num_classes > 1`` (the reference
+applies ``F.log_softmax`` at the output: models/ternausnet.py:91-92,145-146),
+raw single-channel logits otherwise.
+
+TPU notes: all convs are 3x3 SAME stride 1 (MXU-tiled by XLA); the decoder
+uses stride-2 deconvs with exact torch ConvTranspose2d(k4 s2 p1) semantics.
+Input H, W must be divisible by 32 (five 2x2 pools), e.g. 480x640.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mfcnet_tpu.models.common import (
+    VGG11_STAGES,
+    VGG16_STAGES,
+    ConvReLU,
+    DecoderBlockDeconv,
+    VGGFeatures,
+    log_softmax_channels,
+    max_pool_2x,
+)
+
+
+class TernausNet16(nn.Module):
+    """VGG16-encoder TernausNet (reference: models/ternausnet.py:98-150)."""
+
+    num_classes: int = 1
+    num_filters: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.num_filters
+        conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
+            VGG16_STAGES, name="encoder"
+        )(x)
+
+        center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(
+            max_pool_2x(conv5)
+        )
+        dec5 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec5")(
+            jnp.concatenate([center, conv5], axis=-1)
+        )
+        dec4 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec4")(
+            jnp.concatenate([dec5, conv4], axis=-1)
+        )
+        dec3 = DecoderBlockDeconv(nf * 8, nf * 2, name="dec3")(
+            jnp.concatenate([dec4, conv3], axis=-1)
+        )
+        dec2 = DecoderBlockDeconv(nf * 4, nf, name="dec2")(
+            jnp.concatenate([dec3, conv2], axis=-1)
+        )
+        dec1 = ConvReLU(nf, name="dec1")(
+            jnp.concatenate([dec2, conv1], axis=-1)
+        )
+        out = nn.Conv(self.num_classes, (1, 1), name="final")(dec1)
+        if self.num_classes > 1:
+            out = log_softmax_channels(out)
+        return out
+
+
+class TernausNet11(nn.Module):
+    """VGG11-encoder TernausNet (reference: models/ternausnet.py:45-96).
+
+    Note the reference's center block declares in_channels 256 + nf*8 which
+    is only consistent with its actual 512-channel input for nf=32; flax
+    infers input channels so any nf works here.
+    """
+
+    num_classes: int = 1
+    num_filters: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.num_filters
+        conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
+            VGG11_STAGES, name="encoder"
+        )(x)
+
+        center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(
+            max_pool_2x(conv5)
+        )
+        dec5 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec5")(
+            jnp.concatenate([center, conv5], axis=-1)
+        )
+        dec4 = DecoderBlockDeconv(nf * 16, nf * 4, name="dec4")(
+            jnp.concatenate([dec5, conv4], axis=-1)
+        )
+        dec3 = DecoderBlockDeconv(nf * 8, nf * 2, name="dec3")(
+            jnp.concatenate([dec4, conv3], axis=-1)
+        )
+        dec2 = DecoderBlockDeconv(nf * 4, nf, name="dec2")(
+            jnp.concatenate([dec3, conv2], axis=-1)
+        )
+        dec1 = ConvReLU(nf, name="dec1")(
+            jnp.concatenate([dec2, conv1], axis=-1)
+        )
+        out = nn.Conv(self.num_classes, (1, 1), name="final")(dec1)
+        if self.num_classes > 1:
+            out = log_softmax_channels(out)
+        return out

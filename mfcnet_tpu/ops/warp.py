@@ -1,0 +1,104 @@
+"""Flow warping via bilinear grid sampling (``F.grid_sample`` semantics).
+
+Replicates the reference's flow-alignment path in MFCNet
+(reference: models/multiframe_model.py:141-170 ``_warp_single_map`` — grid
+sample with ``mode='bilinear', padding_mode='zeros', align_corners=True``
+over a normalized mesh grid displaced by optical flow).
+
+TPU-first: the warp is channel-batched — all segmentation/depth channels of
+one frame are warped by that frame's flow in a single vectorized gather.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_bilinear(img, grid_x, grid_y, align_corners: bool = True):
+    """Sample ``img`` at normalized grid coordinates, zeros padding.
+
+    Args:
+      img: (B, H, W, C) source.
+      grid_x, grid_y: (B, Ho, Wo) normalized coords in [-1, 1]
+        (x indexes width, y height — same convention as torch grid_sample).
+      align_corners: True → pixel = (g+1)/2*(size-1);
+        False → pixel = ((g+1)*size - 1)/2.
+
+    Returns:
+      (B, Ho, Wo, C) sampled output; out-of-bounds corners contribute zero.
+    """
+    B, H, W, C = img.shape
+    if align_corners:
+        fx = (grid_x + 1.0) * 0.5 * (W - 1)
+        fy = (grid_y + 1.0) * 0.5 * (H - 1)
+    else:
+        fx = ((grid_x + 1.0) * W - 1.0) * 0.5
+        fy = ((grid_y + 1.0) * H - 1.0) * 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+
+    def gather(ix, iy):
+        """Gather img[b, iy, ix, :] with zero padding out of bounds."""
+        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        flat = img.reshape(B, H * W, C)
+        idx = iyc * W + ixc  # (B, Ho, Wo)
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        ).reshape(*idx.shape, C)
+        return vals * valid[..., None].astype(img.dtype)
+
+    x0i, y0i = x0, y0
+    v00 = gather(x0i, y0i)
+    v01 = gather(x0i + 1, y0i)
+    v10 = gather(x0i, y0i + 1)
+    v11 = gather(x0i + 1, y0i + 1)
+
+    top = v00 * (1.0 - tx) + v01 * tx
+    bot = v10 * (1.0 - tx) + v11 * tx
+    return top * (1.0 - ty) + bot * ty
+
+
+def flow_warp(maps, flow, grid_hw=None, align_corners: bool = True):
+    """Warp feature maps by optical flow (MFCNet alignment semantics).
+
+    Equivalent to the reference's per-channel loop
+    (models/multiframe_model.py:109-121) but warps all ``C`` channels at once:
+    the sampling grid is ``base + flow`` where flow (in pixels) is normalized
+    by (size-1)/2 before being added to the mesh grid
+    (models/multiframe_model.py:156-162).
+
+    Reference quirk preserved via ``grid_hw``: the reference builds its base
+    mesh grid at a fixed 576x720 normalized to [-1, 1] over *that* size and
+    then crops it to the input H, W (models/multiframe_model.py:156, 172-185).
+    At 480x640 this is NOT an identity grid — zero flow samples at
+    ``i*(grid-1 scaled)`` coordinates. Pass ``grid_hw=(576, 720)`` to
+    reproduce the reference bit-for-bit (the MFCNet module does so by
+    default); pass ``None`` for the corrected identity grid.
+
+    Args:
+      maps: (B, H, W, C) channels to warp (seg probs and/or depth).
+      flow: (B, H, W, 2) optical flow in pixels; flow[..., 0] = x (width)
+        displacement, flow[..., 1] = y.
+      grid_hw: optional (grid_h, grid_w) the base mesh grid was built at.
+
+    Returns:
+      (B, H, W, C) warped maps.
+    """
+    B, H, W, _ = maps.shape
+    gh, gw = (H, W) if grid_hw is None else grid_hw
+    if gh < H or gw < W:
+        raise ValueError(f"grid_hw {grid_hw} smaller than input {(H, W)}")
+    # Base grid value at pixel (i, j): 2*j/(gw-1) - 1, 2*i/(gh-1) - 1,
+    # cropped to the first H rows / W cols (identity when grid_hw == (H, W)).
+    xs = 2.0 * jnp.arange(W, dtype=jnp.float32) / (gw - 1) - 1.0
+    ys = 2.0 * jnp.arange(H, dtype=jnp.float32) / (gh - 1) - 1.0
+    base_x = jnp.broadcast_to(xs[None, None, :], (B, H, W))
+    base_y = jnp.broadcast_to(ys[None, :, None], (B, H, W))
+    gx = base_x + flow[..., 0] / ((W - 1) / 2.0)
+    gy = base_y + flow[..., 1] / ((H - 1) / 2.0)
+    return grid_sample_bilinear(maps, gx, gy, align_corners=align_corners)

@@ -1,0 +1,197 @@
+"""Numerics tests pinning ops against torch / scipy references."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as tF  # noqa: E402
+
+from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest  # noqa: E402
+from mfcnet_tpu.ops.warp import grid_sample_bilinear, flow_warp  # noqa: E402
+from mfcnet_tpu.ops.color import (  # noqa: E402
+    adjust_brightness,
+    adjust_contrast,
+    adjust_saturation,
+)
+from mfcnet_tpu.ops.correlation import (  # noqa: E402
+    correlation_mxu,
+    correlation_shifts,
+)
+from mfcnet_tpu.ops.peaks import gaussian_blur, local_maxima  # noqa: E402
+
+RNG = np.random.default_rng(0)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.moveaxis(x_nhwc, -1, 1).copy())
+
+
+def _to_nhwc(t):
+    return np.moveaxis(t.numpy(), 1, -1)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize(
+    "in_hw,out_hw", [((480, 640), (240, 320)), ((17, 23), (31, 11)), ((30, 40), (480, 640))]
+)
+def test_resize_bilinear_matches_torch(align_corners, in_hw, out_hw):
+    x = RNG.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), *out_hw, align_corners))
+    want = _to_nhwc(
+        tF.interpolate(
+            _nchw(x), size=out_hw, mode="bilinear", align_corners=align_corners
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw", [((480, 640), (240, 320)), ((17, 23), (31, 11)), ((10, 10), (480, 640))]
+)
+def test_resize_nearest_matches_torch(in_hw, out_hw):
+    x = RNG.standard_normal((1, *in_hw, 2), dtype=np.float32)
+    got = np.asarray(resize_nearest(jnp.asarray(x), *out_hw))
+    want = _to_nhwc(tF.interpolate(_nchw(x), size=out_hw, mode="nearest"))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_grid_sample_matches_torch(align_corners):
+    B, H, W, C = 2, 12, 17, 4
+    img = RNG.standard_normal((B, H, W, C), dtype=np.float32)
+    # grid beyond [-1, 1] to exercise zeros padding
+    gx = RNG.uniform(-1.3, 1.3, (B, 9, 11)).astype(np.float32)
+    gy = RNG.uniform(-1.3, 1.3, (B, 9, 11)).astype(np.float32)
+    got = np.asarray(
+        grid_sample_bilinear(
+            jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy), align_corners
+        )
+    )
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1))
+    want = _to_nhwc(
+        tF.grid_sample(
+            _nchw(img),
+            grid,
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=align_corners,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_flow_warp_reference_grid_quirk():
+    """flow_warp(grid_hw=(576,720)) must equal torch grid_sample with the
+    reference's cropped mesh grid (models/multiframe_model.py:141-185)."""
+    B, H, W = 1, 48, 64
+    maps = RNG.standard_normal((B, H, W, 5), dtype=np.float32)
+    flow = RNG.uniform(-3, 3, (B, H, W, 2)).astype(np.float32)
+
+    got = np.asarray(
+        flow_warp(jnp.asarray(maps), jnp.asarray(flow), grid_hw=(576, 720))
+    )
+
+    # torch reference reimplementation of _warp_single_map
+    GH, GW = 576, 720
+    y, x = np.meshgrid(np.arange(GH), np.arange(GW), indexing="ij")
+    grid_y = 2.0 * y / (GH - 1) - 1.0
+    grid_x = 2.0 * x / (GW - 1) - 1.0
+    base = np.stack([grid_x, grid_y], axis=0)[None].astype(np.float32)
+    base = base[:, :, :H, :W]
+    fx = flow[..., 0] / ((W - 1) / 2.0)
+    fy = flow[..., 1] / ((H - 1) / 2.0)
+    new_grid = torch.from_numpy(
+        base + np.stack([fx, fy], axis=1)
+    ).permute(0, 2, 3, 1)
+    want = _to_nhwc(
+        tF.grid_sample(
+            _nchw(maps),
+            new_grid,
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_color_ops_match_torchvision_semantics():
+    """Pin against hand-computed torchvision formulas on float tensors."""
+    img = RNG.uniform(0, 1, (3, 8, 9, 3)).astype(np.float32)
+    x = jnp.asarray(img)
+
+    b = np.asarray(adjust_brightness(x, 1.04))
+    np.testing.assert_allclose(b, np.clip(img * 1.04, 0, 1), atol=1e-6)
+
+    gray = (
+        0.2989 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )[..., None]
+    c = np.asarray(adjust_contrast(x, 0.97))
+    want = np.clip(
+        0.97 * img + 0.03 * gray.mean(axis=(1, 2), keepdims=True), 0, 1
+    )
+    np.testing.assert_allclose(c, want, atol=1e-5)
+
+    s = np.asarray(adjust_saturation(x, 1.02))
+    want = np.clip(1.02 * img - 0.02 * gray, 0, 1)
+    np.testing.assert_allclose(s, want, atol=1e-5)
+
+
+def test_correlation_impls_agree():
+    B, H, W, C = 1, 10, 12, 8
+    f1 = RNG.standard_normal((B, H, W, C), dtype=np.float32)
+    f2 = RNG.standard_normal((B, H, W, C), dtype=np.float32)
+    a = np.asarray(correlation_shifts(jnp.asarray(f1), jnp.asarray(f2), 4, 2))
+    b = np.asarray(correlation_mxu(jnp.asarray(f1), jnp.asarray(f2), 4, 2))
+    assert a.shape == (B, H, W, 25)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_correlation_matches_reference_semantics():
+    """Direct NumPy transcription of the CUDA kernel indexing
+    (models/unflow_correlation.py:71-101)."""
+    B, H, W, C = 1, 7, 9, 4
+    md, s = 4, 2
+    D = 2 * (md // s) + 1
+    f1 = RNG.standard_normal((B, H, W, C), dtype=np.float32)
+    f2 = RNG.standard_normal((B, H, W, C), dtype=np.float32)
+    f2p = np.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    want = np.zeros((B, H, W, D * D), dtype=np.float32)
+    for tc in range(D * D):
+        dx = (tc % D - D // 2) * s
+        dy = (tc // D - D // 2) * s
+        for yy in range(H):
+            for xx in range(W):
+                want[0, yy, xx, tc] = (
+                    f1[0, yy, xx] * f2p[0, yy + md + dy, xx + md + dx]
+                ).sum() / C
+    got = np.asarray(correlation_shifts(jnp.asarray(f1), jnp.asarray(f2), md, s))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_gaussian_blur_matches_scipy():
+    from scipy import ndimage
+
+    x = RNG.standard_normal((30, 40)).astype(np.float32)
+    got = np.asarray(gaussian_blur(jnp.asarray(x), sigma=4.0))
+    want = ndimage.gaussian_filter(x.astype(np.float64), 4).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_local_maxima_matches_scipy():
+    from scipy import ndimage
+
+    def circular_mask(h, w):
+        center = (w // 2, h // 2)
+        radius = min(center[0], center[1], w - center[0], h - center[1])
+        Y, X = np.ogrid[:h, :w]
+        return np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2) <= radius
+
+    x = RNG.standard_normal((25, 33)).astype(np.float32)
+    sm = ndimage.gaussian_filter(x, 4)
+    mask = circular_mask(10, 10)
+    want = ndimage.maximum_filter(sm, footprint=mask) == sm
+    got = np.asarray(local_maxima(jnp.asarray(sm), 10))
+    np.testing.assert_array_equal(got, want)
