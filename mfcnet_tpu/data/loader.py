@@ -1,0 +1,163 @@
+"""Host loader + device prefetcher.
+
+Replaces torch ``DataLoader(num_workers=12, pin_memory=True)`` +
+``.cuda(non_blocking=True)`` (src/dataloader_multiframe.py:239-241,
+src/engine.py:33-36) with a thread-pool file reader feeding a
+double-buffered device prefetch queue: batch N+1 is decoded and
+device_put while the jitted step runs batch N, so the TPU never waits on
+host IO in steady state.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _collate(samples):
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class DataLoader:
+    """Shuffling, batching host loader over an indexable dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        idxs = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idxs)
+        if self.drop_last:
+            idxs = idxs[: len(self) * self.batch_size]
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # pipeline two batches of reads ahead
+            batches = [
+                idxs[i : i + self.batch_size]
+                for i in range(0, len(idxs), self.batch_size)
+            ]
+            futures = []
+            ahead = 2
+            bi = 0
+
+            def submit(batch_idx):
+                return [
+                    pool.submit(self.dataset.__getitem__, int(j))
+                    for j in batch_idx
+                ]
+
+            while bi < len(batches) or futures:
+                while bi < len(batches) and len(futures) < ahead + 1:
+                    futures.append(submit(batches[bi]))
+                    bi += 1
+                fs = futures.pop(0)
+                yield _collate([f.result() for f in fs])
+
+
+class Prefetcher:
+    """Wraps a host batch iterator with device transform + transfer,
+    running one batch ahead on a background thread."""
+
+    def __init__(
+        self,
+        host_iter,
+        device_fn: Optional[Callable] = None,
+        put_fn: Optional[Callable] = None,
+        depth: int = 2,
+    ):
+        self.host_iter = iter(host_iter)
+        self.device_fn = device_fn
+        self.put_fn = put_fn or (lambda b: b)
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self.host_iter:
+                batch = self.put_fn(batch)
+                if self.device_fn is not None:
+                    batch = self.device_fn(batch)
+                self.q.put(batch)
+        except Exception as e:  # surface errors on the consumer side
+            self.q.put(e)
+        finally:
+            self.q.put(StopIteration)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is StopIteration:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+def get_data_loader(
+    dataset_name: str,
+    data_dir,
+    mode: str,
+    prediction_task: str,
+    num_input_frames: int,
+    batch_size: int,
+    num_workers: int = 4,
+    fold_index: int = -1,
+    add_depth_inputs: bool = False,
+    seed: int = 0,
+):
+    """Multi-frame loader factory (reference:
+    src/dataloader_multiframe.py:225-317): train loader shuffled at
+    batch_size, val/test at batch 1 unshuffled."""
+    from mfcnet_tpu.data.dataset import MultiFrameDataset
+    from mfcnet_tpu.data.files import get_dataset_filenames
+
+    train_files, val_files = get_dataset_filenames(
+        dataset_name, data_dir, mode, fold_index
+    )
+    if mode == "training":
+        train_ds = MultiFrameDataset(
+            train_files, prediction_task, num_input_frames, add_depth_inputs
+        )
+        val_ds = MultiFrameDataset(
+            val_files, prediction_task, num_input_frames, add_depth_inputs
+        )
+        return (
+            DataLoader(train_ds, batch_size, shuffle=True,
+                       num_workers=num_workers, seed=seed),
+            DataLoader(val_ds, 1, shuffle=False, num_workers=num_workers),
+        )
+    test_ds = MultiFrameDataset(
+        train_files, prediction_task, num_input_frames, add_depth_inputs
+    )
+    return None, DataLoader(test_ds, 1, shuffle=False,
+                            num_workers=num_workers)

@@ -26,16 +26,20 @@ from mfcnet_tpu.models.common import (
 
 
 class TernausNet16(nn.Module):
-    """VGG16-encoder TernausNet (reference: models/ternausnet.py:98-150)."""
+    """VGG16-encoder TernausNet (reference: models/ternausnet.py:98-150).
+
+    ``stage_convs`` overrides the encoder widths (tests use tiny stacks).
+    """
 
     num_classes: int = 1
     num_filters: int = 32
+    stage_convs: tuple = VGG16_STAGES
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
         conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
-            VGG16_STAGES, name="encoder"
+            self.stage_convs, name="encoder"
         )(x)
 
         center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(
@@ -72,12 +76,13 @@ class TernausNet11(nn.Module):
 
     num_classes: int = 1
     num_filters: int = 32
+    stage_convs: tuple = VGG11_STAGES
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
         conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
-            VGG11_STAGES, name="encoder"
+            self.stage_convs, name="encoder"
         )(x)
 
         center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(

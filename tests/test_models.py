@@ -1,0 +1,149 @@
+"""Model zoo shape/behavior tests + sharded train-step smoke tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+from mfcnet_tpu.models import (
+    get_multiframe_segmentation_model,
+    get_tooltip_segmentation_model,
+)
+from mfcnet_tpu.parallel import make_mesh, shard_batch
+from mfcnet_tpu.train.schedule import make_schedule
+from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+from mfcnet_tpu.train.steps import (
+    make_multiframe_eval_step,
+    make_multiframe_train_step,
+)
+
+H, W, C, T = 32, 32, 5, 3
+TINY_STAGES = ((4,), (8,), (8, 8), (16, 16), (16, 16))
+
+
+def _mf_model_and_vars(variant="Basic", optflow=False, depth=False):
+    base = TernausNet16(num_classes=C, num_filters=4, stage_convs=TINY_STAGES)
+    model = MultiFrameSegmenter(
+        base=base,
+        num_classes=C,
+        num_frames=T,
+        variant=variant.lower(),
+        base_output="exp",
+    )
+    rng = jax.random.PRNGKey(0)
+    frames = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    kwargs = {}
+    if optflow:
+        kwargs["optflow"] = jnp.zeros((1, T - 1, H, W, 2), jnp.float32)
+    if depth:
+        kwargs["depth"] = jnp.zeros((1, T, H, W, 1), jnp.float32)
+    from mfcnet_tpu.utils.jitinit import jit_init
+    variables = jit_init(model, rng, frames, **kwargs)
+    return model, variables
+
+
+def test_ternausnet16_output_is_log_probs():
+    model = TernausNet16(num_classes=C, num_filters=4, stage_convs=TINY_STAGES)
+    assert get_tooltip_segmentation_model("TernausNet16", num_classes=C) is not None
+    x = jnp.zeros((2, H, W, 3))
+    from mfcnet_tpu.utils.jitinit import jit_init
+    variables = jit_init(model, jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (2, H, W, C)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(y)).sum(-1), 1.0, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "variant,optflow,depth",
+    [("Basic", False, False), ("Basic", True, True), ("Large", True, True)],
+)
+def test_multiframe_forward_shapes(variant, optflow, depth):
+    model, variables = _mf_model_and_vars(variant, optflow, depth)
+    frames = jnp.zeros((2, T, H, W, 3))
+    kwargs = {}
+    if optflow:
+        kwargs["optflow"] = jnp.zeros((2, T - 1, H, W, 2))
+    if depth:
+        kwargs["depth"] = jnp.zeros((2, T, H, W, 1))
+    y = model.apply(variables, frames, **kwargs)
+    assert y.shape == (2, H, W, C)
+
+
+def test_fuse_precomputed_matches_full_forward():
+    """Incremental tracker path == full forward given the same seg maps."""
+    model, variables = _mf_model_and_vars("Basic")
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(
+        rng.standard_normal((1, T, H, W, 3), dtype=np.float32)
+    )
+    full = model.apply(variables, frames)
+    flat = frames.reshape(T, H, W, 3)
+    seg = model.apply(variables, flat, method="base_forward")
+    seg = seg.reshape(1, T, H, W, C)
+    fused = model.apply(variables, seg, method="fuse_precomputed")
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(fused), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_train_step_runs_sharded_and_loss_decreases():
+    mesh = make_mesh(8)
+    model, variables = _mf_model_and_vars("Basic")
+    sched = make_schedule("StepDecay", 1e-3, 10, 10)
+    tx = multiframe_optimizer(
+        sched, T, train_base_model=False, base_pretrained_loaded=False
+    )
+    state = TrainState.create(
+        model.apply,
+        variables["params"],
+        tx,
+        variables.get("batch_stats", {}),
+    )
+    step = make_multiframe_train_step(
+        model,
+        ["nll", "soft_jaccard"],
+        [0.7, 0.3],
+        C,
+        class_weights=[1.0, 1000.0, 1000.0, 1000.0, 1000.0],
+        donate=False,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": rng.standard_normal((8, T, H, W, 3)).astype(np.float32),
+        "mask": rng.integers(0, C, (8, H, W)).astype(np.int32),
+    }
+    with jax.set_mesh(mesh):
+        sbatch = shard_batch(mesh, batch)
+        state, logs0 = step(state, sbatch)
+        for _ in range(2):
+            state, logs = step(state, sbatch)
+    assert np.isfinite(float(logs["loss_total"]))
+    assert float(logs["loss_total"]) < float(logs0["loss_total"])
+    # base was frozen: its params must be unchanged
+    base0 = jax.tree.leaves(variables["params"]["base"])
+    base1 = jax.tree.leaves(state.params["base"])
+    for a, b in zip(base0, base1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_metrics():
+    model, variables = _mf_model_and_vars("Basic")
+    sched = make_schedule("Constant", 1e-3, 10, 10)
+    tx = multiframe_optimizer(sched, T, False, False)
+    state = TrainState.create(
+        model.apply, variables["params"], tx, variables.get("batch_stats", {})
+    )
+    eval_step = make_multiframe_eval_step(
+        model, ["nll"], [1.0], ["iou", "dice"], C
+    )
+    batch = {
+        "frames": np.zeros((1, T, H, W, 3), np.float32),
+        "mask": np.zeros((1, H, W), np.int32),
+    }
+    log_probs, parts = eval_step(state, batch)
+    assert log_probs.shape == (1, H, W, C)
+    assert parts["iou_per_class"].shape == (1, C - 1)
+    assert np.isfinite(float(parts["loss_total"]))
