@@ -38,14 +38,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.utils.jitinit import jit_init
 
     T, C, H, W = 3, 5, args.height, args.width
     model = get_multiframe_segmentation_model(
         "TernausNetMulti-Basic", num_classes=C, num_input_frames=T
     )
     frames0 = np.zeros((1, T, H, W, 3), np.float32)
-    variables = model.init(jax.random.PRNGKey(0), frames0)
+    variables = jit_init(model, jax.random.PRNGKey(0), frames0)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cvars = jax.tree.map(

@@ -43,7 +43,7 @@ def make_multiframe_train_step(
     'depth' (B,T,H,W,1).
     """
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         frames = batch["frames"]
         depth = batch.get("depth")
         optflow = flow_fn(frames) if flow_fn is not None else None
@@ -56,6 +56,7 @@ def make_multiframe_train_step(
             train=True,
             train_base=train_base_model,
             mutable=["batch_stats"],
+            rngs={"dropout": rng},
         )
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         total, parts = compute_losses(
@@ -68,11 +69,14 @@ def make_multiframe_train_step(
         )
         return total, (parts, mutated["batch_stats"])
 
+    base_rng = jax.random.PRNGKey(17)
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
         (_, (parts, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
+        )(state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return state, parts
 
@@ -136,9 +140,11 @@ def make_singleframe_train_step(
       'tapnet'    — input is (B,H,W,4): RGB + attention map, model takes both
     """
 
-    def adapt(variables, batch, train):
+    def adapt(variables, batch, train, rng=None):
         x = batch["image"]
         kwargs = dict(train=train)
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
         mut = ["batch_stats"] if train else []
         if output_mode == "tapnet":
             out = model.apply(
@@ -155,9 +161,9 @@ def make_singleframe_train_step(
             out = jax.nn.log_softmax(out, axis=-1)
         return out, stats
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        log_probs, new_stats = adapt(variables, batch, train=True)
+        log_probs, new_stats = adapt(variables, batch, train=True, rng=rng)
         total, parts = compute_losses(
             log_probs,
             batch["mask"],
@@ -168,11 +174,14 @@ def make_singleframe_train_step(
         )
         return total, (parts, new_stats)
 
+    base_rng = jax.random.PRNGKey(19)
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch):
+        rng = jax.random.fold_in(base_rng, state.step)
         (_, (parts, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
+        )(state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(
             grads, new_batch_stats=new_stats if new_stats else None
         )
