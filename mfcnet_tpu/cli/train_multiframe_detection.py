@@ -1,0 +1,228 @@
+"""Train MFCNet multi-frame models (reference:
+scripts/train_multiframe_detection.py).
+
+Same flag surface; TPU-native internals: one jitted train step (model +
+loss + Adam + optional frozen flow model), GSPMD data-parallel sharding over
+all visible chips, device-side augmentation, msgpack checkpoints with the
+reference's ``ckpts/model_{epoch:03d}`` naming, KeyboardInterrupt snapshot
+(reference :179-183).
+
+Usage: python -m mfcnet_tpu.cli.train_multiframe_detection --dataset JIGSAWS ...
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+import jax
+import numpy as np
+
+from mfcnet_tpu.configs.parsers import multiframe_train_parser
+from mfcnet_tpu.data.loader import get_data_loader
+from mfcnet_tpu.data.transforms import (
+    TransformConfig,
+    augment_train_batch,
+    preprocess_eval_batch,
+)
+from mfcnet_tpu.models import get_multiframe_segmentation_model
+from mfcnet_tpu.train.engine import train_one_epoch, validate
+from mfcnet_tpu.train.schedule import make_schedule
+from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+from mfcnet_tpu.train.steps import (
+    make_multiframe_eval_step,
+    make_multiframe_train_step,
+)
+from mfcnet_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_params,
+    save_checkpoint,
+)
+from mfcnet_tpu.utils.jitinit import jit_init
+from mfcnet_tpu.utils.logging import init_logging
+
+
+def build_flow_fn(optflow_model: str, model_type: str):
+    """Frozen flow provider running inside the jitted step
+    (reference: src/engine.py:39-53 — flow between each frame i and frame 0;
+    'Basic' model types get flow(frame_i -> frame_0))."""
+    if optflow_model == "RAFT":
+        from mfcnet_tpu.models.raft import make_raft_flow_fn
+
+        return make_raft_flow_fn(basic=("Basic" in model_type))
+    if optflow_model == "UnFlow":
+        from mfcnet_tpu.models.unflow import make_unflow_flow_fn
+
+        return make_unflow_flow_fn(basic=("Basic" in model_type))
+    raise NotImplementedError(f"optflow model {optflow_model}")
+
+
+def main(argv=None):
+    args = multiframe_train_parser().parse_args(argv)
+    writer, logger, expt_dir = init_logging(
+        args.expt_savedir, args.expt_name, args.debug
+    )
+    logger.info(f"args: {vars(args)}")
+    np.random.seed(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    train_loader, val_loader = get_data_loader(
+        args.dataset,
+        args.data_dir,
+        args.mode,
+        args.prediction_task,
+        args.num_input_frames,
+        args.batch_size,
+        num_workers=args.num_workers,
+        fold_index=args.fold_index,
+        add_depth_inputs=args.add_depth_inputs,
+        seed=args.seed,
+    )
+
+    model = get_multiframe_segmentation_model(
+        args.model_type,
+        num_classes=args.num_classes,
+        num_input_frames=args.num_input_frames,
+        pretrained=args.pretrained,
+        add_optflow_inputs=args.add_optflow_inputs,
+        add_depth_inputs=args.add_depth_inputs,
+        parity_grid=args.parity_grid,
+        scale=args.model_scale,
+    )
+
+    T, H, W = args.num_input_frames, args.input_height, args.input_width
+    key, init_key = jax.random.split(key)
+    init_kwargs = {}
+    if args.add_optflow_inputs:
+        init_kwargs["optflow"] = np.zeros((1, T - 1, H, W, 2), np.float32)
+    if args.add_depth_inputs:
+        init_kwargs["depth"] = np.zeros((1, T, H, W, 1), np.float32)
+    variables = jit_init(
+        model, init_key, np.zeros((1, T, H, W, 3), np.float32), **init_kwargs
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # base weights from a pretrained single-frame model
+    # (reference :115-118)
+    base_loaded = False
+    if args.load_wts_base_model:
+        params = dict(params)
+        params["base"] = load_params(
+            args.load_wts_base_model, template=params["base"]
+        )
+        base_loaded = True
+        logger.info(f"Loaded base weights from {args.load_wts_base_model}")
+
+    steps_per_epoch = max(1, len(train_loader))
+    sched = make_schedule(
+        args.scheduler, args.lr, args.num_epochs, steps_per_epoch
+    )
+    tx = multiframe_optimizer(
+        sched,
+        args.num_input_frames,
+        train_base_model=args.train_base_model,
+        base_pretrained_loaded=base_loaded,
+    )
+    state = TrainState.create(model.apply, params, tx, batch_stats)
+
+    start_epoch = args.starting_epoch
+    if args.resume:
+        ck = (
+            args.load_wts_model
+            or latest_checkpoint(expt_dir / "ckpts")
+        )
+        if ck:
+            payload, epoch = load_checkpoint(ck, state)
+            state = state.replace(
+                params=payload["params"],
+                batch_stats=payload["batch_stats"],
+                opt_state=payload["opt_state"],
+                step=payload["step"],
+            )
+            start_epoch = max(start_epoch, epoch)
+            logger.info(f"Resumed from {ck} at epoch {epoch}")
+    elif args.load_wts_model:
+        payload, _ = load_checkpoint(args.load_wts_model, state)
+        state = state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"]
+        )
+        logger.info(f"Loaded model weights from {args.load_wts_model}")
+
+    flow_fn = (
+        build_flow_fn(args.optflow_model, args.model_type)
+        if args.add_optflow_inputs
+        else None
+    )
+
+    train_step = make_multiframe_train_step(
+        model,
+        args.loss_fns,
+        args.loss_wts,
+        args.num_classes,
+        class_weights=args.class_weights,
+        train_base_model=args.train_base_model,
+        flow_fn=flow_fn,
+    )
+    eval_step = make_multiframe_eval_step(
+        model,
+        args.loss_fns,
+        args.loss_wts,
+        args.metric_fns,
+        args.num_classes,
+        class_weights=args.class_weights,
+        flow_fn=flow_fn,
+    )
+
+    tcfg = TransformConfig(
+        out_height=H, out_width=W, prediction_task=args.prediction_task
+    )
+    aug_fn = functools.partial(augment_train_batch, cfg=tcfg)
+    prep_fn = functools.partial(preprocess_eval_batch, cfg=tcfg)
+
+    def aug(batch, k):
+        return augment_train_batch(batch, k, tcfg)
+
+    try:
+        for epoch in range(start_epoch, args.num_epochs + 1):
+            key, ek = jax.random.split(key)
+            state, train_loss = train_one_epoch(
+                train_loader,
+                epoch,
+                state,
+                train_step,
+                aug,
+                ek,
+                logger,
+                writer,
+                args.print_freq,
+                args.loss_fns,
+            )
+            validate(
+                val_loader,
+                state,
+                eval_step,
+                lambda b: preprocess_eval_batch(b, tcfg),
+                logger,
+                writer,
+                epoch,
+                args.print_freq,
+                args.loss_fns,
+                args.metric_fns,
+                args.num_classes,
+            )
+            if epoch % args.save_freq == 0 or epoch == args.num_epochs:
+                p = save_checkpoint(expt_dir / "ckpts", epoch, state)
+                logger.info(f"Saved checkpoint {p}")
+    except KeyboardInterrupt:
+        # snapshot on interrupt (reference :179-183)
+        p = save_checkpoint(expt_dir / "ckpts", 999, state)
+        logger.info(f"Interrupted; snapshot saved to {p}")
+        raise
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

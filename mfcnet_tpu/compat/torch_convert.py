@@ -1,0 +1,138 @@
+"""PyTorch ``.pth`` checkpoint -> flax params conversion.
+
+Required by the parity gate (BASELINE.json): published reference checkpoints
+must reproduce heatmaps within 1e-3. Conversions here are *exact* (pure
+layout transposition):
+
+  * Conv2d weight OIHW -> HWIO: ``transpose(2, 3, 1, 0)``
+  * ConvTranspose2d weight (in, out, kh, kw) -> the dense-conv-equivalent
+    (kh, kw, in, out) layout used by
+    :class:`mfcnet_tpu.models.common.TorchConvTranspose`: spatial flip then
+    ``transpose(2, 3, 0, 1)``
+  * BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats
+
+The reference saves ``{model, optimizer, epoch}`` dicts with optional
+DataParallel ``module.`` prefixes (utils/model_utils.py:14-39); loading
+handles both.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path) -> Tuple[Dict[str, np.ndarray], int]:
+    """Load a reference checkpoint to {key: np.ndarray}, stripping
+    DataParallel 'module.' prefixes; returns (state_dict, epoch)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    epoch = 0
+    if isinstance(blob, dict) and "model" in blob:
+        epoch = int(blob.get("epoch", 0))
+        sd = blob["model"]
+    else:
+        sd = blob
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+    return out, epoch
+
+
+def _conv(sd, key, bias=True):
+    p = {"kernel": sd[f"{key}.weight"].transpose(2, 3, 1, 0)}
+    if bias and f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _deconv(sd, key):
+    w = sd[f"{key}.weight"]  # (in, out, kh, kw)
+    p = {"kernel": np.flip(w, axis=(2, 3)).transpose(2, 3, 0, 1).copy()}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _bn(sd, key):
+    params = {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+    stats = {"mean": sd[f"{key}.running_mean"], "var": sd[f"{key}.running_var"]}
+    return params, stats
+
+
+# torchvision vgg .features conv indices
+VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+VGG11_CONV_IDX = (0, 3, 6, 8, 11, 13, 16, 18)
+
+
+def _decoder_block(sd, prefix):
+    """torch DecoderBlock (deconv variant): block.0 = ConvRelu(conv),
+    block.1 = ConvTranspose2d (reference: models/ternausnet.py:33-36)."""
+    return {
+        "ConvReLU_0": {"Conv_0": _conv(sd, f"{prefix}.block.0.conv")},
+        "TorchConvTranspose_0": _deconv(sd, f"{prefix}.block.1"),
+    }
+
+
+def convert_ternausnet(sd: Dict[str, np.ndarray], arch: str = "TernausNet16"):
+    """Reference TernausNet11/16 state_dict -> flax {'params': ...} tree."""
+    conv_idx = VGG16_CONV_IDX if arch == "TernausNet16" else VGG11_CONV_IDX
+    params = {
+        "encoder": {
+            f"Conv_{i}": _conv(sd, f"encoder.{idx}")
+            for i, idx in enumerate(conv_idx)
+        }
+    }
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        params[name] = _decoder_block(sd, name)
+    params["dec1"] = {"Conv_0": _conv(sd, "dec1.conv")}
+    params["final"] = _conv(sd, "final")
+    return {"params": params}
+
+
+def _multiframe_head(sd, prefix):
+    """MultiFrameNet head Sequential indices 0,1,3,4,6,7,9
+    (reference: models/multiframe_model.py:62-73)."""
+    params = {
+        "Conv_0": _conv(sd, f"{prefix}.0", bias=False),
+        "Conv_1": _conv(sd, f"{prefix}.3", bias=False),
+        "Conv_2": _conv(sd, f"{prefix}.6", bias=False),
+        "Conv_3": _conv(sd, f"{prefix}.9", bias=False),
+    }
+    stats = {}
+    for i, tidx in enumerate((1, 4, 7)):
+        p, s = _bn(sd, f"{prefix}.{tidx}")
+        params[f"BatchNorm_{i}"] = p
+        stats[f"BatchNorm_{i}"] = s
+    return params, stats
+
+
+def convert_multiframe_ternausnet(
+    sd: Dict[str, np.ndarray], arch: str = "TernausNet16"
+):
+    """Reference TernausNetMulti{Basic,Large} -> flax variables
+    (params + batch_stats) for MultiFrameSegmenter."""
+    base = convert_ternausnet(
+        {
+            k[len("base_model."):]: v
+            for k, v in sd.items()
+            if k.startswith("base_model.")
+        },
+        arch,
+    )["params"]
+    head_params, head_stats = _multiframe_head(
+        sd, "multiframe_net.multiframe_net"
+    )
+    return {
+        "params": {
+            "base": base,
+            "multiframe_net": {"head": head_params},
+        },
+        "batch_stats": {
+            "multiframe_net": {"head": head_stats},
+        },
+    }

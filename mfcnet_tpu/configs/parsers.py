@@ -160,6 +160,8 @@ def _add_common(parser, multiframe: bool, train: bool):
     g.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     g.add_argument("--parity_grid", type=_str2bool, default=True)
+    g.add_argument("--model_scale", type=float, default=1.0,
+                   help="Uniform channel-width scale (<1 for smoke tests)")
     return parser
 
 

@@ -26,52 +26,112 @@ class IdentityModel(nn.Module):
         return x
 
 
-def _build_base(kind: str, num_classes: int, pretrained: bool = False):
-    """Build a single-frame base model by family name."""
+def _scaled_vgg(stages, scale: float):
+    return tuple(
+        tuple(max(4, int(c * scale)) for c in stage) for stage in stages
+    )
+
+
+def _build_base(
+    kind: str, num_classes: int, pretrained: bool = False, scale: float = 1.0
+):
+    """Build a single-frame base model by family name.
+
+    ``scale`` < 1 shrinks channel widths uniformly (smoke tests / fast CI);
+    1.0 is the reference-sized architecture.
+    """
+    from mfcnet_tpu.models.common import VGG11_STAGES, VGG16_STAGES
+
     if kind == "TernausNet11":
-        return TernausNet11(num_classes=num_classes, num_filters=64), "exp"
+        return TernausNet11(
+            num_classes=num_classes,
+            num_filters=max(4, int(64 * scale)),
+            stage_convs=_scaled_vgg(VGG11_STAGES, scale),
+        ), "exp"
     if kind == "TernausNet16":
-        return TernausNet16(num_classes=num_classes, num_filters=64), "exp"
+        return TernausNet16(
+            num_classes=num_classes,
+            num_filters=max(4, int(64 * scale)),
+            stage_convs=_scaled_vgg(VGG16_STAGES, scale),
+        ), "exp"
     if kind == "UNet":
         from mfcnet_tpu.models.unet import UNet
 
-        return UNet(output_channels=num_classes), "identity"
+        dims = tuple(max(4, int(d * scale))
+                     for d in (64, 128, 256, 512, 1024, 2048))
+        return UNet(output_channels=num_classes, dims=dims), "identity"
     if kind == "ResUNet":
         from mfcnet_tpu.models.resunet import ResUNetVB
 
-        return ResUNetVB(out_channels=num_classes), "identity"
+        return ResUNetVB(
+            out_channels=num_classes,
+            dim=max(8, int(16 * scale)),
+            groups=8 if scale >= 0.5 else 4,
+        ), "identity"
     if kind == "TAPNet11":
         from mfcnet_tpu.models.tapnet import TAPNet11
 
-        return TAPNet11(num_classes=num_classes), "exp"
+        return TAPNet11(
+            num_classes=num_classes,
+            stage_convs=_scaled_vgg(VGG11_STAGES, scale),
+        ), "exp"
     if kind == "TAPNet16":
         from mfcnet_tpu.models.tapnet import TAPNet16
 
-        return TAPNet16(num_classes=num_classes), "exp"
+        return TAPNet16(
+            num_classes=num_classes,
+            stage_convs=_scaled_vgg(VGG16_STAGES, scale),
+        ), "exp"
     if kind == "HRNet":
         from mfcnet_tpu.models.hrnet import HRNetW48
 
-        return HRNetW48(num_classes=num_classes), "identity"
+        if scale >= 1.0:
+            return HRNetW48(num_classes=num_classes), "identity"
+        return HRNetW48(
+            num_classes=num_classes,
+            channels=tuple(max(4, int(c * scale))
+                           for c in (48, 96, 192, 384)),
+            stage_modules=(1, 1, 1),
+            num_blocks=1,
+            stage1_width=max(4, int(64 * scale)),
+        ), "identity"
     if kind == "DeepLab_v3" or kind == "DeepLab":
         from mfcnet_tpu.models.deeplab import DeepLabV3ResNet101
 
-        return DeepLabV3ResNet101(num_classes=num_classes), "identity"
+        layers = (3, 4, 23, 3) if scale >= 1.0 else (1, 1, 1, 1)
+        return DeepLabV3ResNet101(
+            num_classes=num_classes, layers=layers,
+            width=max(4, int(64 * scale)),
+        ), "identity"
     if kind == "FCN":
         from mfcnet_tpu.models.fcn import FCNResNet101
 
-        return FCNResNet101(num_classes=num_classes), "identity"
+        layers = (3, 4, 23, 3) if scale >= 1.0 else (1, 1, 1, 1)
+        return FCNResNet101(
+            num_classes=num_classes, layers=layers,
+            width=max(4, int(64 * scale)),
+        ), "identity"
     if kind == "SegFormer":
         from mfcnet_tpu.models.segformer import SegFormerMiTB3
 
-        return SegFormerMiTB3(num_classes=num_classes), "identity"
+        if scale >= 1.0:
+            return SegFormerMiTB3(num_classes=num_classes), "identity"
+        return SegFormerMiTB3(
+            num_classes=num_classes,
+            decoder_dim=max(8, int(256 * scale)),
+            dims=tuple(max(8, int(d * scale)) for d in (64, 128, 320, 512)),
+            depths=(1, 1, 1, 1),
+            heads=(1, 1, 1, 1),
+        ), "identity"
     raise ValueError(f"Model type {kind} not recognized")
 
 
 def get_tooltip_segmentation_model(
-    model_type: str, num_classes: int, pretrained: bool = False
+    model_type: str, num_classes: int, pretrained: bool = False,
+    scale: float = 1.0,
 ) -> nn.Module:
     """Single-frame registry (reference: models/__init__.py:23-52)."""
-    model, _ = _build_base(model_type, num_classes, pretrained)
+    model, _ = _build_base(model_type, num_classes, pretrained, scale)
     return model
 
 
@@ -94,6 +154,7 @@ def get_multiframe_segmentation_model(
     add_optflow_inputs: bool = False,
     add_depth_inputs: bool = False,
     parity_grid: bool = True,
+    scale: float = 1.0,
 ) -> MultiFrameSegmenter:
     """Multi-frame registry (reference: models/__init__.py:54-87).
 
@@ -106,7 +167,7 @@ def get_multiframe_segmentation_model(
         assert variant in ("basic", "large")
     except (ValueError, KeyError, AssertionError):
         raise ValueError(f"Model type {model_type} not recognized") from None
-    base, base_output = _build_base(base_kind, num_classes, pretrained)
+    base, base_output = _build_base(base_kind, num_classes, pretrained, scale)
     return MultiFrameSegmenter(
         base=base,
         num_classes=num_classes,

@@ -25,10 +25,16 @@ def save_checkpoint(ckpt_dir, epoch: int, state, extra: Optional[dict] = None):
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        "step": jax.device_get(state.step),
+        "params": jax.device_get(
+            serialization.to_state_dict(state.params)
+        ),
+        "batch_stats": jax.device_get(
+            serialization.to_state_dict(state.batch_stats)
+        ),
+        "opt_state": jax.device_get(
+            serialization.to_state_dict(state.opt_state)
+        ),
+        "step": int(jax.device_get(state.step)),
     }
     path = ckpt_dir / f"model_{epoch:03d}.msgpack"
     path.write_bytes(serialization.msgpack_serialize(payload))

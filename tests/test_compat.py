@@ -1,0 +1,86 @@
+"""Checkpoint-conversion parity: torch oracle -> flax, heatmaps must match.
+
+This is the BASELINE.json parity harness in miniature: a randomly
+initialized torch model with authentic reference state_dict keys is
+converted and must reproduce the torch forward within float32 tolerance
+(far inside the 1e-3 budget).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from mfcnet_tpu.compat.torch_convert import (  # noqa: E402
+    convert_multiframe_ternausnet,
+    convert_ternausnet,
+)
+from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16  # noqa: E402
+
+WM = 0.25
+SCALED_STAGES = tuple(
+    tuple(int(c * WM) for c in stage)
+    for stage in ((64, 64), (128, 128), (256, 256, 256),
+                  (512, 512, 512), (512, 512, 512))
+)
+NF = 8
+C, T, H, W = 5, 3, 64, 64
+
+
+def _state_dict_np(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def test_ternausnet16_conversion_parity():
+    from tests.torch_ref import TernausNet16Torch
+
+    torch.manual_seed(0)
+    tmodel = TernausNet16Torch(C, num_filters=NF, width_mult=WM).eval()
+    variables = convert_ternausnet(_state_dict_np(tmodel), "TernausNet16")
+
+    fmodel = TernausNet16(num_classes=C, num_filters=NF,
+                          stage_convs=SCALED_STAGES)
+    x = np.random.default_rng(0).standard_normal((1, H, W, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_multiframe_conversion_parity():
+    from tests.torch_ref import TernausNetMultiBasicTorch
+
+    torch.manual_seed(1)
+    tmodel = TernausNetMultiBasicTorch(C, T, width_mult=WM).eval()
+    variables = convert_multiframe_ternausnet(
+        _state_dict_np(tmodel), "TernausNet16"
+    )
+
+    base = TernausNet16(num_classes=C, num_filters=NF,
+                        stage_convs=SCALED_STAGES)
+    fmodel = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((1, T, H, W, 3)).astype(np.float32)
+    with torch.no_grad():
+        tin = [
+            torch.from_numpy(np.moveaxis(frames[:, i], -1, 1).copy())
+            for i in range(T)
+        ]
+        want = tmodel(tin)
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, f: fmodel.apply(v, f))(
+            variables, jnp.asarray(frames)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
