@@ -1,0 +1,316 @@
+"""RAFT optical flow (raft_large architecture) in Flax.
+
+The reference uses torchvision's ``raft_large(pretrained=True)`` as its
+default frozen flow provider (configs/config_multiframe.py:75; loaded at
+scripts/train_multiframe_detection.py:77-83). This is a TPU-native
+reimplementation of that architecture: residual feature/context encoders
+(instance/batch norm), an all-pairs correlation pyramid, and a recurrent
+SepConvGRU update loop with convex upsampling.
+
+TPU-first notes:
+  * The all-pairs correlation volume is one big batched matmul
+    (B, H*W, C) @ (B, C, H*W) on the MXU.
+  * Pyramid lookups are bilinear gathers batched over all pixels and all
+    81 offsets of a level at once.
+  * The update loop is ``jax.lax.scan`` over iterations — one compile,
+    no Python-loop unrolling.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _instance_norm(x, eps=1e-5):
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    stride: int = 1
+    norm: str = "instance"  # 'instance' | 'batch' | 'none'
+
+    def _norm(self, x, train):
+        if self.norm == "instance":
+            return _instance_norm(x)
+        if self.norm == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding="SAME")(x)
+        y = nn.relu(self._norm(y, train))
+        y = nn.Conv(self.features, (3, 3), padding="SAME")(y)
+        y = nn.relu(self._norm(y, train))
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1),
+                        (self.stride, self.stride))(x)
+            x = self._norm(x, train)
+        return nn.relu(x + y)
+
+
+class RAFTEncoder(nn.Module):
+    """Feature (instance-norm) or context (batch-norm) encoder; output
+    stride 8, ``out_features`` channels."""
+
+    out_features: int = 256
+    norm: str = "instance"
+    widths: Tuple[int, int, int] = (64, 96, 128)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w0 = self.widths[0]
+        x = nn.Conv(w0, (7, 7), (2, 2), padding="SAME")(x)
+        if self.norm == "instance":
+            x = _instance_norm(x)
+        elif self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5)(x)
+        x = nn.relu(x)
+        for i, w in enumerate(self.widths):
+            stride = 1 if i == 0 else 2
+            x = ResidualBlock(w, stride, self.norm)(x, train=train)
+            x = ResidualBlock(w, 1, self.norm)(x, train=train)
+        return nn.Conv(self.out_features, (1, 1))(x)
+
+
+def all_pairs_correlation(f1, f2):
+    """(B, H, W, C) x2 -> (B, H*W, H, W) correlation / sqrt(C)."""
+    B, H, W, C = f1.shape
+    a = f1.reshape(B, H * W, C)
+    b = f2.reshape(B, H * W, C)
+    corr = jnp.einsum(
+        "bnc,bmc->bnm", a, b, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(C))
+    return corr.reshape(B, H * W, H, W)
+
+
+def _avg_pool2(x):
+    """2x2 avg pool on the last two spatial axes of (B, N, H, W)."""
+    B, N, H, W = x.shape
+    x = x.reshape(B, N, H // 2, 2, W // 2, 2)
+    return x.mean(axis=(3, 5))
+
+
+def build_corr_pyramid(f1, f2, num_levels: int = 4):
+    corr = all_pairs_correlation(f1, f2)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        pyramid.append(_avg_pool2(pyramid[-1]))
+    return pyramid
+
+
+def lookup_corr(pyramid, coords, radius: int = 4):
+    """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
+
+    coords: (B, H, W, 2) flow-displaced pixel coords at 1/8 res (x, y).
+    Returns (B, H, W, num_levels*(2r+1)^2).
+    """
+    B, H, W, _ = coords.shape
+    r = radius
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    offs = jnp.stack(
+        jnp.meshgrid(dx, dx, indexing="xy"), axis=-1
+    ).reshape(-1, 2)  # (81, 2) (x, y)
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        Hl, Wl = corr.shape[-2], corr.shape[-1]
+        c = coords / (2.0**lvl)
+        # sample positions: (B, H, W, 81, 2)
+        pos = c[:, :, :, None, :] + offs[None, None, None, :, :]
+        x, y = pos[..., 0], pos[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx, ty = x - x0, y - y0
+        vol = corr.reshape(B, H * W, Hl * Wl)
+
+        def gather(ix, iy):
+            # zeros padding outside (torchvision grid_sample zeros)
+            valid = (ix >= 0) & (ix <= Wl - 1) & (iy >= 0) & (iy <= Hl - 1)
+            ii = (
+                jnp.clip(iy, 0, Hl - 1).astype(jnp.int32) * Wl
+                + jnp.clip(ix, 0, Wl - 1).astype(jnp.int32)
+            )  # (B, H, W, 81)
+            v = jnp.take_along_axis(
+                vol, ii.reshape(B, H * W, -1), axis=2
+            )
+            return v.reshape(B, H, W, -1) * valid.astype(vol.dtype)
+
+        v00 = gather(x0, y0)
+        v01 = gather(x0 + 1, y0)
+        v10 = gather(x0, y0 + 1)
+        v11 = gather(x0 + 1, y0 + 1)
+        top = v00 * (1 - tx) + v01 * tx
+        bot = v10 * (1 - tx) + v11 * tx
+        out.append(top * (1 - ty) + bot * ty)
+    return jnp.concatenate(out, axis=-1)
+
+
+class MotionEncoder(nn.Module):
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding="SAME", name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding="SAME", name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding="SAME", name="convf2")(f))
+        y = jnp.concatenate([c, f], axis=-1)
+        y = nn.relu(nn.Conv(126, (3, 3), padding="SAME", name="conv")(y))
+        return jnp.concatenate([y, flow], axis=-1)  # 128
+
+
+class SepConvGRU(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for name, ksize in (("h", (1, 5)), ("v", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(
+                nn.Conv(self.hidden, ksize, padding="SAME",
+                        name=f"convz_{name}")(hx)
+            )
+            r = nn.sigmoid(
+                nn.Conv(self.hidden, ksize, padding="SAME",
+                        name=f"convr_{name}")(hx)
+            )
+            q = jnp.tanh(
+                nn.Conv(self.hidden, ksize, padding="SAME",
+                        name=f"convq_{name}")(
+                    jnp.concatenate([r * h, x], axis=-1)
+                )
+            )
+            h = (1 - z) * h + z * q
+        return h
+
+
+class UpdateBlock(nn.Module):
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = MotionEncoder(name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(self.hidden, name="gru")(net, x)
+        f = nn.relu(
+            nn.Conv(256, (3, 3), padding="SAME", name="flow1")(net)
+        )
+        delta = nn.Conv(2, (3, 3), padding="SAME", name="flow2")(f)
+        m = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="mask1")(net))
+        mask = nn.Conv(8 * 8 * 9, (1, 1), name="mask2")(m) * 0.25
+        return net, delta, mask
+
+
+def convex_upsample(flow, mask):
+    """8x convex upsampling: softmax-combine the 3x3 neighborhood.
+
+    flow: (B, H, W, 2) at 1/8 res; mask: (B, H, W, 576).
+    """
+    B, H, W, _ = flow.shape
+    m = mask.reshape(B, H, W, 8, 8, 9)
+    m = jax.nn.softmax(m, axis=-1)
+    # 3x3 neighborhood of 8*flow
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    neigh = jnp.stack(
+        [
+            fp[:, dy : dy + H, dx : dx + W]
+            for dy in range(3)
+            for dx in range(3)
+        ],
+        axis=-2,
+    )  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwuvn,bhwnc->bhwuvc", m, neigh)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 8, W, 8, 2)
+    return up.reshape(B, H * 8, W * 8, 2)
+
+
+class RAFT(nn.Module):
+    """raft_large. __call__ returns the final upsampled flow (B, H, W, 2)
+    in pixels (the reference takes ``model(...)[-1]``, src/engine.py:49)."""
+
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+
+    @nn.compact
+    def __call__(self, image1, image2, train: bool = False):
+        """Images: (B, H, W, 3) normalized to [-1, 1] by the caller contract
+        of torchvision RAFT (the engine wrapper handles scaling)."""
+        fnet = RAFTEncoder(256, "instance", name="fnet")
+        cnet = RAFTEncoder(256, "batch", name="cnet")
+        f1 = fnet(image1, train=False)
+        f2 = fnet(image2, train=False)
+        ctx = cnet(image1, train=False)
+        net = jnp.tanh(ctx[..., :128])
+        inp = nn.relu(ctx[..., 128:])
+
+        pyramid = build_corr_pyramid(f1, f2, self.corr_levels)
+        B, H8, W8, _ = f1.shape
+        xs = jnp.arange(W8, dtype=jnp.float32)
+        ys = jnp.arange(H8, dtype=jnp.float32)
+        coords0 = jnp.stack(
+            jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
+        )[None].repeat(B, axis=0)
+
+        update = UpdateBlock(name="update_block")
+
+        flow = jnp.zeros((B, H8, W8, 2), jnp.float32)
+        up_flow = None
+        for _ in range(self.iters):
+            corr = lookup_corr(
+                pyramid, coords0 + flow, self.corr_radius
+            )
+            net, delta, mask = update(net, inp, corr, flow)
+            flow = flow + delta
+            up_flow = convex_upsample(flow, mask)
+        return up_flow
+
+
+def make_raft_flow_fn(
+    basic: bool = True,
+    iters: int = 12,
+    variables=None,
+    rng=None,
+):
+    """Jittable (B, T, H, W, 3)-frames -> (B, T-1, H, W, 2) flow provider.
+
+    Mirrors src/engine.py:39-53: flow computed between each frame i>=1 and
+    frame 0; 'Basic' MFC variants use flow(frame_i, frame_0). Frames arrive
+    ImageNet-normalized; RAFT expects [-1, 1], so they are denormalized
+    first (the reference feeds normalized frames straight into RAFT —
+    quirk preserved? No: the reference passes the ImageNet-normalized
+    tensors directly to RAFT (src/engine.py:41-49), so we do the same).
+    """
+    import numpy as np
+
+    model = RAFT(iters=iters)
+    if variables is None:
+        import jax as _jax
+
+        from mfcnet_tpu.utils.jitinit import jit_init
+
+        rng = rng if rng is not None else _jax.random.PRNGKey(0)
+        dummy = np.zeros((1, 64, 64, 3), np.float32)
+        variables = jit_init(model, rng, dummy, dummy)
+
+    def flow_fn(frames):
+        B, T, H, W, _ = frames.shape
+        flows = []
+        f0 = frames[:, 0]
+        for i in range(1, T):
+            fi = frames[:, i]
+            a, b = (fi, f0) if basic else (f0, fi)
+            flows.append(model.apply(variables, a, b))
+        return jnp.stack(flows, axis=1)
+
+    return flow_fn

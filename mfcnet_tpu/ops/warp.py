@@ -14,8 +14,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear(img, grid_x, grid_y, align_corners: bool = True):
-    """Sample ``img`` at normalized grid coordinates, zeros padding.
+def grid_sample_bilinear(
+    img, grid_x, grid_y, align_corners: bool = True,
+    padding_mode: str = "zeros",
+):
+    """Sample ``img`` at normalized grid coordinates.
 
     Args:
       img: (B, H, W, C) source.
@@ -23,9 +26,11 @@ def grid_sample_bilinear(img, grid_x, grid_y, align_corners: bool = True):
         (x indexes width, y height — same convention as torch grid_sample).
       align_corners: True → pixel = (g+1)/2*(size-1);
         False → pixel = ((g+1)*size - 1)/2.
+      padding_mode: 'zeros' (out-of-bounds corners contribute zero) or
+        'border' (coordinates clamped to the edge, torch semantics).
 
     Returns:
-      (B, Ho, Wo, C) sampled output; out-of-bounds corners contribute zero.
+      (B, Ho, Wo, C) sampled output.
     """
     B, H, W, C = img.shape
     if align_corners:
@@ -35,13 +40,18 @@ def grid_sample_bilinear(img, grid_x, grid_y, align_corners: bool = True):
         fx = ((grid_x + 1.0) * W - 1.0) * 0.5
         fy = ((grid_y + 1.0) * H - 1.0) * 0.5
 
+    if padding_mode == "border":
+        # torch clamps the *unnormalized coordinate* to [0, size-1] before
+        # interpolating, so the fractional weights see clamped coords too.
+        fx = jnp.clip(fx, 0.0, W - 1)
+        fy = jnp.clip(fy, 0.0, H - 1)
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
 
     def gather(ix, iy):
-        """Gather img[b, iy, ix, :] with zero padding out of bounds."""
+        """Gather img[b, iy, ix, :]; OOB handling per padding_mode."""
         valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
@@ -50,6 +60,8 @@ def grid_sample_bilinear(img, grid_x, grid_y, align_corners: bool = True):
         vals = jnp.take_along_axis(
             flat, idx.reshape(B, -1, 1), axis=1
         ).reshape(*idx.shape, C)
+        if padding_mode == "border":
+            return vals
         return vals * valid[..., None].astype(img.dtype)
 
     x0i, y0i = x0, y0

@@ -1,0 +1,65 @@
+"""Optical-flow subsystem tests: RAFT, UnFlow, warp border mode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mfcnet_tpu.utils.jitinit import jit_init
+
+
+def test_grid_sample_border_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as tF
+
+    from mfcnet_tpu.ops.warp import grid_sample_bilinear
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 9, 11, 3
+    img = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    gx = rng.uniform(-1.4, 1.4, (B, 7, 8)).astype(np.float32)
+    gy = rng.uniform(-1.4, 1.4, (B, 7, 8)).astype(np.float32)
+    got = np.asarray(
+        grid_sample_bilinear(
+            jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy),
+            align_corners=False, padding_mode="border",
+        )
+    )
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1))
+    want = tF.grid_sample(
+        torch.from_numpy(np.moveaxis(img, -1, 1).copy()), grid,
+        mode="bilinear", padding_mode="border", align_corners=False,
+    ).numpy()
+    want = np.moveaxis(want, 1, -1)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_unflow_forward_shape():
+    from mfcnet_tpu.models.unflow import UnFlow
+
+    model = UnFlow(corr_impl="shifts")
+    a = jnp.zeros((1, 64, 64, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), a, a)
+    flow = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, a, a)
+    assert flow.shape == (1, 64, 64, 2)
+    assert np.all(np.isfinite(np.asarray(flow)))
+
+
+def test_raft_forward_shape():
+    from mfcnet_tpu.models.raft import RAFT
+
+    model = RAFT(iters=2)
+    a = jnp.zeros((1, 64, 64, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), a, a)
+    flow = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, a, a)
+    assert flow.shape == (1, 64, 64, 2)
+    assert np.all(np.isfinite(np.asarray(flow)))
+
+
+def test_raft_flow_fn_contract():
+    from mfcnet_tpu.models.raft import make_raft_flow_fn
+
+    fn = make_raft_flow_fn(basic=True, iters=1)
+    frames = jnp.zeros((1, 3, 64, 64, 3))
+    flow = jax.jit(fn)(frames)
+    assert flow.shape == (1, 2, 64, 64, 2)
