@@ -226,6 +226,113 @@ def render_overlay(frame_rgb, mask_array):
     return disp
 
 
+class InferenceEngine:
+    """Device-side per-frame inference engines.
+
+    'incremental': every frame gets ONE base-model forward pushed into a
+    device ring buffer; fusion runs on the buffered per-frame class maps.
+    Numerically identical to 'full' (which recomputes all T base forwards
+    per frame, the reference's pattern) — including during warmup, since
+    ingest happens for every frame from the first one.
+    """
+
+    def __init__(self, model, variables, cfg: TrackerConfig):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        H, W, T, C = (
+            cfg.input_height, cfg.input_width,
+            cfg.num_input_frames, cfg.num_classes,
+        )
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._jnp = jnp
+        cvars = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            variables,
+        )
+        mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], dtype)
+
+        @jax.jit
+        def ingest(seg_buf, depth_buf, frame_u8, depth_u8):
+            x = frame_u8.astype(dtype) / 255.0
+            x = ((x - mean) / std)[None]
+            seg_new = model.apply(cvars, x, method="base_forward")
+            seg_buf = jnp.concatenate(
+                [seg_new[:, None], seg_buf[:, :-1]], axis=1
+            )
+            d = (depth_u8.astype(dtype) / 255.0)[None, ..., None]
+            depth_buf = jnp.concatenate(
+                [d[:, None], depth_buf[:, :-1]], axis=1
+            )
+            return seg_buf, depth_buf
+
+        @jax.jit
+        def fuse(seg_buf, depth_buf):
+            kwargs = (
+                {"depth": depth_buf} if cfg.add_depth_inputs else {}
+            )
+            logits = model.apply(
+                cvars, seg_buf, method="fuse_precomputed", **kwargs
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return mask, probs
+
+        @jax.jit
+        def full(frames_u8, depth_u8):
+            x = frames_u8.astype(dtype) / 255.0
+            x = ((x - mean) / std)[None]
+            kwargs = {}
+            if cfg.add_depth_inputs:
+                kwargs["depth"] = (
+                    depth_u8.astype(dtype) / 255.0
+                )[None, ..., None]
+            logits = model.apply(cvars, x, **kwargs)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return mask, probs
+
+        self._ingest, self._fuse, self._full = ingest, fuse, full
+        self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
+        self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
+        self._frame_q = []
+        self._depth_q = []
+
+    def step(self, frame_u8, depth_u8=None):
+        """Feed one RGB frame (H, W, 3 uint8, already resized). Returns
+        (mask, probs) once a full T-frame window exists, else None."""
+        jnp = self._jnp
+        T = self.cfg.num_input_frames
+        if depth_u8 is None:
+            depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
+        if self.cfg.mode == "incremental":
+            self.seg_buf, self.depth_buf = self._ingest(
+                self.seg_buf, self.depth_buf, jnp.asarray(frame_u8),
+                jnp.asarray(depth_u8),
+            )
+            self._frame_q.append(True)
+            if len(self._frame_q) < T:
+                return None
+            mask, probs = self._fuse(self.seg_buf, self.depth_buf)
+            return np.asarray(mask), np.asarray(probs)
+        # full mode: keep raw frames, newest-first stacking (reference :251)
+        self._frame_q.append(frame_u8)
+        self._depth_q.append(depth_u8)
+        if len(self._frame_q) > T:
+            self._frame_q.pop(0)
+            self._depth_q.pop(0)
+        if len(self._frame_q) < T:
+            return None
+        stack = np.stack(self._frame_q[::-1])
+        dstack = np.stack(self._depth_q[::-1])
+        mask, probs = self._full(jnp.asarray(stack), jnp.asarray(dstack))
+        return np.asarray(mask), np.asarray(probs)
+
+
 def track_on_video(
     video_path,
     model,
@@ -237,69 +344,11 @@ def track_on_video(
 ):
     """Track one video end to end; writes ``{name}_tracked.{csv,mp4}``.
 
-    Per frame: host decode+resize -> device (normalize, base forward, ring
-    buffer fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
+    Per frame: host decode+resize -> device engine (normalize, base
+    forward(s), fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
     """
-    import jax
-    import jax.numpy as jnp
-
-    H, W, T, C = (
-        cfg.input_height,
-        cfg.input_width,
-        cfg.num_input_frames,
-        cfg.num_classes,
-    )
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    cvars = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        variables,
-    )
-    mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
-    std = jnp.asarray([0.229, 0.224, 0.225], dtype)
-
-    if cfg.mode == "incremental":
-
-        @jax.jit
-        def dev_step(seg_buf, depth_buf, frame_u8, depth_u8):
-            x = frame_u8.astype(dtype) / 255.0
-            x = ((x - mean) / std)[None]  # (1, H, W, 3)
-            seg_new = model.apply(cvars, x, method="base_forward")
-            seg_buf = jnp.concatenate(
-                [seg_new[:, None], seg_buf[:, :-1]], axis=1
-            )
-            kwargs = {}
-            if cfg.add_depth_inputs:
-                d = (depth_u8.astype(dtype) / 255.0)[None, ..., None]
-                depth_buf = jnp.concatenate(
-                    [d[:, None], depth_buf[:, :-1]], axis=1
-                )
-                kwargs["depth"] = depth_buf
-            logits = model.apply(
-                cvars, seg_buf, method="fuse_precomputed", **kwargs
-            )
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return seg_buf, depth_buf, mask, probs
-
-        seg_buf = jnp.zeros((1, T, H, W, C), dtype)
-        depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
-    else:
-
-        @jax.jit
-        def dev_step_full(frames_u8, depth_u8):
-            x = frames_u8.astype(dtype) / 255.0
-            x = ((x - mean) / std)[None]  # (1, T, H, W, 3)
-            kwargs = {}
-            if cfg.add_depth_inputs:
-                kwargs["depth"] = (
-                    depth_u8.astype(dtype) / 255.0
-                )[None, ..., None]
-            logits = model.apply(cvars, x, **kwargs)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return mask, probs
+    H, W = cfg.input_height, cfg.input_width
+    engine = InferenceEngine(model, variables, cfg)
 
     vid = cv2.VideoCapture(str(video_path))
     name = Path(video_path).stem
@@ -323,62 +372,33 @@ def track_on_video(
         )
 
     tracker = KeypointTracker(N, cfg)
-    frame_q, depth_q = [], []
     t_start = time.perf_counter()
     frames_done = 0
     while True:
         ret, frame = vid.read()
         if not ret:
             break
-        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        frame_q.append(frame)
+        frame = cv2.resize(
+            cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H)
+        )
+        dframe = None
         if depth_vid is not None:
-            retd, dframe = depth_vid.read()
+            retd, d = depth_vid.read()
             if not retd:
                 break
-            depth_q.append(cv2.cvtColor(dframe, cv2.COLOR_BGR2GRAY))
-        if len(frame_q) > T:
-            frame_q.pop(0)
-            if depth_q:
-                depth_q.pop(0)
-        if len(frame_q) < T:
+            dframe = cv2.resize(cv2.cvtColor(d, cv2.COLOR_BGR2GRAY), (W, H))
+        result = engine.step(frame, dframe)
+        if result is None:
             tracker.skip()
             continue
-
-        newest = cv2.resize(frame_q[-1], (W, H))
-        dnew = (
-            cv2.resize(depth_q[-1], (W, H)) if depth_q else np.zeros((H, W))
-        )
-        if cfg.mode == "incremental":
-            seg_buf, depth_buf, mask_dev, probs_dev = dev_step(
-                seg_buf, depth_buf, jnp.asarray(newest),
-                jnp.asarray(dnew.astype(np.uint8)),
-            )
-        else:
-            # newest-first stacking (reference :251)
-            stack = np.stack(
-                [cv2.resize(frame_q[i], (W, H)) for i in range(T - 1, -1, -1)]
-            )
-            dstack = (
-                np.stack(
-                    [cv2.resize(depth_q[i], (W, H))
-                     for i in range(T - 1, -1, -1)]
-                )
-                if depth_q
-                else np.zeros((T, H, W), np.uint8)
-            )
-            mask_dev, probs_dev = dev_step_full(
-                jnp.asarray(stack), jnp.asarray(dstack)
-            )
-        probs = np.asarray(probs_dev)
+        mask_dev, probs = result
         if cfg.score_detection_threshold > 0:
             mask_array = classes_from_probs(
                 probs, cfg.score_detection_threshold
             )
         else:
-            mask_array = np.asarray(mask_dev)
-
-        disp = render_overlay(newest, mask_array) if cfg.overlay else None
+            mask_array = mask_dev
+        disp = render_overlay(frame, mask_array) if cfg.overlay else None
         tracker.update(mask_array, probs[..., 4], probs[..., 2], disp)
         if writer is not None:
             writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))

@@ -1,0 +1,128 @@
+"""Video tracker end-to-end test on a synthetic video (CPU, tiny model)."""
+
+import numpy as np
+import pytest
+
+
+def test_track_on_video_end_to_end(tmp_path):
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    video = make_synthetic_video(
+        tmp_path / "vid" / "demo.mp4", num_frames=10, height=H, width=W
+    )
+
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", mode="incremental",
+    )
+    rows, fps = track_on_video(
+        video, model, variables, cfg, tmp_path / "out"
+    )
+    assert rows.shape == (10, 12)
+    # first T-1 frames have no window -> all NaN
+    assert np.all(np.isnan(rows[: T - 1]))
+    csv = tmp_path / "out" / "demo_tracked.csv"
+    mp4 = tmp_path / "out" / "demo_tracked.mp4"
+    assert csv.exists() and mp4.exists()
+    loaded = np.loadtxt(csv, delimiter=",")
+    assert loaded.shape == (10, 12)
+
+
+def test_incremental_and_full_modes_agree(tmp_path):
+    """The ring-buffer tracker must produce the same CSV as full recompute."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    video = make_synthetic_video(
+        tmp_path / "vid" / "demo2.mp4", num_frames=8, height=H, width=W,
+        seed=5,
+    )
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(2), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rows = {}
+    for mode in ("incremental", "full"):
+        cfg = TrackerConfig(
+            num_input_frames=T, num_classes=C, input_height=H,
+            input_width=W, dtype="float32", mode=mode, overlay=False,
+        )
+        rows[mode], _ = track_on_video(
+            video, model, variables, cfg, tmp_path / mode
+        )
+    np.testing.assert_allclose(
+        rows["incremental"], rows["full"], equal_nan=True
+    )
+
+
+def test_engine_probs_identical_between_modes():
+    """Compare raw per-frame device probabilities between modes, including
+    the warmup frames (the incremental ring buffer must ingest every frame
+    from the first one)."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 32, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+
+    engines = {
+        mode: InferenceEngine(
+            model, variables,
+            TrackerConfig(num_input_frames=T, num_classes=C,
+                          input_height=H, input_width=W, dtype="float32",
+                          mode=mode),
+        )
+        for mode in ("incremental", "full")
+    }
+    for t in range(6):
+        outs = {m: e.step(frames[t]) for m, e in engines.items()}
+        assert (outs["incremental"] is None) == (outs["full"] is None)
+        if outs["incremental"] is not None:
+            np.testing.assert_allclose(
+                outs["incremental"][1], outs["full"][1], atol=2e-6,
+                err_msg=f"frame {t}",
+            )
