@@ -1,0 +1,183 @@
+"""Single-frame per-video tracking CLI (reference:
+scripts/test_toolpose_segmentation_on_videos_v2.py): same decode/tracking
+pipeline as the multi-frame variant but with a per-frame segmentation model
+(no temporal window).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import cv2
+import jax
+import numpy as np
+
+from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import (
+    list_video_files,
+)
+from mfcnet_tpu.cli.train_toolpose_segmentation import OUTPUT_MODES
+from mfcnet_tpu.models import get_tooltip_segmentation_model
+from mfcnet_tpu.track.tracker import (
+    KeypointTracker,
+    TrackerConfig,
+    classes_from_probs,
+    render_overlay,
+)
+from mfcnet_tpu.utils.checkpoint import load_checkpoint
+from mfcnet_tpu.utils.jitinit import jit_init
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Test Single-frame Segmentation Model on Videos"
+    )
+    p.add_argument("--videos_dir", type=str, required=True)
+    p.add_argument("--expt_savedir", type=str, required=True)
+    p.add_argument("--expt_name", type=str, required=True)
+    p.add_argument("--model_type", type=str, required=True,
+                   choices=list(OUTPUT_MODES))
+    p.add_argument("--load_wts_model", type=str, required=True)
+    p.add_argument("--num_videos", type=int, default=-1)
+    p.add_argument("--input_width", type=int, default=640)
+    p.add_argument("--input_height", type=int, default=480)
+    p.add_argument("--score_detection_threshold", type=float, default=0)
+    p.add_argument("--area_threshold", type=int, default=10)
+    p.add_argument("--dist_threshold", type=int, default=40)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--model_scale", type=float, default=1.0)
+    return p
+
+
+def track_singleframe_video(video_path, step_fn, cfg, out_dir, logger=None):
+    vid = cv2.VideoCapture(str(video_path))
+    name = Path(video_path).stem
+    N = int(vid.get(cv2.CAP_PROP_FRAME_COUNT))
+    W, H = cfg.input_width, cfg.input_height
+    writer = None
+    if cfg.overlay:
+        writer = cv2.VideoWriter(
+            str(Path(out_dir) / f"{name}_tracked.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), cfg.output_fps, (W, H),
+        )
+    tracker = KeypointTracker(N, cfg)
+    t0 = time.perf_counter()
+    done = 0
+    while True:
+        ret, frame = vid.read()
+        if not ret:
+            break
+        frame = cv2.resize(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H))
+        mask_dev, probs = step_fn(frame)
+        mask_array = (
+            classes_from_probs(probs, cfg.score_detection_threshold)
+            if cfg.score_detection_threshold > 0
+            else mask_dev
+        )
+        disp = render_overlay(frame, mask_array) if cfg.overlay else None
+        tracker.update(mask_array, probs[..., 4], probs[..., 2], disp)
+        if writer is not None:
+            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+        done += 1
+    elapsed = time.perf_counter() - t0
+    if writer is not None:
+        writer.release()
+    vid.release()
+    csv_path = Path(out_dir) / f"{name}_tracked.csv"
+    np.savetxt(csv_path, tracker.rows, delimiter=",")
+    if logger:
+        logger.info(
+            f"Saved {csv_path}; {done / max(elapsed, 1e-9):.1f} frames/s"
+        )
+    return tracker.rows, done / max(elapsed, 1e-9)
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    out_dir = Path(args.expt_savedir) / args.expt_name / (
+        "video_tracking_results"
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = logging.getLogger("sf_video_tracking")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    logger.addHandler(logging.FileHandler(out_dir / "log.log"))
+    logger.addHandler(logging.StreamHandler(sys.stdout))
+
+    num_classes = 5
+    model = get_tooltip_segmentation_model(
+        args.model_type, num_classes, scale=args.model_scale
+    )
+    H, W = args.input_height, args.input_width
+    output_mode = OUTPUT_MODES[args.model_type]
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, H, W, 3), np.float32)
+    )
+    payload, _ = load_checkpoint(args.load_wts_model)
+    from flax import serialization
+
+    variables = {
+        "params": serialization.from_state_dict(
+            variables["params"], payload["params"]
+        ),
+        "batch_stats": serialization.from_state_dict(
+            variables.get("batch_stats", {}), payload["batch_stats"]
+        ),
+    }
+
+    dtype = (
+        jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    )
+    cvars = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        variables,
+    )
+    mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], dtype)
+
+    @jax.jit
+    def dev_step(frame_u8):
+        x = frame_u8.astype(dtype) / 255.0
+        x = ((x - mean) / std)[None]
+        out = model.apply(cvars, x)
+        if output_mode == "logits":
+            out = jax.nn.log_softmax(out, axis=-1)
+        probs = jnp.exp(out.astype(jnp.float32))[0]
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8), probs
+
+    def step_fn(frame):
+        mask, probs = dev_step(jnp.asarray(frame))
+        return np.asarray(mask), np.asarray(probs)
+
+    cfg = TrackerConfig(
+        num_input_frames=1, num_classes=num_classes, input_height=H,
+        input_width=W,
+        score_detection_threshold=args.score_detection_threshold,
+        area_threshold=args.area_threshold,
+        dist_threshold=args.dist_threshold,
+        dtype=args.compute_dtype,
+    )
+    videos = list_video_files(args.videos_dir)
+    if args.num_videos > 0:
+        videos = videos[: args.num_videos]
+    logger.info(f"Processing {len(videos)} videos")
+    fps_all = []
+    for video in videos:
+        logger.info(f"Processing video: {video}")
+        _, fps = track_singleframe_video(
+            video, step_fn, cfg, out_dir, logger
+        )
+        fps_all.append(fps)
+    return fps_all
+
+
+if __name__ == "__main__":
+    main()

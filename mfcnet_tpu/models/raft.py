@@ -106,6 +106,8 @@ def build_corr_pyramid(f1, f2, num_levels: int = 4):
     corr = all_pairs_correlation(f1, f2)
     pyramid = [corr]
     for _ in range(num_levels - 1):
+        if pyramid[-1].shape[-2] < 2 or pyramid[-1].shape[-1] < 2:
+            break  # tiny inputs: stop before a zero-sized level
         pyramid.append(_avg_pool2(pyramid[-1]))
     return pyramid
 
