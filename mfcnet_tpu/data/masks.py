@@ -12,10 +12,25 @@ reproduces the reference tables exactly:
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
 import cv2
 import numpy as np
+
+# Optional C++ fast path (native/mfcnet_native.cpp); falls back to NumPy.
+_NATIVE = None
+try:
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "native"))
+    import mfcnet_native as _NATIVE  # type: ignore
+except Exception:  # pragma: no cover - environment without the build
+    _NATIVE = None
+finally:
+    sys.path.pop(0)
+
+
+def native_available() -> bool:
+    return _NATIVE is not None
 
 
 def load_image(path) -> np.ndarray:
@@ -79,14 +94,28 @@ def _read_pose_maps(path: str, folder: str):
     return maskl, maskr
 
 
-def load_mask(path, prediction_task: str) -> np.ndarray:
-    """Compose the class-ID mask (reference: utils/dataloader_utils.py:36-85).
+def compose_mask(maskl: np.ndarray, maskr: np.ndarray,
+                 prediction_task: str, use_native: bool = True) -> np.ndarray:
+    """Pose-map pair (BGR uint8) -> class-ID mask. Uses the C++ single-pass
+    kernel when built (native/mfcnet_native.cpp), else the NumPy cascade."""
+    h, w = maskl.shape[:2]
+    if use_native and _NATIVE is not None:
+        fn = {
+            "tooltip_segmentation": _NATIVE.compose_mask_tooltip,
+            "toolpose_segmentation": _NATIVE.compose_mask_toolpose,
+            "endovis15_segmentation": _NATIVE.compose_mask_endovis15,
+        }.get(prediction_task)
+        if fn is not None:
+            out = fn(
+                np.ascontiguousarray(maskl), np.ascontiguousarray(maskr),
+                h, w,
+            )
+            return np.frombuffer(out, np.uint8).reshape(h, w).copy()
+    return _compose_mask_numpy(maskl, maskr, prediction_task)
 
-    Note ``frame``->``framel``/``framer`` replacement applies to the whole
-    path string, as in the reference.
-    """
+
+def _compose_mask_numpy(maskl, maskr, prediction_task: str) -> np.ndarray:
     if prediction_task == "tooltip_segmentation":
-        maskl, maskr = _read_pose_maps(path, "pose_maps")
         mask = np.zeros(maskl.shape[:2], np.float64)
         if maskl.max():
             mask[maskl[:, :, 0] > 0] = 255
@@ -96,7 +125,6 @@ def load_mask(path, prediction_task: str) -> np.ndarray:
             mask[maskr[:, :, 2] > 0] = 127
         return (mask / 127).astype(np.uint8)
     if prediction_task == "endovis15_segmentation":
-        maskl, maskr = _read_pose_maps(path, "pose_maps_endovis")
         mask = np.zeros(maskl.shape[:2], np.float64)
         if maskl.max():
             mask[maskl[:, :, 0] > 0] = 250
@@ -112,7 +140,6 @@ def load_mask(path, prediction_task: str) -> np.ndarray:
             mask[maskr[:, :, 1] == 63] = 25
         return (mask / 25).astype(np.uint8)
     if prediction_task == "toolpose_segmentation":
-        maskl, maskr = _read_pose_maps(path, "pose_maps")
         mask = np.zeros(maskl.shape[:2], np.float64)
         if maskl.max():
             mask[maskl[:, :, 0] > 0] = 255
@@ -123,13 +150,29 @@ def load_mask(path, prediction_task: str) -> np.ndarray:
             mask[maskr[:, :, 2] > 0] = 127
             mask[maskr[:, :, 1] > 0] = 63
         return (mask / 63).astype(np.uint8)
+    raise ValueError(f"Unknown prediction task: {prediction_task}")
+
+
+def load_mask(path, prediction_task: str) -> np.ndarray:
+    """Compose the class-ID mask from the on-disk pose maps (reference:
+    utils/dataloader_utils.py:36-85).
+
+    Note ``frame``->``framel``/``framer`` replacement applies to the whole
+    path string, as in the reference.
+    """
     if prediction_task == "binary":
         p = str(path).replace("images", "binary_masks").replace("jpg", "png")
         mask = cv2.imread(p, 0)
         if mask is None:
             raise FileNotFoundError(p)
         return (mask / 255).astype(np.uint8)
-    raise ValueError(f"Unknown prediction task: {prediction_task}")
+    folder = (
+        "pose_maps_endovis"
+        if prediction_task == "endovis15_segmentation"
+        else "pose_maps"
+    )
+    maskl, maskr = _read_pose_maps(path, folder)
+    return compose_mask(maskl, maskr, prediction_task)
 
 
 def load_attmap(file_name_list, idx: int, frames_per_video: int):
