@@ -55,6 +55,10 @@ def build_flow_fn(optflow_model: str, model_type: str):
         from mfcnet_tpu.models.unflow import make_unflow_flow_fn
 
         return make_unflow_flow_fn(basic=("Basic" in model_type))
+    if optflow_model == "FlowFormerPlusPlus":
+        from mfcnet_tpu.models.flowformerpp import make_ffpp_flow_fn
+
+        return make_ffpp_flow_fn(basic=("Basic" in model_type))
     raise NotImplementedError(f"optflow model {optflow_model}")
 
 

@@ -63,3 +63,15 @@ def test_raft_flow_fn_contract():
     frames = jnp.zeros((1, 3, 64, 64, 3))
     flow = jax.jit(fn)(frames)
     assert flow.shape == (1, 2, 64, 64, 2)
+
+
+def test_flowformerpp_forward_shape():
+    from mfcnet_tpu.models.flowformerpp import FlowFormerPP
+
+    model = FlowFormerPP(iters=1, enc_dims=(16, 32), enc_depths=(2, 2),
+                         latent_dim=16, query_dim=8)
+    a = jnp.zeros((1, 64, 64, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), a, a)
+    flow = jax.jit(lambda v, a, b: model.apply(v, a, b))(variables, a, a)
+    assert flow.shape == (1, 64, 64, 2)
+    assert np.all(np.isfinite(np.asarray(flow)))
