@@ -31,8 +31,15 @@ def main():
                     choices=["incremental", "full"],
                     help="incremental: 1 base fwd/frame (tracker mode); "
                          "full: T base fwds/frame (reference semantics)")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per device launch in incremental mode "
+                         "(lax.scan; amortizes dispatch latency; 1 = "
+                         "per-frame launches)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="concurrent video streams (frames/sec counts "
+                         "batch*frames)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +53,7 @@ def main():
     from mfcnet_tpu.utils.jitinit import jit_init
 
     T, C, H, W = 3, 5, args.height, args.width
+    B = args.batch
     model = get_multiframe_segmentation_model(
         "TernausNetMulti-Basic", num_classes=C, num_input_frames=T
     )
@@ -60,9 +68,11 @@ def main():
     )
 
     if args.mode == "incremental":
-        # ring buffer of per-frame class maps; one base fwd per new frame
-        @jax.jit
-        def step(seg_buf, new_frame):
+        # ring buffer of per-frame class maps; one base fwd per new frame;
+        # args.chunk frames are processed per device launch via lax.scan
+        K = max(1, args.chunk)
+
+        def one_frame(seg_buf, new_frame):
             seg_new = model.apply(
                 cvars, new_frame, method="base_forward"
             )  # (1, H, W, C)
@@ -72,43 +82,57 @@ def main():
             logits = model.apply(
                 cvars, seg_buf, method="fuse_precomputed"
             )
-            out = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return seg_buf, out
+            # decode-adjacent work stays on device: per-frame class mask +
+            # the two tip heatmaps are all the tracker's host decode needs
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return seg_buf, (mask, probs[..., 2], probs[..., 4])
 
-        seg_buf = jnp.zeros((1, T, H, W, C), dtype)
-        frame = jnp.zeros((1, H, W, 3), dtype)
-        seg_buf, out = step(seg_buf, frame)  # compile
-        out.block_until_ready()
+        @jax.jit
+        def step(seg_buf, frames_k):
+            return jax.lax.scan(one_frame, seg_buf, frames_k)
+
+        seg_buf = jnp.zeros((B, T, H, W, C), dtype)
+        frames_k = jnp.zeros((K, B, H, W, 3), dtype)
+        seg_buf, out = step(seg_buf, frames_k)  # compile
+        float(out[0][0, 0, 0, 0])
 
         def run(n):
             nonlocal seg_buf
+            iters = max(1, n // K)
             t0 = time.perf_counter()
-            for _ in range(n):
-                seg_buf, out = step(seg_buf, frame)
-            out.block_until_ready()
-            return time.perf_counter() - t0
+            for _ in range(iters):
+                seg_buf, out = step(seg_buf, frames_k)
+            # force completion with a scalar readback — block_until_ready
+            # alone does not drain the remote execution queue on the axon
+            # tunnel backend
+            float(out[0][0, 0, 0, 0])
+            return (time.perf_counter() - t0) * (n / (iters * K))
     else:
         @jax.jit
         def step(frames):
             logits = model.apply(cvars, frames)
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-        frames = jnp.zeros((1, T, H, W, 3), dtype)
+        frames = jnp.zeros((B, T, H, W, 3), dtype)
         out = step(frames)
-        out.block_until_ready()
+        float(out[0, 0, 0, 0])
 
         def run(n):
             t0 = time.perf_counter()
             for _ in range(n):
                 out = step(frames)
-            out.block_until_ready()
+            float(out[0, 0, 0, 0])  # force completion (see above)
             return time.perf_counter() - t0
 
     run(10)  # warmup
     best = min(run(args.frames) for _ in range(args.trials))
-    fps = args.frames / best
+    fps = args.frames * B / best
     print(json.dumps({
-        "metric": f"mfcnet_3frame_{H}x{W}_inference_{args.mode}_{args.dtype}",
+        "metric": (
+            f"mfcnet_3frame_{H}x{W}_inference_{args.mode}_{args.dtype}"
+            + (f"_b{B}" if B > 1 else "")
+        ),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
