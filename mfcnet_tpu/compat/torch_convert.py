@@ -136,3 +136,75 @@ def convert_multiframe_ternausnet(
             "multiframe_net": {"head": head_stats},
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# UnFlow (reference checkpoint naming: moduleFlownets.{0,1,2}.module*)
+# ---------------------------------------------------------------------------
+def _unflow_upconv(sd, prefix):
+    """Upconv decoder params (reference: models/unflow_model.py:25-88)."""
+    return {
+        "six_out": _conv(sd, f"{prefix}.moduleSixOut"),
+        "six_up": _deconv(sd, f"{prefix}.moduleSixUp"),
+        "fiv_next": _deconv(sd, f"{prefix}.moduleFivNext.0"),
+        "fiv_out": _conv(sd, f"{prefix}.moduleFivOut"),
+        "fiv_up": _deconv(sd, f"{prefix}.moduleFivUp"),
+        "fou_next": _deconv(sd, f"{prefix}.moduleFouNext.0"),
+        "fou_out": _conv(sd, f"{prefix}.moduleFouOut"),
+        "fou_up": _deconv(sd, f"{prefix}.moduleFouUp"),
+        "thr_next": _deconv(sd, f"{prefix}.moduleThrNext.0"),
+        "thr_out": _conv(sd, f"{prefix}.moduleThrOut"),
+        "thr_up": _deconv(sd, f"{prefix}.moduleThrUp"),
+        "two_next": _deconv(sd, f"{prefix}.moduleTwoNext.0"),
+        "two_out": _conv(sd, f"{prefix}.moduleTwoOut"),
+        # applied twice with shared weights (:87)
+        "upscale": _deconv(sd, f"{prefix}.moduleUpscale.0"),
+    }
+
+
+def convert_unflow(sd: Dict[str, np.ndarray]):
+    """Reference UnFlow .pth -> flax variables for models/unflow.py.
+
+    Sequential indices: module{One,Two,Thr}[1] are the convs after the
+    ZeroPad2d at [0]; module{Fou,Fiv,Six}[1]/[3] are the stride-2/stride-1
+    conv pair after the pad (reference: models/unflow_model.py:95-147,
+    178-220).
+    """
+    complex_p = {
+        "one": _conv(sd, "moduleFlownets.0.moduleOne.1"),
+        "two": _conv(sd, "moduleFlownets.0.moduleTwo.1"),
+        "thr": _conv(sd, "moduleFlownets.0.moduleThr.1"),
+        "redir": _conv(sd, "moduleFlownets.0.moduleRedir.0"),
+        "combined": _conv(sd, "moduleFlownets.0.moduleCombined.0"),
+        "fou_a": _conv(sd, "moduleFlownets.0.moduleFou.1"),
+        "fou_b": _conv(sd, "moduleFlownets.0.moduleFou.3"),
+        "fiv_a": _conv(sd, "moduleFlownets.0.moduleFiv.1"),
+        "fiv_b": _conv(sd, "moduleFlownets.0.moduleFiv.3"),
+        "six_a": _conv(sd, "moduleFlownets.0.moduleSix.1"),
+        "six_b": _conv(sd, "moduleFlownets.0.moduleSix.3"),
+        "upconv": _unflow_upconv(sd, "moduleFlownets.0.moduleUpconv"),
+    }
+
+    def simple(i):
+        p = f"moduleFlownets.{i}"
+        return {
+            "one": _conv(sd, f"{p}.moduleOne.1"),
+            "two": _conv(sd, f"{p}.moduleTwo.1"),
+            "thr_a": _conv(sd, f"{p}.moduleThr.1"),
+            "thr_b": _conv(sd, f"{p}.moduleThr.3"),
+            "fou_a": _conv(sd, f"{p}.moduleFou.1"),
+            "fou_b": _conv(sd, f"{p}.moduleFou.3"),
+            "fiv_a": _conv(sd, f"{p}.moduleFiv.1"),
+            "fiv_b": _conv(sd, f"{p}.moduleFiv.3"),
+            "six_a": _conv(sd, f"{p}.moduleSix.1"),
+            "six_b": _conv(sd, f"{p}.moduleSix.3"),
+            "upconv": _unflow_upconv(sd, f"{p}.moduleUpconv"),
+        }
+
+    return {
+        "params": {
+            "flownet0": complex_p,
+            "flownet1": simple(1),
+            "flownet2": simple(2),
+        }
+    }

@@ -91,15 +91,18 @@ class Upconv(nn.Module):
         flow2 = out_conv(x, "two_out")
 
         # moduleUpscale x2: ConvTranspose(k3 s2 p1, no bias) + replicate-pad
-        # right/bottom (reference :67-70)
-        def upscale(f, name):
-            y = TorchConvTranspose(
-                2, kernel_size=3, stride=2, padding=1, use_bias=False,
-                name=name,
-            )(f)
+        # right/bottom (reference :67-70) — the SAME module is applied twice
+        # (:87), so the deconv weights are shared.
+        upscale_deconv = TorchConvTranspose(
+            2, kernel_size=3, stride=2, padding=1, use_bias=False,
+            name="upscale",
+        )
+
+        def upscale(f):
+            y = upscale_deconv(f)
             return jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
 
-        return upscale(upscale(flow2, "upscale1"), "upscale2") * 20.0
+        return upscale(upscale(flow2)) * 20.0
 
 
 class ComplexNet(nn.Module):

@@ -84,3 +84,32 @@ def test_multiframe_conversion_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_unflow_conversion_parity():
+    """Full UnFlow CSS stack: torch oracle -> converter -> flax; flows must
+    match (this also validates the correlation, warp, and decoder paths)."""
+    from tests.torch_unflow_ref import UnFlowTorch
+    from mfcnet_tpu.compat.torch_convert import convert_unflow
+    from mfcnet_tpu.models.unflow import UnFlow
+
+    torch.manual_seed(3)
+    tmodel = UnFlowTorch().eval()
+    variables = convert_unflow(_state_dict_np(tmodel))
+
+    fmodel = UnFlow(corr_impl="shifts")
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.moveaxis(a, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(b, -1, 1).copy()),
+        )
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, a, b: fmodel.apply(v, a, b))(
+            variables, jnp.asarray(a), jnp.asarray(b)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
