@@ -74,7 +74,13 @@ class MultiFrameDataset:
 
 
 class SingleFrameDataset:
-    """Single frame + mask (reference: src/dataloader.py:78-96)."""
+    """Single frame + mask (reference: src/dataloader.py:78-96).
+
+    ``with_attmap`` adds the TAPNet motion-prior attention map: the previous
+    frame's attention map, optionally forward-warped by precomputed optical
+    flow + grey-dilated (``optflow_dir``; reference
+    src/dataloader.py:20-76 RoboticSurgeryFramesDataset_withoptflow).
+    """
 
     def __init__(
         self,
@@ -82,11 +88,15 @@ class SingleFrameDataset:
         prediction_task: str,
         with_attmap: bool = False,
         frames_per_video: int = 225,
+        optflow_dir: Optional[str] = None,
+        attmap_shape=(480, 640),
     ):
         self.file_names = list(file_names)
         self.prediction_task = prediction_task
         self.with_attmap = with_attmap
         self.frames_per_video = frames_per_video
+        self.optflow_dir = optflow_dir
+        self.attmap_shape = attmap_shape
 
     def __len__(self):
         return len(self.file_names)
@@ -97,7 +107,18 @@ class SingleFrameDataset:
             "mask": load_mask(self.file_names[idx], self.prediction_task),
         }
         if self.with_attmap:
-            sample["attmap"] = load_attmap(
-                self.file_names, idx, self.frames_per_video
+            att = load_attmap(
+                self.file_names, idx, self.frames_per_video,
+                shape=self.attmap_shape,
             )
+            if self.optflow_dir and idx % self.frames_per_video != 0:
+                from mfcnet_tpu.data.attmap import cal_attmap_np
+                from mfcnet_tpu.data.masks import load_optflow_map
+
+                flow = load_optflow_map(
+                    self.file_names[idx], self.optflow_dir,
+                    shape=att.shape,
+                )
+                att = cal_attmap_np(att, flow)
+            sample["attmap"] = att
         return sample

@@ -175,11 +175,12 @@ def load_mask(path, prediction_task: str) -> np.ndarray:
     return compose_mask(maskl, maskr, prediction_task)
 
 
-def load_attmap(file_name_list, idx: int, frames_per_video: int):
+def load_attmap(file_name_list, idx: int, frames_per_video: int,
+                shape=(480, 640)):
     """TAPNet attention-map loader (reference: utils/dataloader_utils.py:15-22):
     zeros at each video's first frame, else the previous frame's attmap PNG."""
     if idx % frames_per_video == 0:
-        return np.zeros((480, 640), np.float32)
+        return np.zeros(shape, np.float32)
     path = file_name_list[idx - 1]
     p = str(path).replace("images", "attmaps").replace("jpg", "png")
     att = cv2.imread(p, 0)

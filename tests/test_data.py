@@ -1,0 +1,82 @@
+"""Data-layer tests: flip remap tables, window clamping, attmap pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mfcnet_tpu.data.transforms import (
+    TransformConfig,
+    _hflip_table,
+    _vflip_table,
+    augment_train_batch,
+    preprocess_eval_batch,
+)
+
+
+def test_flip_remap_tables_match_reference():
+    """reference: src/dataloader_multiframe.py:117-176."""
+    t = _hflip_table("tooltip_segmentation", 3)
+    assert t[1] == 2 and t[2] == 1
+    t = _hflip_table("toolpose_segmentation", 5)
+    assert t[1] == 3 and t[3] == 1 and t[2] == 4 and t[4] == 2
+    t = _hflip_table("endovis15_segmentation", 11)
+    for k in range(1, 6):
+        assert t[k] == k + 5 and t[k + 5] == k
+    t = _vflip_table("endovis15_segmentation")
+    assert t[4] == 5 and t[5] == 4 and t[9] == 10 and t[10] == 9
+    t = _vflip_table("toolpose_segmentation")
+    np.testing.assert_array_equal(t, np.arange(256))
+
+
+def test_augment_batch_shapes_and_mask_classes():
+    B, T, H0, W0 = 2, 3, 40, 48
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": rng.integers(0, 255, (B, T, H0, W0, 3), dtype=np.uint8),
+        "mask": rng.integers(0, 5, (B, H0, W0)).astype(np.uint8),
+        "depth": rng.integers(0, 255, (B, T, H0, W0), dtype=np.uint8),
+    }
+    cfg = TransformConfig(out_height=32, out_width=32,
+                          prediction_task="toolpose_segmentation")
+    out = augment_train_batch(batch, jax.random.PRNGKey(0), cfg)
+    assert out["frames"].shape == (B, T, 32, 32, 3)
+    assert out["mask"].shape == (B, 32, 32)
+    assert out["depth"].shape == (B, T, 32, 32, 1)
+    # classes stay in range after remaps
+    assert int(out["mask"].max()) <= 4 and int(out["mask"].min()) >= 0
+
+    ev = preprocess_eval_batch(batch, cfg)
+    assert ev["frames"].shape == (B, T, 32, 32, 3)
+
+
+def test_window_indices_clamp_at_video_boundary(tmp_path):
+    from mfcnet_tpu.data.dataset import MultiFrameDataset
+
+    # two "videos" of 3 frames each; paths only (no IO in window_indices)
+    files = [
+        tmp_path / "video_1" / "images" / f"frame_{i}.jpg" for i in range(3)
+    ] + [
+        tmp_path / "video_2" / "images" / f"frame_{i}.jpg" for i in range(3)
+    ]
+    ds = MultiFrameDataset(files, "toolpose_segmentation", 3)
+    # frame 0 of video_2 (idx 3): prior indices land in video_1 -> clamp
+    assert ds.window_indices(3) == [3, 3, 3]
+    assert ds.window_indices(4) == [4, 3, 3]
+    assert ds.window_indices(5) == [5, 4, 3]
+    # frame 0 of video_1 wraps to video_2 (mod N) -> clamp to itself
+    assert ds.window_indices(0) == [0, 0, 0]
+
+
+def test_cal_attmap_np_warp_and_dilate():
+    from mfcnet_tpu.data.attmap import cal_attmap_np
+
+    att = np.zeros((20, 20), np.float32)
+    att[5, 5] = 1.0
+    flow = np.zeros((20, 20, 2), np.float32)
+    flow[..., 0] = 3.0  # move +3 in x
+    out = cal_attmap_np(att, flow)
+    # grey dilation spreads the moved peak; the 10x10 window centered near
+    # (5, 8) must contain 1.0
+    assert out[5, 8] == 1.0
+    assert out.max() == 1.0
+    assert out.sum() > 1.0  # dilated
