@@ -208,3 +208,104 @@ def convert_unflow(sd: Dict[str, np.ndarray]):
             "flownet2": simple(2),
         }
     }
+
+
+# ---------------------------------------------------------------------------
+# torchvision segmentation models: fcn_resnet101 / deeplabv3_resnet101
+# (reference loads these as base models: models/__init__.py:32-37)
+# ---------------------------------------------------------------------------
+def _resnet_backbone(sd, layers=(3, 4, 23, 3), prefix="backbone."):
+    params = {"conv1": _conv(sd, f"{prefix}conv1", bias=False)}
+    stats = {}
+    p, s = _bn(sd, f"{prefix}bn1")
+    params["bn1"], stats["bn1"] = p, s
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            tp = f"{prefix}layer{li + 1}.{bi}"
+            name = f"layer{li + 1}_block{bi}"
+            bp = {
+                "conv1": _conv(sd, f"{tp}.conv1", bias=False),
+                "conv2": _conv(sd, f"{tp}.conv2", bias=False),
+                "conv3": _conv(sd, f"{tp}.conv3", bias=False),
+            }
+            bs = {}
+            for i in (1, 2, 3):
+                p, s = _bn(sd, f"{tp}.bn{i}")
+                bp[f"bn{i}"], bs[f"bn{i}"] = p, s
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["down_conv"] = _conv(sd, f"{tp}.downsample.0", bias=False)
+                p, s = _bn(sd, f"{tp}.downsample.1")
+                bp["down_bn"], bs["down_bn"] = p, s
+            params[name], stats[name] = bp, bs
+    return params, stats
+
+
+def convert_fcn_resnet101(sd: Dict[str, np.ndarray], layers=(3, 4, 23, 3)):
+    """torchvision fcn_resnet101 (FCNHead-swapped) -> flax variables.
+
+    classifier naming: Sequential[conv3x3, BN, ReLU, Dropout, conv1x1]
+    -> indices 0, 1, 4."""
+    bparams, bstats = _resnet_backbone(sd, layers)
+    head_params = {
+        "conv": _conv(sd, "classifier.0", bias=False),
+        "final": _conv(sd, "classifier.4"),
+    }
+    head_stats = {}
+    p, s = _bn(sd, "classifier.1")
+    head_params["bn"], head_stats["bn"] = p, s
+    return {
+        "params": {"backbone": bparams, "classifier": head_params},
+        "batch_stats": {"backbone": bstats, "classifier": head_stats},
+    }
+
+
+def convert_deeplabv3_resnet101(
+    sd: Dict[str, np.ndarray], layers=(3, 4, 23, 3)
+):
+    """torchvision deeplabv3_resnet101 (DeepLabHead-swapped) -> flax.
+
+    DeepLabHead naming: classifier.0 = ASPP (convs.0 = conv1x1+bn,
+    convs.1-3 = ASPPConv, convs.4 = ASPPPooling[pool, conv, bn], project),
+    classifier.1 = conv3x3, classifier.2 = BN, classifier.4 = final."""
+    bparams, bstats = _resnet_backbone(sd, layers)
+    aspp_p, aspp_s = {}, {}
+    aspp_p["conv1x1"] = _conv(sd, "classifier.0.convs.0.0", bias=False)
+    p, s = _bn(sd, "classifier.0.convs.0.1")
+    aspp_p["bn1x1"], aspp_s["bn1x1"] = p, s
+    for i in range(3):
+        cp = {"conv": _conv(sd, f"classifier.0.convs.{i + 1}.0", bias=False)}
+        cs = {}
+        p, s = _bn(sd, f"classifier.0.convs.{i + 1}.1")
+        cp["bn"], cs["bn"] = p, s
+        aspp_p[f"aspp_conv{i}"], aspp_s[f"aspp_conv{i}"] = cp, cs
+    aspp_p["pool_conv"] = _conv(sd, "classifier.0.convs.4.1", bias=False)
+    p, s = _bn(sd, "classifier.0.convs.4.2")
+    aspp_p["pool_bn"], aspp_s["pool_bn"] = p, s
+    aspp_p["project"] = _conv(sd, "classifier.0.project.0", bias=False)
+    p, s = _bn(sd, "classifier.0.project.1")
+    aspp_p["project_bn"], aspp_s["project_bn"] = p, s
+
+    head_params = {
+        "aspp": aspp_p,
+        "conv": _conv(sd, "classifier.1", bias=False),
+        "final": _conv(sd, "classifier.4"),
+    }
+    head_stats = {"aspp": aspp_s}
+    p, s = _bn(sd, "classifier.2")
+    head_params["bn"], head_stats["bn"] = p, s
+    return {
+        "params": {"backbone": bparams, "classifier": head_params},
+        "batch_stats": {"backbone": bstats, "classifier": head_stats},
+    }
+
+
+def convert_vgg_features(sd: Dict[str, np.ndarray],
+                         arch: str = "TernausNet16"):
+    """torchvision vgg11/16 ``features.N`` weights -> the VGGFeatures
+    encoder subtree (for ``pretrained=True`` initialization of
+    TernausNet/TAPNet encoders, reference models/ternausnet.py:112)."""
+    conv_idx = VGG16_CONV_IDX if "16" in arch else VGG11_CONV_IDX
+    return {
+        f"Conv_{i}": _conv(sd, f"features.{idx}")
+        for i, idx in enumerate(conv_idx)
+    }

@@ -23,9 +23,9 @@ class ASPPConv(nn.Module):
         d = self.dilation
         x = nn.Conv(
             self.features, (3, 3), padding=((d, d), (d, d)),
-            kernel_dilation=(d, d), use_bias=False,
+            kernel_dilation=(d, d), use_bias=False, name="conv",
         )(x)
-        return nn.relu(_bn(train)(x))
+        return nn.relu(_bn(train, "bn")(x))
 
 
 class ASPP(nn.Module):
@@ -38,19 +38,23 @@ class ASPP(nn.Module):
     def __call__(self, x, train: bool = False):
         H, W = x.shape[-3], x.shape[-2]
         branches = []
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        branches.append(nn.relu(_bn(train)(y)))
-        for r in self.rates:
-            branches.append(ASPPConv(self.features, r)(x, train=train))
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1x1")(x)
+        branches.append(nn.relu(_bn(train, "bn1x1")(y)))
+        for i, r in enumerate(self.rates):
+            branches.append(
+                ASPPConv(self.features, r, name=f"aspp_conv{i}")(
+                    x, train=train
+                )
+            )
         # image pooling branch
         p = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        p = nn.Conv(self.features, (1, 1), use_bias=False)(p)
-        p = nn.relu(_bn(train)(p))
+        p = nn.Conv(self.features, (1, 1), use_bias=False, name="pool_conv")(p)
+        p = nn.relu(_bn(train, "pool_bn")(p))
         p = jnp.broadcast_to(p, (*x.shape[:-3], H, W, self.features))
         branches.append(p)
         y = jnp.concatenate(branches, axis=-1)
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(y)
-        y = nn.relu(_bn(train)(y))
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="project")(y)
+        y = nn.relu(_bn(train, "project_bn")(y))
         # torchvision ASPP ends with Dropout(0.5) — inference no-op; train
         # uses the module's deterministic flag
         return y
@@ -62,9 +66,10 @@ class DeepLabHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ASPP(name="aspp")(x, train=train)
-        x = nn.Conv(256, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.relu(_bn(train)(x))
-        return nn.Conv(self.num_classes, (1, 1))(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", use_bias=False,
+                    name="conv")(x)
+        x = nn.relu(_bn(train, "bn")(x))
+        return nn.Conv(self.num_classes, (1, 1), name="final")(x)
 
 
 class DeepLabV3ResNet101(nn.Module):

@@ -19,10 +19,11 @@ class FCNHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = x.shape[-1] // 4
-        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.relu(_bn(train)(x))
+        x = nn.Conv(mid, (3, 3), padding="SAME", use_bias=False,
+                    name="conv")(x)
+        x = nn.relu(_bn(train, "bn")(x))
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        return nn.Conv(self.num_classes, (1, 1))(x)
+        return nn.Conv(self.num_classes, (1, 1), name="final")(x)
 
 
 class FCNResNet101(nn.Module):

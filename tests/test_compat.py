@@ -113,3 +113,36 @@ def test_unflow_conversion_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("head", ["fcn", "deeplab"])
+def test_resnet_segmentation_conversion_parity(head):
+    from tests.torch_resnet_ref import SegModelTorch
+    from mfcnet_tpu.compat.torch_convert import (
+        convert_deeplabv3_resnet101,
+        convert_fcn_resnet101,
+    )
+    from mfcnet_tpu.models.deeplab import DeepLabV3ResNet101
+    from mfcnet_tpu.models.fcn import FCNResNet101
+
+    layers, width = (1, 1, 2, 1), 8
+    torch.manual_seed(5)
+    tmodel = SegModelTorch(head, C, layers=layers, width=width).eval()
+    sd = _state_dict_np(tmodel)
+    if head == "fcn":
+        variables = convert_fcn_resnet101(sd, layers)
+        fmodel = FCNResNet101(num_classes=C, layers=layers, width=width)
+    else:
+        variables = convert_deeplabv3_resnet101(sd, layers)
+        fmodel = DeepLabV3ResNet101(num_classes=C, layers=layers,
+                                    width=width)
+    x = np.random.default_rng(5).standard_normal((1, 64, 64, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
