@@ -43,14 +43,16 @@ from mfcnet_tpu.utils.jitinit import jit_init
 from mfcnet_tpu.utils.logging import init_logging
 
 
-def build_flow_fn(optflow_model: str, model_type: str):
+def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640)):
     """Frozen flow provider running inside the jitted step
     (reference: src/engine.py:39-53 — flow between each frame i and frame 0;
     'Basic' model types get flow(frame_i -> frame_0))."""
     if optflow_model == "RAFT":
         from mfcnet_tpu.models.raft import make_raft_flow_fn
 
-        return make_raft_flow_fn(basic=("Basic" in model_type))
+        return make_raft_flow_fn(
+            basic=("Basic" in model_type), input_hw=input_hw
+        )
     if optflow_model == "UnFlow":
         from mfcnet_tpu.models.unflow import make_unflow_flow_fn
 
@@ -155,7 +157,7 @@ def main(argv=None):
         logger.info(f"Loaded model weights from {args.load_wts_model}")
 
     flow_fn = (
-        build_flow_fn(args.optflow_model, args.model_type)
+        build_flow_fn(args.optflow_model, args.model_type, (H, W))
         if args.add_optflow_inputs
         else None
     )

@@ -283,6 +283,7 @@ def make_raft_flow_fn(
     iters: int = 12,
     variables=None,
     rng=None,
+    input_hw=(64, 64),
 ):
     """Jittable (B, T, H, W, 3)-frames -> (B, T-1, H, W, 2) flow provider.
 
@@ -302,7 +303,10 @@ def make_raft_flow_fn(
         from mfcnet_tpu.utils.jitinit import jit_init
 
         rng = rng if rng is not None else _jax.random.PRNGKey(0)
-        dummy = np.zeros((1, 64, 64, 3), np.float32)
+        # init at the working resolution: the correlation pyramid depth (and
+        # hence the motion encoder's input channels) is clamped for small
+        # inputs, so params are size-dependent below 64x64 at 1/8 scale
+        dummy = np.zeros((1, *input_hw, 3), np.float32)
         variables = jit_init(model, rng, dummy, dummy)
 
     def flow_fn(frames):

@@ -147,3 +147,39 @@ def test_eval_step_metrics():
     assert log_probs.shape == (1, H, W, C)
     assert parts["iou_per_class"].shape == (1, C - 1)
     assert np.isfinite(float(parts["loss_total"]))
+
+
+def test_train_step_with_frozen_raft_flow_in_loop():
+    """The reference computes frozen-flow per frame pair inside the train
+    loop (src/engine.py:39-53); here the flow model runs inside the jitted
+    step. One step, finite loss, flow model params untouched."""
+    from mfcnet_tpu.models.raft import make_raft_flow_fn
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+
+    base = TernausNet16(num_classes=C, num_filters=4, stage_convs=TINY_STAGES)
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    rng = jax.random.PRNGKey(0)
+    frames0 = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    optflow0 = jnp.zeros((1, T - 1, H, W, 2), jnp.float32)
+    from mfcnet_tpu.utils.jitinit import jit_init
+    variables = jit_init(model, rng, frames0, optflow=optflow0)
+
+    flow_fn = make_raft_flow_fn(basic=True, iters=1, input_hw=(H, W))
+    sched = make_schedule("Constant", 1e-3, 1, 1)
+    tx = multiframe_optimizer(sched, T, False, False)
+    state = TrainState.create(
+        model.apply, variables["params"], tx, variables.get("batch_stats", {})
+    )
+    step = make_multiframe_train_step(
+        model, ["nll"], [1.0], C, flow_fn=flow_fn, donate=False
+    )
+    rngn = np.random.default_rng(0)
+    batch = {
+        "frames": rngn.standard_normal((1, T, H, W, 3)).astype(np.float32),
+        "mask": rngn.integers(0, C, (1, H, W)).astype(np.int32),
+    }
+    state, logs = step(state, batch)
+    assert np.isfinite(float(logs["loss_total"]))
