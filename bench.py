@@ -28,7 +28,7 @@ def main():
                     help="timed frames per trial")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--mode", default="incremental",
-                    choices=["incremental", "full"],
+                    choices=["incremental", "full", "e2e"],
                     help="incremental: 1 base fwd/frame (tracker mode); "
                          "full: T base fwds/frame (reference semantics)")
     ap.add_argument("--chunk", type=int, default=8,
@@ -51,6 +51,44 @@ def main():
 
     from mfcnet_tpu.models import get_multiframe_segmentation_model
     from mfcnet_tpu.utils.jitinit import jit_init
+
+    if args.mode == "e2e":
+        # full product pipeline: video decode -> device inference (incremental
+        # ring buffer) -> host keypoint decode -> CSV/overlay, on a synthetic
+        # video (BASELINE.json config 5)
+        import tempfile
+
+        from mfcnet_tpu.data.synthetic import make_synthetic_video
+        from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
+
+        T, C, H, W = 3, 5, args.height, args.width
+        model = get_multiframe_segmentation_model(
+            "TernausNetMulti-Basic", num_classes=C, num_input_frames=T
+        )
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, T, H, W, 3), np.float32),
+        )
+        with tempfile.TemporaryDirectory() as td:
+            video = make_synthetic_video(
+                f"{td}/bench.mp4", num_frames=args.frames, height=H, width=W
+            )
+            cfg = TrackerConfig(
+                num_input_frames=T, num_classes=C, input_height=H,
+                input_width=W, dtype=args.dtype, overlay=False,
+            )
+            track_on_video(video, model, variables, cfg, td)  # warm compile
+            best = 0.0
+            for _ in range(args.trials):
+                _, fps = track_on_video(video, model, variables, cfg, td)
+                best = max(best, fps)
+        print(json.dumps({
+            "metric": f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}",
+            "value": round(best, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(best / 60.0, 3),
+        }))
+        return
 
     T, C, H, W = 3, 5, args.height, args.width
     B = args.batch

@@ -309,3 +309,107 @@ def convert_vgg_features(sd: Dict[str, np.ndarray],
         f"Conv_{i}": _conv(sd, f"features.{idx}")
         for i, idx in enumerate(conv_idx)
     }
+
+
+# ---------------------------------------------------------------------------
+# HRNet-W48 (reference models/hrnet.py naming, checkpoint
+# hrnet_cs_8090_torch11.pth; registry head swap at models/__init__.py:38-46)
+# ---------------------------------------------------------------------------
+def _hrnet_bottleneck(sd, tp):
+    """torch Bottleneck -> flax auto-named Conv_0..3 / BatchNorm_0..3."""
+    params, stats = {}, {}
+    for i, name in enumerate(("conv1", "conv2", "conv3")):
+        params[f"Conv_{i}"] = _conv(sd, f"{tp}.{name}", bias=False)
+        p, s = _bn(sd, f"{tp}.bn{i + 1}")
+        params[f"BatchNorm_{i}"], stats[f"BatchNorm_{i}"] = p, s
+    if f"{tp}.downsample.0.weight" in sd:
+        params["Conv_3"] = _conv(sd, f"{tp}.downsample.0", bias=False)
+        p, s = _bn(sd, f"{tp}.downsample.1")
+        params["BatchNorm_3"], stats["BatchNorm_3"] = p, s
+    return params, stats
+
+
+def _hrnet_basicblock(sd, tp):
+    params, stats = {}, {}
+    for i in (1, 2):
+        params[f"Conv_{i - 1}"] = _conv(sd, f"{tp}.conv{i}", bias=False)
+        p, s = _bn(sd, f"{tp}.bn{i}")
+        params[f"BatchNorm_{i - 1}"], stats[f"BatchNorm_{i - 1}"] = p, s
+    return params, stats
+
+
+def convert_hrnet(
+    sd: Dict[str, np.ndarray],
+    channels=(48, 96, 192, 384),
+    stage_modules=(1, 4, 3),
+    num_blocks: int = 4,
+    stage1_blocks: int = 4,
+    with_head: bool = True,
+):
+    """Reference HighResolutionNet state_dict -> flax HRNetW48 variables."""
+    params, stats = {}, {}
+    for i, nm in ((1, "stem1"), (2, "stem2")):
+        params[nm] = _conv(sd, f"conv{i}", bias=False)
+        p, s = _bn(sd, f"bn{i}")
+        params[f"{nm}_bn"], stats[f"{nm}_bn"] = p, s
+    for b in range(stage1_blocks):
+        p, s = _hrnet_bottleneck(sd, f"layer1.{b}")
+        params[f"layer1_{b}"], stats[f"layer1_{b}"] = p, s
+
+    # transitions: t1 branch0 conv (transition1.0.{0,1}), new-branch convs
+    # live in a nested Sequential (transition{n}.{i}.0.{0,1})
+    params["t1_0"] = _conv(sd, "transition1.0.0", bias=False)
+    p, s = _bn(sd, "transition1.0.1")
+    params["t1_0_bn"], stats["t1_0_bn"] = p, s
+    params["t1_1"] = _conv(sd, "transition1.1.0.0", bias=False)
+    p, s = _bn(sd, "transition1.1.0.1")
+    params["t1_1_bn"], stats["t1_1_bn"] = p, s
+    params["t2"] = _conv(sd, "transition2.2.0.0", bias=False)
+    p, s = _bn(sd, "transition2.2.0.1")
+    params["t2_bn"], stats["t2_bn"] = p, s
+    params["t3"] = _conv(sd, "transition3.3.0.0", bias=False)
+    p, s = _bn(sd, "transition3.3.0.1")
+    params["t3_bn"], stats["t3_bn"] = p, s
+
+    for si, n_mod in enumerate(stage_modules):
+        stage = si + 2
+        n_br = stage
+        for m in range(n_mod):
+            mp, ms = {}, {}
+            tp = f"stage{stage}.{m}"
+            for br in range(n_br):
+                for b in range(num_blocks):
+                    p, s = _hrnet_basicblock(
+                        sd, f"{tp}.branches.{br}.{b}"
+                    )
+                    mp[f"branch{br}_block{b}"] = p
+                    ms[f"branch{br}_block{b}"] = s
+            for i in range(n_br):
+                for j in range(n_br):
+                    if j > i:
+                        mp[f"fuse{i}_{j}_conv"] = _conv(
+                            sd, f"{tp}.fuse_layers.{i}.{j}.0", bias=False
+                        )
+                        p, s = _bn(sd, f"{tp}.fuse_layers.{i}.{j}.1")
+                        mp[f"fuse{i}_{j}_bn"] = p
+                        ms[f"fuse{i}_{j}_bn"] = s
+                    elif j < i:
+                        for k in range(i - j):
+                            mp[f"fuse{i}_{j}_down{k}"] = _conv(
+                                sd, f"{tp}.fuse_layers.{i}.{j}.{k}.0",
+                                bias=False,
+                            )
+                            p, s = _bn(
+                                sd, f"{tp}.fuse_layers.{i}.{j}.{k}.1"
+                            )
+                            mp[f"fuse{i}_{j}_down{k}_bn"] = p
+                            ms[f"fuse{i}_{j}_down{k}_bn"] = s
+            params[f"stage{stage}_m{m}"] = mp
+            stats[f"stage{stage}_m{m}"] = ms
+
+    if with_head and "last_layer.0.weight" in sd:
+        params["head1"] = _conv(sd, "last_layer.0")
+        p, s = _bn(sd, "last_layer.1")
+        params["head_bn"], stats["head_bn"] = p, s
+        params["head2"] = _conv(sd, "last_layer.3")
+    return {"params": params, "batch_stats": stats}

@@ -109,7 +109,8 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         feat = self.channels[i] if last else self.channels[j]
                         y = nn.Conv(
-                            feat, (3, 3), strides=(2, 2), padding="SAME",
+                            feat, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)),
                             use_bias=False, name=f"fuse{i}_{j}_down{k}",
                         )(y)
                         y = _bn(train, name=f"fuse{i}_{j}_down{k}_bn")(y)
@@ -134,11 +135,11 @@ class HRNetW48(nn.Module):
         H, W = x.shape[-3], x.shape[-2]
         ch = self.channels
         # stem: two stride-2 3x3 convs -> 1/4 resolution
-        x = nn.Conv(64, (3, 3), (2, 2), padding="SAME", use_bias=False,
-                    name="stem1")(x)
+        x = nn.Conv(64, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem1")(x)
         x = nn.relu(_bn(train, "stem1_bn")(x))
-        x = nn.Conv(64, (3, 3), (2, 2), padding="SAME", use_bias=False,
-                    name="stem2")(x)
+        x = nn.Conv(64, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="stem2")(x)
         x = nn.relu(_bn(train, "stem2_bn")(x))
 
         # stage 1: 4 bottlenecks at width 64 -> 256 channels
@@ -154,7 +155,7 @@ class HRNetW48(nn.Module):
                         name="t1_0")(x)
             )),
             nn.relu(_bn(train, "t1_1_bn")(
-                nn.Conv(ch[1], (3, 3), (2, 2), padding="SAME",
+                nn.Conv(ch[1], (3, 3), (2, 2), padding=((1, 1), (1, 1)),
                         use_bias=False, name="t1_1")(x)
             )),
         ]
@@ -166,7 +167,7 @@ class HRNetW48(nn.Module):
         # transition2: new lowest branch from previous lowest
         xs = xs + [
             nn.relu(_bn(train, "t2_bn")(
-                nn.Conv(ch[2], (3, 3), (2, 2), padding="SAME",
+                nn.Conv(ch[2], (3, 3), (2, 2), padding=((1, 1), (1, 1)),
                         use_bias=False, name="t2")(xs[-1])
             ))
         ]
@@ -177,7 +178,7 @@ class HRNetW48(nn.Module):
 
         xs = xs + [
             nn.relu(_bn(train, "t3_bn")(
-                nn.Conv(ch[3], (3, 3), (2, 2), padding="SAME",
+                nn.Conv(ch[3], (3, 3), (2, 2), padding=((1, 1), (1, 1)),
                         use_bias=False, name="t3")(xs[-1])
             ))
         ]

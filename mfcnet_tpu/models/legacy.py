@@ -36,7 +36,13 @@ class _CBR(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = "SAME" if self.kernel > 1 else "VALID"
+        if self.kernel == 2 and self.stride == 2:
+            pad = "VALID"  # torch k2 s2 p0
+        elif self.kernel > 1:
+            k = self.kernel
+            pad = ((k // 2, k // 2), (k // 2, k // 2))
+        else:
+            pad = "VALID"
         x = nn.Conv(
             self.features, (self.kernel, self.kernel),
             (self.stride, self.stride), padding=pad,
@@ -135,7 +141,8 @@ class ResNet50CSL(nn.Module):
 
         H, W = x.shape[-3], x.shape[-2]
         w = self.width
-        x = nn.Conv(w, (7, 7), (2, 2), padding="SAME", use_bias=False)(x)
+        x = nn.Conv(w, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False)(x)
         x = nn.relu(_bn(train)(x))
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)

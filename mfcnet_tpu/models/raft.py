@@ -47,8 +47,9 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    padding="SAME")(x)
+        st = self.stride
+        y = nn.Conv(self.features, (3, 3), (st, st),
+                    padding=((1, 1), (1, 1)))(x)
         y = nn.relu(self._norm(y, train))
         y = nn.Conv(self.features, (3, 3), padding="SAME")(y)
         y = nn.relu(self._norm(y, train))
@@ -70,7 +71,7 @@ class RAFTEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         w0 = self.widths[0]
-        x = nn.Conv(w0, (7, 7), (2, 2), padding="SAME")(x)
+        x = nn.Conv(w0, (7, 7), (2, 2), padding=((3, 3), (3, 3)))(x)
         if self.norm == "instance":
             x = _instance_norm(x)
         elif self.norm == "batch":

@@ -146,3 +146,30 @@ def test_resnet_segmentation_conversion_parity(head):
         jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_hrnet_conversion_parity():
+    from tests.torch_hrnet_ref import HRNetTorch
+    from mfcnet_tpu.compat.torch_convert import convert_hrnet
+    from mfcnet_tpu.models.hrnet import HRNetW48
+
+    channels, modules, blocks, w1 = (8, 16, 32, 64), (1, 2, 1), 2, 8
+    torch.manual_seed(7)
+    tmodel = HRNetTorch(C, channels, modules, blocks, w1).eval()
+    variables = convert_hrnet(
+        _state_dict_np(tmodel), channels, modules, blocks
+    )
+    fmodel = HRNetW48(
+        num_classes=C, channels=channels, stage_modules=modules,
+        num_blocks=blocks, stage1_width=w1,
+    )
+    x = np.random.default_rng(7).standard_normal((1, 64, 64, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
