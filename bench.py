@@ -37,6 +37,9 @@ def main():
                          "per-frame launches)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--decode", default="device",
+                    choices=["device", "host"],
+                    help="e2e mode keypoint decode path")
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent video streams (frames/sec counts "
                          "batch*frames)")
@@ -76,6 +79,7 @@ def main():
             cfg = TrackerConfig(
                 num_input_frames=T, num_classes=C, input_height=H,
                 input_width=W, dtype=args.dtype, overlay=False,
+                decode=args.decode,
             )
             track_on_video(video, model, variables, cfg, td)  # warm compile
             best = 0.0
@@ -83,7 +87,9 @@ def main():
                 _, fps = track_on_video(video, model, variables, cfg, td)
                 best = max(best, fps)
         print(json.dumps({
-            "metric": f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}",
+            "metric": (
+                f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}_{args.decode}"
+            ),
             "value": round(best, 2),
             "unit": "frames/sec/chip",
             "vs_baseline": round(best / 60.0, 3),

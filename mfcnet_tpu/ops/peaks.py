@@ -32,8 +32,8 @@ def gaussian_blur(img, sigma: float = 4.0, truncate: float = 4.0):
     ``img``: (..., H, W) float array. scipy's 'reflect' mode equals numpy/jnp
     'symmetric' padding (edge sample included).
     """
-    k = jnp.asarray(_gaussian_kernel1d(sigma, truncate))
-    r = (k.shape[0] - 1) // 2
+    k = _gaussian_kernel1d(sigma, truncate)  # numpy — stays host-side
+    r = (len(k) - 1) // 2
     H, W = img.shape[-2], img.shape[-1]
 
     # scipy correlate1d uses the kernel reversed relative to convolution, but
@@ -46,7 +46,7 @@ def gaussian_blur(img, sigma: float = 4.0, truncate: float = 4.0):
         )
         # matmul formulation: build (W, W + 2r) band matrix once — exact and
         # MXU friendly for the 480x640 heatmaps this runs on.
-        band = _band_matrix(x.shape[-1], np.asarray(k))
+        band = _band_matrix(x.shape[-1], k)
         return jnp.einsum("...j,wj->...w", xp, jnp.asarray(band), precision="highest")
 
     out = conv_last(img)  # blur W axis

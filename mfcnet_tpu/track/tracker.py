@@ -53,6 +53,7 @@ class TrackerConfig:
     area_threshold: float = 10.0
     dist_threshold: float = 40.0
     mode: str = "incremental"  # 'incremental' | 'full'
+    decode: str = "host"  # 'host' (exact parity) | 'device' (fixed-shape)
     dtype: str = "bfloat16"
     add_depth_inputs: bool = False
     replicate_left_prev_bug: bool = True
@@ -192,6 +193,55 @@ class KeypointTracker:
         self.count += 1
         return row
 
+    def update_device(self, kps, mask_array=None, disp_image=None):
+        """Update from on-device decoded keypoints (2, 3, 3):
+        [side l/r][tip1, tip2, base][x, y, valid]. Applies the same
+        distance gate and 2-tip temporal assignment as the host path."""
+        row = self.rows[self.count]
+        for side, state, arr in (
+            ("left", self.left, kps[0]),
+            ("right", self.right, kps[1]),
+        ):
+            info = _SIDE[side]
+            tcol, bcol = info["tcol"], info["bcol"]
+            bx, by, bvalid = arr[2]
+            if bvalid <= 0:
+                state.detected_tips = 0
+                continue
+            row[bcol], row[bcol + 1] = bx, by
+            tips = [
+                (x, y) for x, y, v in arr[:2]
+                if v > 0
+                and compute_distance(bx, by, x, y) < self.cfg.dist_threshold
+            ]
+            if not tips:
+                state.detected_tips = 0
+            elif len(tips) == 1:
+                state.detected_tips = 1
+                (x, y) = tips[0]
+                row[tcol : tcol + 4] = [x, y, x, y]
+            else:
+                state.detected_tips = 2
+                (x1, y1), (x2, y2) = tips[:2]
+                d11 = compute_distance(x1, y1, state.cx_prev[0], state.cy_prev[0])
+                d12 = compute_distance(x1, y1, state.cx_prev[1], state.cy_prev[1])
+                d21 = compute_distance(x2, y2, state.cx_prev[0], state.cy_prev[0])
+                d22 = compute_distance(x2, y2, state.cx_prev[1], state.cy_prev[1])
+                if d11 + d22 < d12 + d21:
+                    row[tcol : tcol + 4] = [x1, y1, x2, y2]
+                else:
+                    row[tcol : tcol + 4] = [x2, y2, x1, y1]
+            state.cx_prev = row[tcol : tcol + 4 : 2].copy()
+            state.cy_prev = row[tcol + 1 : tcol + 4 : 2].copy()
+            if disp_image is not None:
+                for x, y in tips:
+                    cv2.circle(disp_image, (int(x), int(y)), 4,
+                               info["color"], -1)
+                cv2.circle(disp_image, (int(bx), int(by)), 2,
+                           info["color"], -1)
+        self.count += 1
+        return row
+
     def skip(self):
         """Frame consumed without a model output (warmup window)."""
         self.count += 1
@@ -270,6 +320,40 @@ class InferenceEngine:
             )
             return seg_buf, depth_buf
 
+        def _outputs(probs):
+            """Per-frame outputs, minimized for host transfer.
+
+            'host' decode needs the class mask + the two tip heatmaps
+            (classes 2 and 4); heatmaps ship as f16 (the σ=4 smoothing and
+            local-max comparison are insensitive at 1e-3 granularity).
+            'device' decode runs fully on device and ships 18 floats
+            (+ the mask when score-thresholding or overlays need it).
+            """
+            if cfg.score_detection_threshold > 0:
+                # per-class score threshold, higher classes overwrite
+                # (reference :282-289), computed on device
+                mask = jnp.zeros(probs.shape[:2], jnp.uint8)
+                for cls in range(1, probs.shape[-1]):
+                    mask = jnp.where(
+                        probs[..., cls] > cfg.score_detection_threshold,
+                        jnp.uint8(cls), mask,
+                    )
+            else:
+                mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            if cfg.decode == "device":
+                from mfcnet_tpu.track.decode_device import (
+                    decode_keypoints_device,
+                )
+
+                kps = decode_keypoints_device(
+                    probs, int(cfg.area_threshold * 10)
+                )
+                return mask, kps
+            heats = jnp.stack(
+                [probs[..., 2], probs[..., 4]], axis=-1
+            ).astype(jnp.float16)
+            return mask, heats
+
         @jax.jit
         def fuse(seg_buf, depth_buf):
             kwargs = (
@@ -279,8 +363,7 @@ class InferenceEngine:
                 cvars, seg_buf, method="fuse_precomputed", **kwargs
             )
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return mask, probs
+            return _outputs(probs)
 
         @jax.jit
         def full(frames_u8, depth_u8):
@@ -293,8 +376,7 @@ class InferenceEngine:
                 )[None, ..., None]
             logits = model.apply(cvars, x, **kwargs)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return mask, probs
+            return _outputs(probs)
 
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
@@ -302,9 +384,9 @@ class InferenceEngine:
         self._frame_q = []
         self._depth_q = []
 
-    def step(self, frame_u8, depth_u8=None):
-        """Feed one RGB frame (H, W, 3 uint8, already resized). Returns
-        (mask, probs) once a full T-frame window exists, else None."""
+    def step_async(self, frame_u8, depth_u8=None):
+        """Dispatch one frame; returns device handles (mask, aux) or None
+        during warmup. No host synchronization — fetch with np.asarray."""
         jnp = self._jnp
         T = self.cfg.num_input_frames
         if depth_u8 is None:
@@ -317,8 +399,7 @@ class InferenceEngine:
             self._frame_q.append(True)
             if len(self._frame_q) < T:
                 return None
-            mask, probs = self._fuse(self.seg_buf, self.depth_buf)
-            return np.asarray(mask), np.asarray(probs)
+            return self._fuse(self.seg_buf, self.depth_buf)
         # full mode: keep raw frames, newest-first stacking (reference :251)
         self._frame_q.append(frame_u8)
         self._depth_q.append(depth_u8)
@@ -329,8 +410,15 @@ class InferenceEngine:
             return None
         stack = np.stack(self._frame_q[::-1])
         dstack = np.stack(self._depth_q[::-1])
-        mask, probs = self._full(jnp.asarray(stack), jnp.asarray(dstack))
-        return np.asarray(mask), np.asarray(probs)
+        return self._full(jnp.asarray(stack), jnp.asarray(dstack))
+
+    def step(self, frame_u8, depth_u8=None):
+        """Synchronous step: (mask, aux) numpy arrays, or None in warmup."""
+        out = self.step_async(frame_u8, depth_u8)
+        if out is None:
+            return None
+        mask, aux = out
+        return np.asarray(mask), np.asarray(aux)
 
 
 def track_on_video(
@@ -374,6 +462,24 @@ def track_on_video(
     tracker = KeypointTracker(N, cfg)
     t_start = time.perf_counter()
     frames_done = 0
+    pending = None  # (frame, device handles) — 1-frame pipeline: the next
+    # frame's device work is dispatched before this frame's host decode, so
+    # host decode/transfer overlaps device compute
+
+    def consume(frame, handles):
+        nonlocal frames_done
+        mask_array = np.asarray(handles[0])
+        aux = np.asarray(handles[1])
+        disp = render_overlay(frame, mask_array) if cfg.overlay else None
+        if cfg.decode == "device":
+            tracker.update_device(aux, mask_array, disp)
+        else:
+            heats = aux.astype(np.float32)
+            tracker.update(mask_array, heats[..., 1], heats[..., 0], disp)
+        if writer is not None:
+            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+        frames_done += 1
+
     while True:
         ret, frame = vid.read()
         if not ret:
@@ -387,22 +493,16 @@ def track_on_video(
             if not retd:
                 break
             dframe = cv2.resize(cv2.cvtColor(d, cv2.COLOR_BGR2GRAY), (W, H))
-        result = engine.step(frame, dframe)
-        if result is None:
+        handles = engine.step_async(frame, dframe)
+        if pending is not None:
+            consume(*pending)
+        if handles is None:
             tracker.skip()
+            pending = None
             continue
-        mask_dev, probs = result
-        if cfg.score_detection_threshold > 0:
-            mask_array = classes_from_probs(
-                probs, cfg.score_detection_threshold
-            )
-        else:
-            mask_array = mask_dev
-        disp = render_overlay(frame, mask_array) if cfg.overlay else None
-        tracker.update(mask_array, probs[..., 4], probs[..., 2], disp)
-        if writer is not None:
-            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
-        frames_done += 1
+        pending = (frame, handles)
+    if pending is not None:
+        consume(*pending)
 
     elapsed = time.perf_counter() - t_start
     if writer is not None:
