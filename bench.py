@@ -86,6 +86,10 @@ def main():
             for _ in range(args.trials):
                 _, fps = track_on_video(video, model, variables, cfg, td)
                 best = max(best, fps)
+        # NOTE: in this test harness the TPU sits behind a remote tunnel
+        # with ~5 MB/s host<->device bandwidth; per-frame video upload alone
+        # bounds this number. On a directly attached chip the pipeline is
+        # compute-bound (see the 'incremental' device-side metric).
         print(json.dumps({
             "metric": (
                 f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}_{args.decode}"

@@ -381,6 +381,7 @@ class InferenceEngine:
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
         self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
+        self._zero_depth = jnp.zeros((H, W), jnp.uint8)  # uploaded once
         self._frame_q = []
         self._depth_q = []
 
@@ -389,18 +390,21 @@ class InferenceEngine:
         during warmup. No host synchronization — fetch with np.asarray."""
         jnp = self._jnp
         T = self.cfg.num_input_frames
-        if depth_u8 is None:
-            depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
         if self.cfg.mode == "incremental":
+            d = (
+                self._zero_depth if depth_u8 is None
+                else jnp.asarray(depth_u8)
+            )
             self.seg_buf, self.depth_buf = self._ingest(
-                self.seg_buf, self.depth_buf, jnp.asarray(frame_u8),
-                jnp.asarray(depth_u8),
+                self.seg_buf, self.depth_buf, jnp.asarray(frame_u8), d
             )
             self._frame_q.append(True)
             if len(self._frame_q) < T:
                 return None
             return self._fuse(self.seg_buf, self.depth_buf)
         # full mode: keep raw frames, newest-first stacking (reference :251)
+        if depth_u8 is None:
+            depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
         self._frame_q.append(frame_u8)
         self._depth_q.append(depth_u8)
         if len(self._frame_q) > T:
