@@ -413,3 +413,93 @@ def convert_hrnet(
         params["head_bn"], stats["head_bn"] = p, s
         params["head2"] = _conv(sd, "last_layer.3")
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# TAPNet11/16 (reference models/tap_model.py naming)
+# ---------------------------------------------------------------------------
+def _conv2drelu(sd, prefix):
+    """Conv2dReLU -> {'Conv_0': ...} (torch key '{prefix}.l.conv')."""
+    return {"Conv_0": _conv(sd, f"{prefix}.l.conv")}
+
+
+def _tap_decoder(sd, prefix, upsample: bool):
+    """DecoderModule (reference tap_model.py:56-91): upsample variant keys
+    '{p}.l.conv1/.l.conv2' (Conv2dReLU each); deconv variant '{p}.l.conv'
+    (Conv2dReLU) + '{p}.l.deconv' (ConvTranspose2d)."""
+    if upsample:
+        return {
+            "ConvReLU_0": {"Conv_0": _conv(sd, f"{prefix}.l.conv1.l.conv")},
+            "ConvReLU_1": {"Conv_0": _conv(sd, f"{prefix}.l.conv2.l.conv")},
+        }
+    return {
+        "ConvReLU_0": {"Conv_0": _conv(sd, f"{prefix}.l.conv.l.conv")},
+        "TorchConvTranspose_0": _deconv(sd, f"{prefix}.l.deconv"),
+    }
+
+
+def _tap_attention(sd, prefix):
+    """AttentionModule (tap_model.py:93-118): firstconv Conv2dReLU +
+    learnable_attmap Sequential(Conv2dReLU(1x1), Sigmoid)."""
+    return {
+        "ConvReLU_0": {"Conv_0": _conv(sd, f"{prefix}.firstconv.l.conv")},
+        "att_conv": _conv(sd, f"{prefix}.learnable_attmap.0.l.conv"),
+    }
+
+
+def convert_tapnet(sd: Dict[str, np.ndarray], arch: str = "TAPNet16"):
+    """Reference TAPNet11/16 state_dict -> flax variables."""
+    if arch == "TAPNet16":
+        conv_idx, upsample, vgg_key = VGG16_CONV_IDX, True, "vgg16"
+    else:
+        conv_idx, upsample, vgg_key = VGG11_CONV_IDX, False, "vgg11"
+    body = {
+        "encoder": {
+            f"Conv_{i}": _conv(sd, f"{vgg_key}.{idx}")
+            for i, idx in enumerate(conv_idx)
+        }
+    }
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        body[name] = _tap_decoder(sd, name, upsample)
+    for name in ("att5", "att4", "att3", "att2", "att1"):
+        body[name] = _tap_attention(sd, name)
+    body["dec1"] = {"Conv_0": _conv(sd, "dec1.l.conv")}
+    body["final"] = _conv(sd, "final")
+    return {"params": {"body": body}}
+
+
+# ---------------------------------------------------------------------------
+# generic multi-frame wrapper conversion (any base family)
+# ---------------------------------------------------------------------------
+_BASE_CONVERTERS = {
+    "TernausNet16": lambda sd: convert_ternausnet(sd, "TernausNet16"),
+    "TernausNet11": lambda sd: convert_ternausnet(sd, "TernausNet11"),
+    "FCN": convert_fcn_resnet101,
+    "DeepLab_v3": convert_deeplabv3_resnet101,
+    "HRNet": convert_hrnet,
+}
+
+
+def convert_multiframe(sd: Dict[str, np.ndarray], base_kind: str):
+    """Reference {family}Multi{Basic,Large} checkpoint -> flax variables:
+    base_model.* through the family converter + the fusion head
+    (reference wrappers: models/multiframe_model.py:207-540)."""
+    base_sd = {
+        k[len("base_model."):]: v
+        for k, v in sd.items()
+        if k.startswith("base_model.")
+    }
+    base_vars = _BASE_CONVERTERS[base_kind](base_sd)
+    head_params, head_stats = _multiframe_head(
+        sd, "multiframe_net.multiframe_net"
+    )
+    return {
+        "params": {
+            "base": base_vars["params"],
+            "multiframe_net": {"head": head_params},
+        },
+        "batch_stats": {
+            "base": base_vars.get("batch_stats", {}),
+            "multiframe_net": {"head": head_stats},
+        },
+    }

@@ -78,11 +78,13 @@ class AttentionModule(nn.Module):
 
 class _TAPNetVGG(nn.Module):
     """Shared VGG-encoder TAPNet body (TAPNet11/16 differ only in encoder
-    stages and decoder style; reference models/tap_model.py:173-298)."""
+    stages and decoder style; reference models/tap_model.py:173-298).
+    ``width_mult`` scales the decoder/attention widths with the encoder."""
 
     num_classes: int
     stage_convs: tuple
     upsample_decoder: bool
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
@@ -90,34 +92,40 @@ class _TAPNetVGG(nn.Module):
             self.stage_convs, name="encoder"
         )(x)
         up = self.upsample_decoder
-        center = DecoderModule(512, 256, up, name="center")(
+
+        def c(n):
+            return max(1, int(n * self.width_mult))
+
+        center = DecoderModule(c(512), c(256), up, name="center")(
             max_pool_2x(conv5)
         )
 
-        att5, a5 = AttentionModule(256 + 512, 1 / 16, name="att5")(
+        att5, a5 = AttentionModule(c(256) + c(512), 1 / 16, name="att5")(
             jnp.concatenate([center, conv5], axis=-1), attmap
         )
-        dec5 = DecoderModule(512, 256, up, name="dec5")(att5)
-        att4, a4 = AttentionModule(256 + 512, 1, name="att4")(
+        dec5 = DecoderModule(c(512), c(256), up, name="dec5")(att5)
+        att4, a4 = AttentionModule(c(256) + c(512), 1, name="att4")(
             jnp.concatenate([dec5, conv4], axis=-1),
             upsample_bilinear_2x(a5, align_corners=False),
         )
-        dec4 = DecoderModule(512, 256 if up else 128, up, name="dec4")(att4)
-        att3, a3 = AttentionModule(128 + 256, 1, name="att3")(
+        dec4 = DecoderModule(
+            c(512), c(256) if up else c(128), up, name="dec4"
+        )(att4)
+        att3, a3 = AttentionModule(c(128) + c(256), 1, name="att3")(
             jnp.concatenate([dec4, conv3], axis=-1),
             upsample_bilinear_2x(a4, align_corners=False),
         )
-        dec3 = DecoderModule(256, 64, up, name="dec3")(att3)
-        att2, a2 = AttentionModule(64 + 128, 1, name="att2")(
+        dec3 = DecoderModule(c(256), c(64), up, name="dec3")(att3)
+        att2, a2 = AttentionModule(c(64) + c(128), 1, name="att2")(
             jnp.concatenate([dec3, conv2], axis=-1),
             upsample_bilinear_2x(a3, align_corners=False),
         )
-        dec2 = DecoderModule(128, 32, up, name="dec2")(att2)
-        att1, a1 = AttentionModule(32 + 64, 1, name="att1")(
+        dec2 = DecoderModule(c(128), c(32), up, name="dec2")(att2)
+        att1, a1 = AttentionModule(c(32) + c(64), 1, name="att1")(
             jnp.concatenate([dec2, conv1], axis=-1),
             upsample_bilinear_2x(a2, align_corners=False),
         )
-        dec1 = ConvReLU(32, name="dec1")(att1)
+        dec1 = ConvReLU(c(32), name="dec1")(att1)
         out = nn.Conv(self.num_classes, (1, 1), name="final")(dec1)
         if self.num_classes > 1:
             out = log_softmax_channels(out)
@@ -130,12 +138,13 @@ class TAPNet11(nn.Module):
 
     num_classes: int
     stage_convs: tuple = VGG11_STAGES
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
         return _TAPNetVGG(
             self.num_classes, self.stage_convs, upsample_decoder=False,
-            name="body",
+            width_mult=self.width_mult, name="body",
         )(x, attmap, train=train)
 
 
@@ -145,12 +154,13 @@ class TAPNet16(nn.Module):
 
     num_classes: int
     stage_convs: tuple = VGG16_STAGES
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
         return _TAPNetVGG(
             self.num_classes, self.stage_convs, upsample_decoder=True,
-            name="body",
+            width_mult=self.width_mult, name="body",
         )(x, attmap, train=train)
 
 

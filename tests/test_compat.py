@@ -173,3 +173,47 @@ def test_hrnet_conversion_parity():
         jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_tapnet16_conversion_parity():
+    from tests.torch_tapnet_ref import TAPNet16Torch
+    from mfcnet_tpu.compat.torch_convert import convert_tapnet
+    from mfcnet_tpu.models.tapnet import TAPNet16
+
+    torch.manual_seed(9)
+    tmodel = TAPNet16Torch(C, width_mult=WM).eval()
+    variables = convert_tapnet(_state_dict_np(tmodel), "TAPNet16")
+    fmodel = TAPNet16(num_classes=C, stage_convs=SCALED_STAGES,
+                      width_mult=WM)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, H, W, 3)).astype(np.float32)
+    att = rng.uniform(0, 1, (1, H, W, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.moveaxis(x, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(att, -1, 1).copy()),
+        )
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x, a: fmodel.apply(v, x, a))(
+            variables, jnp.asarray(x), jnp.asarray(att)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_generic_multiframe_conversion():
+    """convert_multiframe with the TernausNet16 family == the dedicated
+    converter used by the flagship parity test."""
+    from tests.torch_ref import TernausNetMultiBasicTorch
+    from mfcnet_tpu.compat.torch_convert import convert_multiframe
+
+    torch.manual_seed(1)
+    tmodel = TernausNetMultiBasicTorch(C, T, width_mult=WM).eval()
+    v1 = convert_multiframe(_state_dict_np(tmodel), "TernausNet16")
+    v2 = convert_multiframe_ternausnet(_state_dict_np(tmodel))
+    a = jax.tree_util.tree_leaves(v1["params"])
+    b = jax.tree_util.tree_leaves(v2["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
