@@ -14,7 +14,6 @@ vs_baseline = fps / 60 (BASELINE.json north-star: >=60 fps/chip on v5e).
 
 import argparse
 import json
-import sys
 import time
 
 import numpy as np

@@ -13,7 +13,6 @@ Usage: python -m mfcnet_tpu.cli.train_multiframe_detection --dataset JIGSAWS ...
 from __future__ import annotations
 
 import functools
-import sys
 
 import jax
 import numpy as np

@@ -10,8 +10,6 @@ attention-map regeneration after each epoch (:261-263) is supported via
 
 from __future__ import annotations
 
-import functools
-
 import cv2
 import jax
 import numpy as np

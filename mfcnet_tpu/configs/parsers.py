@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import argparse
 from pathlib import Path
-from typing import Optional, Sequence
-
 from mfcnet_tpu.configs.base import (
     DataConfig,
     IOConfig,

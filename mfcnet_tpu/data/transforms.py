@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

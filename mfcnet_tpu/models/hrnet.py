@@ -17,7 +17,7 @@ protocol implements by hand (functions.py:157-230).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

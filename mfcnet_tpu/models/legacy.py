@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from mfcnet_tpu.models.common import TorchConvTranspose, max_pool_2x
 from mfcnet_tpu.models.unet import UNetBlock, UpConv
-from mfcnet_tpu.ops.resize import resize_bilinear, upsample_bilinear_2x
+from mfcnet_tpu.ops.resize import resize_bilinear
 
 
 def _bn(train, name=None):

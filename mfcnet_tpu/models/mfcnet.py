@@ -24,8 +24,6 @@ scripts/test_multiframe_segmentation_on_videos_v3.py:251).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 from flax import linen as nn
 

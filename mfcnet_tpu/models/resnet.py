@@ -9,9 +9,8 @@ models/multiframe_model.py:281, :482).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

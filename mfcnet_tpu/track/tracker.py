@@ -25,7 +25,6 @@ CSV layout (N x 12, NaN = missing):
 from __future__ import annotations
 
 import dataclasses
-import os
 import time
 from pathlib import Path
 from typing import Optional

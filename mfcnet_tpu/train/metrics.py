@@ -8,7 +8,7 @@ matrix and per-class IoU/Dice are computed inside jit via a one-hot matmul
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ requires_grad=False, :145-151).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping, Optional
+from typing import Callable
 
 import jax
 import optax

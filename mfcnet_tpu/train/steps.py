@@ -14,7 +14,6 @@ import functools
 from typing import Callable, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 
 from mfcnet_tpu.train.loss import compute_losses
 from mfcnet_tpu.train.metrics import compute_metrics

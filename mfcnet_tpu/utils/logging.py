@@ -16,8 +16,6 @@ import logging
 import sys
 import time
 from pathlib import Path
-from typing import Optional
-
 
 class ScalarWriter:
     """JSONL scalar writer with optional TensorBoard mirroring."""
