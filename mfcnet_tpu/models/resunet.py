@@ -66,13 +66,12 @@ class ResBlock(nn.Module):
 
 
 def _pixel_unshuffle(x):
-    """(B, 2h, 2w, C) -> (B, h, w, 4C), torch Rearrange
-    'b c (h p1) (w p2) -> b (c p1 p2) h w' channel order preserved in NHWC
-    as (c, p1, p2) fastest-last -> here (p1, p2, c); the following 1x1 conv
-    absorbs any fixed channel permutation."""
+    """(B, 2h, 2w, C) -> (B, h, w, 4C) with torch Rearrange channel order
+    'b c (h p1) (w p2) -> b (c p1 p2) h w': output channel = c*4 + p1*2 + p2
+    (matters only for weight conversion; a 1x1 conv follows either way)."""
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, h, w, C, p1, p2)
     return x.reshape(B, H // 2, W // 2, 4 * C)
 
 

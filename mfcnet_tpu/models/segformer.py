@@ -151,7 +151,10 @@ class SegFormerMiTB3(nn.Module):
             name="fuse_bn",
         )(y)
         y = nn.relu(y)
-        logits = nn.Conv(self.num_classes, (1, 1), name="pred")(y)
-        logits = resize_bilinear(logits, H, W, align_corners=False)
-        # smp activation='logsoftmax' (reference models/__init__.py:49)
+        # smp SegmentationHead: Conv3x3 then UpsamplingBilinear2d(4)
+        # (align_corners=True), then the 'logsoftmax' activation
+        # (reference models/__init__.py:49)
+        logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                         name="pred")(y)
+        logits = resize_bilinear(logits, H, W, align_corners=True)
         return jax.nn.log_softmax(logits, axis=-1)
