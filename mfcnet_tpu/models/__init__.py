@@ -39,7 +39,21 @@ def _build_base(
 
     ``scale`` < 1 shrinks channel widths uniformly (smoke tests / fast CI);
     1.0 is the reference-sized architecture.
+
+    ``pretrained=True`` in the reference downloads torchvision/timm/smp
+    weights; this environment has no network egress, so pretrained
+    initialization is done by converting a local ``.pth`` with
+    :mod:`mfcnet_tpu.compat.torch_convert` (e.g. ``convert_vgg_features``)
+    and loading the result — the flag alone cannot fetch weights.
     """
+    import logging
+
+    if pretrained:
+        logging.getLogger(__name__).warning(
+            "pretrained=True: supply converted weights via "
+            "mfcnet_tpu.compat (no network egress; the flag does not "
+            "download torchvision/timm checkpoints)"
+        )
     from mfcnet_tpu.models.common import VGG11_STAGES, VGG16_STAGES
 
     if kind == "TernausNet11":

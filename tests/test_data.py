@@ -80,3 +80,25 @@ def test_cal_attmap_np_warp_and_dilate():
     assert out[5, 8] == 1.0
     assert out.max() == 1.0
     assert out.sum() > 1.0  # dilated
+
+
+def test_config_file_parsing(tmp_path):
+    """-c file with key = value lines; CLI args take precedence
+    (configargparse-compatible subset)."""
+    from mfcnet_tpu.configs.parsers import multiframe_train_parser
+
+    cfgfile = tmp_path / "train.cfg"
+    cfgfile.write_text(
+        "dataset = JIGSAWS\n"
+        "lr = 1e-3\n"
+        "# a comment\n"
+        "loss_fns = nll soft_jaccard\n"
+        "num_epochs = 7\n"
+    )
+    args = multiframe_train_parser().parse_args(
+        ["-c", str(cfgfile), "--num_epochs", "9"]
+    )
+    assert args.dataset == "JIGSAWS"
+    assert args.lr == 1e-3
+    assert args.loss_fns == ["nll", "soft_jaccard"]
+    assert args.num_epochs == 9  # CLI wins
