@@ -72,6 +72,18 @@ def main(argv=None):
     np.random.seed(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
+    # data-parallel mesh over every visible chip (GSPMD; replaces the
+    # reference's nn.DataParallel, scripts/train_multiframe_detection.py:107)
+    from mfcnet_tpu.parallel import make_mesh, shard_batch
+
+    n_dev = len(jax.devices())
+    # shard over the largest device count that divides the batch
+    while n_dev > 1 and args.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        logger.info(f"data-parallel over {n_dev} devices")
+
     train_loader, val_loader = get_data_loader(
         args.dataset,
         args.data_dir,
@@ -84,6 +96,9 @@ def main(argv=None):
         add_depth_inputs=args.add_depth_inputs,
         seed=args.seed,
     )
+    if mesh is not None:
+        # fixed batch shapes so axis-0 sharding always divides
+        train_loader.drop_last = True
 
     model = get_multiframe_segmentation_model(
         args.model_type,
@@ -187,39 +202,46 @@ def main(argv=None):
     prep_fn = functools.partial(preprocess_eval_batch, cfg=tcfg)
 
     def aug(batch, k):
-        return augment_train_batch(batch, k, tcfg)
+        out = augment_train_batch(batch, k, tcfg)
+        return shard_batch(mesh, out) if mesh is not None else out
 
+    import contextlib
+
+    mesh_ctx = (
+        jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    )
     try:
-        for epoch in range(start_epoch, args.num_epochs + 1):
-            key, ek = jax.random.split(key)
-            state, train_loss = train_one_epoch(
-                train_loader,
-                epoch,
-                state,
-                train_step,
-                aug,
-                ek,
-                logger,
-                writer,
-                args.print_freq,
-                args.loss_fns,
-            )
-            validate(
-                val_loader,
-                state,
-                eval_step,
-                lambda b: preprocess_eval_batch(b, tcfg),
-                logger,
-                writer,
-                epoch,
-                args.print_freq,
-                args.loss_fns,
-                args.metric_fns,
-                args.num_classes,
-            )
-            if epoch % args.save_freq == 0 or epoch == args.num_epochs:
-                p = save_checkpoint(expt_dir / "ckpts", epoch, state)
-                logger.info(f"Saved checkpoint {p}")
+        with mesh_ctx:
+            for epoch in range(start_epoch, args.num_epochs + 1):
+                key, ek = jax.random.split(key)
+                state, train_loss = train_one_epoch(
+                    train_loader,
+                    epoch,
+                    state,
+                    train_step,
+                    aug,
+                    ek,
+                    logger,
+                    writer,
+                    args.print_freq,
+                    args.loss_fns,
+                )
+                validate(
+                    val_loader,
+                    state,
+                    eval_step,
+                    lambda b: preprocess_eval_batch(b, tcfg),
+                    logger,
+                    writer,
+                    epoch,
+                    args.print_freq,
+                    args.loss_fns,
+                    args.metric_fns,
+                    args.num_classes,
+                )
+                if epoch % args.save_freq == 0 or epoch == args.num_epochs:
+                    p = save_checkpoint(expt_dir / "ckpts", epoch, state)
+                    logger.info(f"Saved checkpoint {p}")
     except KeyboardInterrupt:
         # snapshot on interrupt (reference :179-183)
         p = save_checkpoint(expt_dir / "ckpts", 999, state)

@@ -76,3 +76,33 @@ def test_resume_from_checkpoint(tmp_path):
     s2 = main(common + ["--resume", "true", "--starting_epoch", "1"])
     # resumed run continues from the saved optimizer step
     assert int(s2.step) >= int(s1.step)
+
+
+def test_train_cli_multidevice_sharded(tmp_path):
+    """The CLI shards batches over all 8 virtual CPU devices (GSPMD DP)."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+
+    assert len(jax.devices()) == 8
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=2, frames_per_video=8,
+        height=64, width=64,
+    )
+    state = main([
+        "--data_dir", str(data_root),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path / "runs"),
+        "--expt_name", "dp8",
+        "--batch_size", "8",
+        "--num_workers", "2",
+        "--num_epochs", "1",
+        "--save_freq", "1",
+        "--print_freq", "5",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+    ])
+    assert int(state.step) >= 2  # 16 train samples / batch 8
