@@ -217,3 +217,48 @@ def test_generic_multiframe_conversion():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_mfcnet_flow_depth_channel_ordering_parity():
+    """Flow-warped Basic fusion vs the torch oracle: catches seg/flow/depth
+    channel-ordering and warp-grid mistakes in MultiFrameNet."""
+    from tests.torch_ref import MultiFrameNetBasicFlowTorch
+    from mfcnet_tpu.compat.torch_convert import _multiframe_head
+    from mfcnet_tpu.models.mfcnet import MultiFrameNet
+
+    torch.manual_seed(11)
+    tmodel = MultiFrameNetBasicFlowTorch(C, T, with_depth=True).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    head_params, head_stats = _multiframe_head(sd, "multiframe_net")
+    variables = {
+        "params": {"head": head_params},
+        "batch_stats": {"head": head_stats},
+    }
+
+    fmodel = MultiFrameNet(C, T, variant="basic", parity_grid=True)
+    rng = np.random.default_rng(11)
+    seg = rng.uniform(0, 1, (1, T, H, W, C)).astype(np.float32)
+    flow = rng.uniform(-4, 4, (1, T - 1, H, W, 2)).astype(np.float32)
+    depth = rng.uniform(0, 1, (1, T, H, W, 1)).astype(np.float32)
+
+    # assemble the torch NCHW input: [N*K seg][2(K-1) flow][K depth]
+    seg_t = np.concatenate(
+        [np.moveaxis(seg[:, i], -1, 1) for i in range(T)], axis=1
+    )
+    flow_t = np.concatenate(
+        [np.moveaxis(flow[:, i], -1, 1) for i in range(T - 1)], axis=1
+    )
+    depth_t = np.concatenate(
+        [np.moveaxis(depth[:, i], -1, 1) for i in range(T)], axis=1
+    )
+    x_t = np.concatenate([seg_t, flow_t, depth_t], axis=1)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x_t))
+    want = np.moveaxis(want.numpy(), 1, -1)
+
+    got = np.asarray(
+        jax.jit(
+            lambda v, s, f, d: fmodel.apply(v, s, optflow=f, depth=d)
+        )(variables, jnp.asarray(seg), jnp.asarray(flow), jnp.asarray(depth))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

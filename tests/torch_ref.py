@@ -146,3 +146,61 @@ class TernausNetMultiBasicTorch(nn.Module):
         if depth is not None:
             ys += list(depth)
         return self.multiframe_net(torch.cat(ys, dim=1))
+
+
+class MultiFrameNetBasicFlowTorch(nn.Module):
+    """Oracle for the flow-warping Basic head (reference
+    models/multiframe_model.py:51-185): input channels
+    [N*K seg][2(K-1) flow][K depth]; frames 1..K-1's seg+depth warped by
+    their flow over the fixed 576x720 cropped grid; flow channels dropped
+    before the head."""
+
+    def __init__(self, num_classes, num_frames, with_depth=True):
+        super().__init__()
+        self.N, self.K = num_classes, num_frames
+        self.with_depth = with_depth
+        tc = num_frames * num_classes
+        in_c = tc + (num_frames if with_depth else 0)
+        self.multiframe_net = MultiFrameNetBasicTorch(
+            num_classes, num_frames, with_depth
+        ).multiframe_net
+        import numpy as np
+
+        GH, GW = 576, 720
+        y, x = np.meshgrid(np.arange(GH), np.arange(GW), indexing="ij")
+        gy = 2.0 * y / (GH - 1) - 1.0
+        gx = 2.0 * x / (GW - 1) - 1.0
+        self.register_buffer(
+            "grid",
+            torch.from_numpy(
+                np.stack([gx, gy], axis=0)[None].astype("float32")
+            ),
+        )
+
+    def _warp(self, maps, flow):
+        _, _, H, W = maps.shape
+        grid = self.grid[:, :, :H, :W]
+        fx = flow[:, 0] / ((W - 1) / 2.0)
+        fy = flow[:, 1] / ((H - 1) / 2.0)
+        new_grid = (grid + torch.stack([fx, fy], 1)).permute(0, 2, 3, 1)
+        return F.grid_sample(
+            maps, new_grid, mode="bilinear", padding_mode="zeros",
+            align_corners=True,
+        )
+
+    def forward(self, x):
+        N, K = self.N, self.K
+        seg = x[:, : N * K]
+        flow = x[:, N * K : N * K + 2 * K - 2]
+        depth = x[:, N * K + 2 * K - 2 :] if self.with_depth else None
+        warped_seg = [seg[:, 0:N]]
+        warped_depth = [depth[:, 0:1]] if self.with_depth else []
+        for i in range(1, K):
+            f = flow[:, 2 * (i - 1) : 2 * i]
+            # reference warps each channel separately; per-channel vs
+            # channel-batched grid_sample are identical
+            warped_seg.append(self._warp(seg[:, i * N : (i + 1) * N], f))
+            if self.with_depth:
+                warped_depth.append(self._warp(depth[:, i : i + 1], f))
+        parts = warped_seg + warped_depth
+        return self.multiframe_net(torch.cat(parts, 1))
