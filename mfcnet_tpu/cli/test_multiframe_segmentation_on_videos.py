@@ -57,6 +57,8 @@ def build_parser():
                    ("true", "1", "yes"), default=False)
     p.add_argument("--add_depth_inputs", type=lambda v: v.lower() in
                    ("true", "1", "yes"), default=False)
+    p.add_argument("--load_wts_flow_model", type=str, default=None,
+                   help="Flow-model weights (msgpack) for --add_optflow_inputs")
     p.add_argument("--tracker_mode", type=str, default="incremental",
                    choices=["incremental", "full"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -127,7 +129,28 @@ def main(argv=None):
         mode=args.tracker_mode,
         dtype=args.compute_dtype,
         add_depth_inputs=args.add_depth_inputs,
+        add_optflow_inputs=args.add_optflow_inputs,
     )
+
+    flow_model = flow_variables = None
+    if args.add_optflow_inputs:
+        # frozen RAFT provider (reference loads torchvision raft_large,
+        # :342-352); supply converted weights via --load_wts_flow_model
+        from mfcnet_tpu.models.raft import RAFT
+
+        flow_model = RAFT(iters=12)
+        flow_variables = jit_init(
+            flow_model, jax.random.PRNGKey(1),
+            np.zeros((1, H // 2, W // 2, 3), np.float32),
+            np.zeros((1, H // 2, W // 2, 3), np.float32),
+        )
+        if args.load_wts_flow_model:
+            from mfcnet_tpu.utils.checkpoint import load_params
+
+            flow_variables = {"params": load_params(
+                args.load_wts_flow_model,
+                template=flow_variables["params"],
+            )}
 
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:
@@ -144,6 +167,7 @@ def main(argv=None):
         _, fps = track_on_video(
             video, model, variables, cfg, out_dir,
             depth_video_path=dvideo, logger=logger,
+            flow_model=flow_model, flow_variables=flow_variables,
         )
         fps_all.append(fps)
     if fps_all:

@@ -55,6 +55,7 @@ class TrackerConfig:
     decode: str = "host"  # 'host' (exact parity) | 'device' (fixed-shape)
     dtype: str = "bfloat16"
     add_depth_inputs: bool = False
+    add_optflow_inputs: bool = False
     replicate_left_prev_bug: bool = True
     output_fps: int = 30
     overlay: bool = True
@@ -285,7 +286,14 @@ class InferenceEngine:
     ingest happens for every frame from the first one.
     """
 
-    def __init__(self, model, variables, cfg: TrackerConfig):
+    def __init__(self, model, variables, cfg: TrackerConfig,
+                 flow_model=None, flow_variables=None):
+        """``flow_model``/``flow_variables``: optional frozen flow provider
+        (a RAFT module) used when cfg.add_optflow_inputs — the reference
+        computes flow between the newest frame and each previous frame at
+        0.5x resolution, then rescales the flow x2 with bilinear
+        align_corners=True (test_multiframe_segmentation_on_videos_v3.py:
+        264-271)."""
         import jax
         import jax.numpy as jnp
 
@@ -305,8 +313,25 @@ class InferenceEngine:
         mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 
+        H2, W2 = H // 2, W // 2
+
+        def compute_flow(frames_norm):
+            """(1, T, H, W, 3) normalized frames -> (1, T-1, H, W, 2) flow
+            (reference v3: flow(newest_half, frame_i_half), upscaled x2
+            bilinear align_corners=True, values /0.5)."""
+            from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
+
+            half = resize_nearest(frames_norm, H2, W2)
+            f0 = half[:, 0]
+            flows = []
+            for i in range(1, cfg.num_input_frames):
+                fl = flow_model.apply(flow_variables, f0, half[:, i])
+                fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
+                flows.append(fl)
+            return jnp.stack(flows, axis=1)
+
         @jax.jit
-        def ingest(seg_buf, depth_buf, frame_u8, depth_u8):
+        def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
             x = frame_u8.astype(dtype) / 255.0
             x = ((x - mean) / std)[None]
             seg_new = model.apply(cvars, x, method="base_forward")
@@ -317,7 +342,11 @@ class InferenceEngine:
             depth_buf = jnp.concatenate(
                 [d[:, None], depth_buf[:, :-1]], axis=1
             )
-            return seg_buf, depth_buf
+            if cfg.add_optflow_inputs:
+                frame_buf = jnp.concatenate(
+                    [x[:, None], frame_buf[:, :-1]], axis=1
+                )
+            return seg_buf, depth_buf, frame_buf
 
         def _outputs(probs):
             """Per-frame outputs, minimized for host transfer.
@@ -354,10 +383,12 @@ class InferenceEngine:
             return mask, heats
 
         @jax.jit
-        def fuse(seg_buf, depth_buf):
+        def fuse(seg_buf, depth_buf, frame_buf):
             kwargs = (
                 {"depth": depth_buf} if cfg.add_depth_inputs else {}
             )
+            if cfg.add_optflow_inputs:
+                kwargs["optflow"] = compute_flow(frame_buf)
             logits = model.apply(
                 cvars, seg_buf, method="fuse_precomputed", **kwargs
             )
@@ -373,6 +404,8 @@ class InferenceEngine:
                 kwargs["depth"] = (
                     depth_u8.astype(dtype) / 255.0
                 )[None, ..., None]
+            if cfg.add_optflow_inputs:
+                kwargs["optflow"] = compute_flow(x)
             logits = model.apply(cvars, x, **kwargs)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
             return _outputs(probs)
@@ -380,6 +413,9 @@ class InferenceEngine:
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
         self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
+        self.frame_buf = jnp.zeros(
+            (1, T if cfg.add_optflow_inputs else 1, H, W, 3), dtype
+        )
         self._zero_depth = jnp.zeros((H, W), jnp.uint8)  # uploaded once
         self._frame_q = []
         self._depth_q = []
@@ -394,13 +430,14 @@ class InferenceEngine:
                 self._zero_depth if depth_u8 is None
                 else jnp.asarray(depth_u8)
             )
-            self.seg_buf, self.depth_buf = self._ingest(
-                self.seg_buf, self.depth_buf, jnp.asarray(frame_u8), d
+            self.seg_buf, self.depth_buf, self.frame_buf = self._ingest(
+                self.seg_buf, self.depth_buf, self.frame_buf,
+                jnp.asarray(frame_u8), d,
             )
             self._frame_q.append(True)
             if len(self._frame_q) < T:
                 return None
-            return self._fuse(self.seg_buf, self.depth_buf)
+            return self._fuse(self.seg_buf, self.depth_buf, self.frame_buf)
         # full mode: keep raw frames, newest-first stacking (reference :251)
         if depth_u8 is None:
             depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
@@ -432,6 +469,8 @@ def track_on_video(
     output_dir,
     depth_video_path=None,
     logger=None,
+    flow_model=None,
+    flow_variables=None,
 ):
     """Track one video end to end; writes ``{name}_tracked.{csv,mp4}``.
 
@@ -439,7 +478,10 @@ def track_on_video(
     forward(s), fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
     """
     H, W = cfg.input_height, cfg.input_width
-    engine = InferenceEngine(model, variables, cfg)
+    engine = InferenceEngine(
+        model, variables, cfg, flow_model=flow_model,
+        flow_variables=flow_variables,
+    )
 
     vid = cv2.VideoCapture(str(video_path))
     name = Path(video_path).stem

@@ -126,3 +126,56 @@ def test_engine_probs_identical_between_modes():
                 outs["incremental"][1], outs["full"][1], atol=2e-6,
                 err_msg=f"frame {t}",
             )
+
+
+def test_tracker_with_optical_flow(tmp_path):
+    """Flow-enabled tracking (reference v3 flow path: half-res RAFT,
+    x2 upscale): runs end to end, modes agree."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(3),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (5, H, W, 3), dtype=np.uint8)
+    engines = {
+        mode: InferenceEngine(
+            model, variables,
+            TrackerConfig(num_input_frames=T, num_classes=C,
+                          input_height=H, input_width=W, dtype="float32",
+                          mode=mode, add_optflow_inputs=True),
+            flow_model=flow_model, flow_variables=flow_vars,
+        )
+        for mode in ("incremental", "full")
+    }
+    for t in range(5):
+        outs = {m: e.step(frames[t]) for m, e in engines.items()}
+        assert (outs["incremental"] is None) == (outs["full"] is None)
+        if outs["incremental"] is not None:
+            np.testing.assert_allclose(
+                outs["incremental"][1], outs["full"][1], atol=5e-4,
+                err_msg=f"frame {t}",
+            )
