@@ -141,3 +141,45 @@ def test_video_cli_and_flowgen(dataset, tmp_path):
             / "frame_0001.flo")
     )
     assert flo.shape == (32, 32, 2)
+
+
+def test_singleframe_video_cli(tmp_path):
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_tooltip_segmentation_model
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, singleframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    make_synthetic_video(tmp_path / "vids" / "b.mp4", num_frames=5,
+                         height=64, width=64)
+    model = get_tooltip_segmentation_model("TernausNet16", 5, scale=0.1)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    tx = singleframe_optimizer(make_schedule("Constant", 1e-4, 1, 1))
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.test_toolpose_segmentation_on_videos import main
+
+    fps = main([
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--expt_name", "sfvt",
+        "--model_type", "TernausNet16",
+        "--load_wts_model", str(ck),
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+    ])
+    assert len(fps) == 1
+    out = tmp_path / "sfvt" / "video_tracking_results"
+    rows = np.loadtxt(out / "b_tracked.csv", delimiter=",")
+    assert rows.shape == (5, 12)
