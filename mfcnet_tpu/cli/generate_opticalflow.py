@@ -55,6 +55,12 @@ def main(argv=None):
     if args.optflow_model == "RAFT":
         from mfcnet_tpu.models.raft import RAFT
 
+        if H % 8 or W % 8:
+            raise SystemExit(
+                f"--input_height/--input_width must be divisible by 8 for "
+                f"RAFT (got {H}x{W}); torchvision raft_large has the same "
+                f"requirement"
+            )
         model = RAFT(iters=args.raft_iters)
     else:
         from mfcnet_tpu.models.unflow import UnFlow

@@ -469,6 +469,103 @@ def convert_tapnet(sd: Dict[str, np.ndarray], arch: str = "TAPNet16"):
 
 
 # ---------------------------------------------------------------------------
+# RAFT (torchvision raft_large naming — the reference's default flow
+# provider: configs/config_multiframe.py:75, loaded at
+# scripts/train_multiframe_detection.py:77-83)
+# ---------------------------------------------------------------------------
+def _conv_zb(sd, key):
+    """Conv whose torch counterpart has no bias (Conv2dNormActivation with a
+    norm layer): flax nn.Conv uses bias, so supply zeros."""
+    w = sd[f"{key}.weight"]
+    p = {"kernel": w.transpose(2, 3, 1, 0)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    else:
+        p["bias"] = np.zeros(w.shape[0], w.dtype)
+    return p
+
+
+def _raft_encoder(sd, prefix, batchnorm: bool):
+    """torchvision FeatureEncoder -> flax RAFTEncoder subtree.
+
+    Layout: convnormrelu (stem) -> Conv_0 [+ BatchNorm_0]; layer{1,2,3}.{0,1}
+    -> ResidualBlock_0..5 with convnormrelu1/2 -> Conv_0/1 and downsample ->
+    Conv_2 (Conv2dNormActivation puts the conv at Sequential index 0 and the
+    norm at index 1); final 1x1 conv -> Conv_1."""
+    params = {"Conv_0": _conv_zb(sd, f"{prefix}.convnormrelu.0")}
+    stats = {}
+    if batchnorm:
+        p, s = _bn(sd, f"{prefix}.convnormrelu.1")
+        params["BatchNorm_0"], stats["BatchNorm_0"] = p, s
+    for li in range(3):
+        for bi in range(2):
+            tp = f"{prefix}.layer{li + 1}.{bi}"
+            rb = li * 2 + bi
+            bp = {
+                "Conv_0": _conv_zb(sd, f"{tp}.convnormrelu1.0"),
+                "Conv_1": _conv_zb(sd, f"{tp}.convnormrelu2.0"),
+            }
+            bs = {}
+            if batchnorm:
+                p, s = _bn(sd, f"{tp}.convnormrelu1.1")
+                bp["BatchNorm_0"], bs["BatchNorm_0"] = p, s
+                p, s = _bn(sd, f"{tp}.convnormrelu2.1")
+                bp["BatchNorm_1"], bs["BatchNorm_1"] = p, s
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["Conv_2"] = _conv_zb(sd, f"{tp}.downsample.0")
+                if batchnorm:
+                    p, s = _bn(sd, f"{tp}.downsample.1")
+                    bp["BatchNorm_2"], bs["BatchNorm_2"] = p, s
+            params[f"ResidualBlock_{rb}"] = bp
+            if bs:
+                stats[f"ResidualBlock_{rb}"] = bs
+    params["Conv_1"] = _conv(sd, f"{prefix}.conv")
+    return params, stats
+
+
+def convert_raft(sd: Dict[str, np.ndarray]):
+    """torchvision ``raft_large`` state_dict -> flax variables for
+    :class:`mfcnet_tpu.models.raft.RAFT`.
+
+    Channel-order quirks handled structurally on the flax side (no permutes
+    needed): the corr-lookup window is x-offset-major and the convex-upsample
+    mask unpacks as (9, 8, 8), both matching torchvision (models/raft.py)."""
+    fnet_p, _ = _raft_encoder(sd, "feature_encoder", batchnorm=False)
+    cnet_p, cnet_s = _raft_encoder(sd, "context_encoder", batchnorm=True)
+    me = "update_block.motion_encoder"
+    rb = "update_block.recurrent_block"
+    update_p = {
+        "encoder": {
+            "convc1": _conv(sd, f"{me}.convcorr1.0"),
+            "convc2": _conv(sd, f"{me}.convcorr2.0"),
+            "convf1": _conv(sd, f"{me}.convflow1.0"),
+            "convf2": _conv(sd, f"{me}.convflow2.0"),
+            "conv": _conv(sd, f"{me}.conv.0"),
+        },
+        "gru": {
+            "convz_h": _conv(sd, f"{rb}.convgru1.convz"),
+            "convr_h": _conv(sd, f"{rb}.convgru1.convr"),
+            "convq_h": _conv(sd, f"{rb}.convgru1.convq"),
+            "convz_v": _conv(sd, f"{rb}.convgru2.convz"),
+            "convr_v": _conv(sd, f"{rb}.convgru2.convr"),
+            "convq_v": _conv(sd, f"{rb}.convgru2.convq"),
+        },
+        "flow1": _conv(sd, "update_block.flow_head.conv1"),
+        "flow2": _conv(sd, "update_block.flow_head.conv2"),
+        "mask1": _conv(sd, "mask_predictor.convrelu.0"),
+        "mask2": _conv(sd, "mask_predictor.conv"),
+    }
+    return {
+        "params": {
+            "fnet": fnet_p,
+            "cnet": cnet_p,
+            "update_block": update_p,
+        },
+        "batch_stats": {"cnet": cnet_s},
+    }
+
+
+# ---------------------------------------------------------------------------
 # generic multi-frame wrapper conversion (any base family)
 # ---------------------------------------------------------------------------
 _BASE_CONVERTERS = {

@@ -97,9 +97,14 @@ def all_pairs_correlation(f1, f2):
 
 
 def _avg_pool2(x):
-    """2x2 avg pool on the last two spatial axes of (B, N, H, W)."""
+    """2x2/stride-2 avg pool on the last two axes of (B, N, H, W).
+
+    Matches torch ``F.avg_pool2d(kernel=2, stride=2)``: output floor(H/2) —
+    an odd trailing row/col is dropped (e.g. the 15x20 level-3 volume at
+    480x640 input)."""
     B, N, H, W = x.shape
-    x = x.reshape(B, N, H // 2, 2, W // 2, 2)
+    H2, W2 = H // 2, W // 2
+    x = x[:, :, : H2 * 2, : W2 * 2].reshape(B, N, H2, 2, W2, 2)
     return x.mean(axis=(3, 5))
 
 
@@ -122,8 +127,12 @@ def lookup_corr(pyramid, coords, radius: int = 4):
     B, H, W, _ = coords.shape
     r = radius
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # torchvision channel ordering: delta = meshgrid(di, dj, indexing='ij')
+    # added to (x, y) coords -> channel k = a*(2r+1)+b samples offset
+    # (dx=di[a], dy=dj[b]): the x offset varies SLOW, y FAST. Keeping this
+    # layout makes pretrained convc1 weights convert without permutation.
     offs = jnp.stack(
-        jnp.meshgrid(dx, dx, indexing="xy"), axis=-1
+        jnp.meshgrid(dx, dx, indexing="ij"), axis=-1
     ).reshape(-1, 2)  # (81, 2) (x, y)
     out = []
     for lvl, corr in enumerate(pyramid):
@@ -217,11 +226,16 @@ def convex_upsample(flow, mask):
     """8x convex upsampling: softmax-combine the 3x3 neighborhood.
 
     flow: (B, H, W, 2) at 1/8 res; mask: (B, H, W, 576).
+
+    Channel layout of the mask matches torchvision's
+    ``up_mask.view(B, 1, 9, 8, 8, h, w)``: neighbor index is the MAJOR
+    axis (channel = n*64 + u*8 + v), so pretrained mask-predictor weights
+    convert without permutation.
     """
     B, H, W, _ = flow.shape
-    m = mask.reshape(B, H, W, 8, 8, 9)
-    m = jax.nn.softmax(m, axis=-1)
-    # 3x3 neighborhood of 8*flow
+    m = mask.reshape(B, H, W, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=-3)
+    # 3x3 neighborhood of 8*flow (row-major dy, dx — torch F.unfold order)
     f = 8.0 * flow
     fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
     neigh = jnp.stack(
@@ -232,7 +246,7 @@ def convex_upsample(flow, mask):
         ],
         axis=-2,
     )  # (B, H, W, 9, 2)
-    up = jnp.einsum("bhwuvn,bhwnc->bhwuvc", m, neigh)
+    up = jnp.einsum("bhwnuv,bhwnc->bhwuvc", m, neigh)
     up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 8, W, 8, 2)
     return up.reshape(B, H * 8, W * 8, 2)
 

@@ -262,3 +262,127 @@ def test_mfcnet_flow_depth_channel_ordering_parity():
         )(variables, jnp.asarray(seg), jnp.asarray(flow), jnp.asarray(depth))
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_raft_conversion_parity():
+    """Full-size raft_large: torchvision-naming oracle -> convert_raft ->
+    flax RAFT; final 12-iteration flow must match. Validates the corr
+    pyramid (incl. odd-dim avg-pool), windowed lookup channel order, GRU
+    update loop, and (9, 8, 8) convex-upsample mask layout."""
+    from tests.torch_raft_ref import RAFTTorch
+    from mfcnet_tpu.compat.torch_convert import convert_raft
+    from mfcnet_tpu.models.raft import RAFT
+
+    torch.manual_seed(7)
+    tmodel = RAFTTorch().eval()
+    variables = convert_raft(_state_dict_np(tmodel))
+
+    iters = 12
+    fmodel = RAFT(iters=iters)
+    rng = np.random.default_rng(7)
+    # 128x160 -> 1/8 pyramid 16x20, 8x10, 4x5, 2x2 (odd-dim floor at L3)
+    a = rng.uniform(-1, 1, (1, 128, 160, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (1, 128, 160, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.moveaxis(a, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(b, -1, 1).copy()),
+            num_flow_updates=iters,
+        )[-1]
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, a, b: fmodel.apply(v, a, b))(
+            variables, jnp.asarray(a), jnp.asarray(b)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_raft_flow_conditioned_mfcnet_parity():
+    """The VERDICT r1 gate: heatmaps through a FLOW-CONDITIONED MFCNet
+    forward with RAFT as the frozen provider, torch vs converted flax.
+
+    Mirrors src/engine.py:39-64 for a 'Basic' model: per pair i>=1,
+    flow_i = RAFT(frame_i, frame_0); base seg maps + flows + depth fused by
+    the warped Basic head."""
+    from tests.torch_raft_ref import RAFTTorch
+    from tests.torch_ref import (
+        MultiFrameNetBasicFlowTorch,
+        TernausNet16Torch,
+    )
+    from mfcnet_tpu.compat.torch_convert import (
+        _multiframe_head,
+        convert_raft,
+        convert_ternausnet,
+    )
+    from mfcnet_tpu.models.raft import RAFT
+
+    iters = 3
+    Hf, Wf = 128, 160
+    torch.manual_seed(13)
+    raft_t = RAFTTorch().eval()
+    base_t = TernausNet16Torch(C, num_filters=NF, width_mult=WM).eval()
+    fuse_t = MultiFrameNetBasicFlowTorch(C, T, with_depth=True).eval()
+
+    raft_v = convert_raft(_state_dict_np(raft_t))
+    base_v = convert_ternausnet(_state_dict_np(base_t), "TernausNet16")
+    head_params, head_stats = _multiframe_head(
+        _state_dict_np(fuse_t), "multiframe_net"
+    )
+
+    rng = np.random.default_rng(13)
+    frames = rng.uniform(-1, 1, (1, T, Hf, Wf, 3)).astype(np.float32)
+    depth = rng.uniform(0, 1, (1, T, Hf, Wf, 1)).astype(np.float32)
+
+    # --- torch chain (engine.py semantics) ---
+    with torch.no_grad():
+        tframes = [
+            torch.from_numpy(np.moveaxis(frames[:, i], -1, 1).copy())
+            for i in range(T)
+        ]
+        tdepth = [
+            torch.from_numpy(np.moveaxis(depth[:, i], -1, 1).copy())
+            for i in range(T)
+        ]
+        segs = [base_t(f).exp() for f in tframes]
+        flows = [
+            raft_t(tframes[i], tframes[0], num_flow_updates=iters)[-1]
+            for i in range(1, T)
+        ]
+        x_t = torch.cat(segs + flows + tdepth, dim=1)
+        want = fuse_t(x_t)
+    want = np.moveaxis(want.numpy(), 1, -1)
+
+    # --- flax chain ---
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+
+    base_f = TernausNet16(num_classes=C, num_filters=NF,
+                          stage_convs=SCALED_STAGES)
+    fmodel = MultiFrameSegmenter(
+        base=base_f, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = {
+        "params": {
+            "base": base_v["params"],
+            "multiframe_net": {"head": head_params},
+        },
+        "batch_stats": {"multiframe_net": {"head": head_stats}},
+    }
+    raft_f = RAFT(iters=iters)
+
+    @jax.jit
+    def fwd(raft_v, variables, frames, depth):
+        flows = jnp.stack(
+            [
+                raft_f.apply(raft_v, frames[:, i], frames[:, 0])
+                for i in range(1, T)
+            ],
+            axis=1,
+        )
+        return fmodel.apply(variables, frames, optflow=flows, depth=depth)
+
+    got = np.asarray(
+        fwd(raft_v, variables, jnp.asarray(frames), jnp.asarray(depth))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
