@@ -469,6 +469,79 @@ def convert_tapnet(sd: Dict[str, np.ndarray], arch: str = "TAPNet16"):
 
 
 # ---------------------------------------------------------------------------
+# SegFormer (smp.Segformer(mit_b3, activation='logsoftmax') naming —
+# reference models/__init__.py:6,47-49)
+# ---------------------------------------------------------------------------
+def _linear(sd, key):
+    """torch nn.Linear (out, in) -> flax Dense kernel (in, out)."""
+    p = {"kernel": sd[f"{key}.weight"].transpose(1, 0)}
+    if f"{key}.bias" in sd:
+        p["bias"] = sd[f"{key}.bias"]
+    return p
+
+
+def _ln(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def convert_segformer(
+    sd: Dict[str, np.ndarray],
+    depths=(3, 4, 18, 3),
+    sr_ratios=(8, 4, 2, 1),
+):
+    """smp Segformer state_dict -> flax variables for
+    :class:`mfcnet_tpu.models.segformer.SegFormerMiTB3`.
+
+    Key layout: ``encoder.*`` is smp's vendored NVlabs MixVisionTransformer;
+    ``decoder.mlp_stage.{0-3}`` maps c4..c1 projections; ``decoder.
+    fuse_stage.{0,1}`` is Conv2dReLU; ``segmentation_head.0`` the 3x3 conv
+    (upsampling + LogSoftmax are parameter-free)."""
+    enc = {}
+    enc_stats = {}
+    for s in range(4):
+        enc[f"embed{s + 1}"] = {
+            "Conv_0": _conv(sd, f"encoder.patch_embed{s + 1}.proj"),
+            "LayerNorm_0": _ln(sd, f"encoder.patch_embed{s + 1}.norm"),
+        }
+        for b in range(depths[s]):
+            tp = f"encoder.block{s + 1}.{b}"
+            attn = {
+                "q": _linear(sd, f"{tp}.attn.q"),
+                "kv": _linear(sd, f"{tp}.attn.kv"),
+                "proj": _linear(sd, f"{tp}.attn.proj"),
+            }
+            if sr_ratios[s] > 1:
+                attn["sr"] = _conv(sd, f"{tp}.attn.sr")
+                attn["sr_norm"] = _ln(sd, f"{tp}.attn.norm")
+            enc[f"stage{s + 1}_block{b}"] = {
+                "LayerNorm_0": _ln(sd, f"{tp}.norm1"),
+                "EfficientAttention_0": attn,
+                "LayerNorm_1": _ln(sd, f"{tp}.norm2"),
+                "MixFFN_0": {
+                    "fc1": _linear(sd, f"{tp}.mlp.fc1"),
+                    "dwconv": _conv(sd, f"{tp}.mlp.dwconv.dwconv"),
+                    "fc2": _linear(sd, f"{tp}.mlp.fc2"),
+                },
+            }
+        enc[f"norm{s + 1}"] = _ln(sd, f"encoder.norm{s + 1}")
+    params = {"encoder": enc}
+    # decoder.mlp_stage.0 projects c4 (deepest) ... .3 projects c1
+    for i in range(4):
+        params[f"linear_c{4 - i}"] = _linear(
+            sd, f"decoder.mlp_stage.{i}.linear"
+        )
+    params["fuse"] = {
+        "kernel": sd["decoder.fuse_stage.0.weight"].transpose(2, 3, 1, 0)
+    }
+    bnp, bns = _bn(sd, "decoder.fuse_stage.1")
+    params["fuse_bn"] = bnp
+    params["pred"] = _conv(sd, "segmentation_head.0")
+    stats = dict(enc_stats)
+    stats["fuse_bn"] = bns
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # RAFT (torchvision raft_large naming — the reference's default flow
 # provider: configs/config_multiframe.py:75, loaded at
 # scripts/train_multiframe_detection.py:77-83)
@@ -574,6 +647,7 @@ _BASE_CONVERTERS = {
     "FCN": convert_fcn_resnet101,
     "DeepLab_v3": convert_deeplabv3_resnet101,
     "HRNet": convert_hrnet,
+    "SegFormer": convert_segformer,
 }
 
 

@@ -33,7 +33,9 @@ class OverlapPatchEmbed(nn.Module):
             self.features, (p, p), strides=(self.stride, self.stride),
             padding=((p // 2, p // 2), (p // 2, p // 2)),
         )(x)
-        return nn.LayerNorm(epsilon=1e-6)(x)
+        # mix_transformer OverlapPatchEmbed.norm is a default-eps LayerNorm
+        # (1e-5), unlike the block norms built with eps=1e-6
+        return nn.LayerNorm(epsilon=1e-5)(x)
 
 
 class EfficientAttention(nn.Module):
@@ -52,7 +54,8 @@ class EfficientAttention(nn.Module):
             kv_in = nn.Conv(
                 C, (r, r), strides=(r, r), name="sr"
             )(x)
-            kv_in = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv_in)
+            # Attention.norm uses torch's default LayerNorm eps (1e-5)
+            kv_in = nn.LayerNorm(epsilon=1e-5, name="sr_norm")(kv_in)
         N = kv_in.shape[1] * kv_in.shape[2]
         kv = nn.Dense(2 * C, name="kv")(kv_in).reshape(B, N, 2, h, C // h)
         k, v = kv[:, :, 0], kv[:, :, 1]
@@ -75,7 +78,8 @@ class MixFFN(nn.Module):
             hidden, (3, 3), padding="SAME",
             feature_group_count=hidden, name="dwconv",
         )(y)
-        y = nn.gelu(y)
+        # torch nn.GELU defaults to the exact erf form
+        y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, name="fc2")(y)
 
 

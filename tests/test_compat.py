@@ -386,3 +386,38 @@ def test_raft_flow_conditioned_mfcnet_parity():
         fwd(raft_v, variables, jnp.asarray(frames), jnp.asarray(depth))
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_segformer_conversion_parity():
+    """smp Segformer(mit_b3 structure, logsoftmax head): smp-naming oracle
+    -> convert_segformer -> flax; log-prob maps must match. Real mit_b3
+    depths (3,4,18,3) so every checkpoint key name is exercised; widths
+    shrunk for speed."""
+    from tests.torch_segformer_ref import SegformerTorch
+    from mfcnet_tpu.compat.torch_convert import convert_segformer
+    from mfcnet_tpu.models.segformer import SegFormerMiTB3
+
+    dims, heads = (16, 32, 40, 64), (1, 2, 5, 8)
+    depths, srs = (3, 4, 18, 3), (8, 4, 2, 1)
+    dd = 32
+    torch.manual_seed(17)
+    tmodel = SegformerTorch(
+        C, dims=dims, heads=heads, depths=depths, sr_ratios=srs,
+        decoder_dim=dd,
+    ).eval()
+    variables = convert_segformer(_state_dict_np(tmodel), depths, srs)
+
+    fmodel = SegFormerMiTB3(
+        num_classes=C, decoder_dim=dd, dims=dims, depths=depths,
+        heads=heads, sr_ratios=srs,
+    )
+    x = np.random.default_rng(17).standard_normal((1, 64, 64, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
