@@ -33,6 +33,7 @@ from mfcnet_tpu.train.steps import (
     make_multiframe_train_step,
 )
 from mfcnet_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     load_checkpoint,
     load_params,
@@ -210,6 +211,7 @@ def main(argv=None):
     mesh_ctx = (
         jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     )
+    ckpt_writer = AsyncCheckpointer()
     try:
         with mesh_ctx:
             for epoch in range(start_epoch, args.num_epochs + 1):
@@ -240,13 +242,14 @@ def main(argv=None):
                     args.num_classes,
                 )
                 if epoch % args.save_freq == 0 or epoch == args.num_epochs:
-                    p = save_checkpoint(expt_dir / "ckpts", epoch, state)
-                    logger.info(f"Saved checkpoint {p}")
+                    p = ckpt_writer.save(expt_dir / "ckpts", epoch, state)
+                    logger.info(f"Saved checkpoint {p} (async)")
     except KeyboardInterrupt:
         # snapshot on interrupt (reference :179-183)
         p = save_checkpoint(expt_dir / "ckpts", 999, state)
         logger.info(f"Interrupted; snapshot saved to {p}")
         raise
+    ckpt_writer.wait()
     writer.close()
     return state
 

@@ -32,6 +32,7 @@ from mfcnet_tpu.train.steps import (
     make_singleframe_train_step,
 )
 from mfcnet_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -155,6 +156,7 @@ def main(argv=None):
         out_height=H, out_width=W, prediction_task=args.prediction_task
     )
 
+    ckpt_writer = AsyncCheckpointer()
     try:
         for epoch in range(start_epoch, args.num_epochs + 1):
             key, ek = jax.random.split(key)
@@ -174,7 +176,7 @@ def main(argv=None):
                     train_ds, model, state, tcfg, logger
                 )
             if epoch % args.save_freq == 0 or epoch == args.num_epochs:
-                p = save_checkpoint(expt_dir / "ckpts", epoch, state)
+                p = ckpt_writer.save(expt_dir / "ckpts", epoch, state)
                 # also export params-only for --load_wts_base_model reuse
                 save_params(
                     expt_dir / "ckpts" / f"params_{epoch:03d}.msgpack",
@@ -185,6 +187,7 @@ def main(argv=None):
         p = save_checkpoint(expt_dir / "ckpts", 999, state)
         logger.info(f"Interrupted; snapshot saved to {p}")
         raise
+    ckpt_writer.wait()
     writer.close()
     return state
 

@@ -469,6 +469,53 @@ def convert_tapnet(sd: Dict[str, np.ndarray], arch: str = "TAPNet16"):
 
 
 # ---------------------------------------------------------------------------
+# ResUNet (reference models/resunet.py:97-180 naming)
+# ---------------------------------------------------------------------------
+def _gn(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _resunet_block(sd, prefix):
+    """ResnetBlock -> flax ResBlock (WSConv stores the RAW kernel; the
+    standardization is recomputed at forward in both frameworks)."""
+    p = {
+        "WSConv_0": _conv(sd, f"{prefix}.block1.proj"),
+        "GroupNorm_0": _gn(sd, f"{prefix}.block1.norm"),
+        "WSConv_1": _conv(sd, f"{prefix}.block2.proj"),
+        "GroupNorm_1": _gn(sd, f"{prefix}.block2.norm"),
+    }
+    if f"{prefix}.res_conv.weight" in sd:
+        p["Conv_0"] = _conv(sd, f"{prefix}.res_conv")
+    return p
+
+
+def convert_resunet(sd: Dict[str, np.ndarray], num_stages: int = 4):
+    """Reference ResUnet_VB state_dict -> flax ResUNetVB variables.
+
+    Flax auto-naming order (models/resunet.py ResUNetVB.__call__):
+    down i -> ResBlock_i + Conv_i (downsample 1x1 after pixel-unshuffle for
+    i<last; plain 3x3 for last), mid -> ResBlock_{n}, up i -> ResBlock_{n+1+i}
+    + Conv_{n+i} (3x3 after nearest-2x for i<last; plain 3x3 for last),
+    final -> ResBlock_{2n+1}. The pixel-unshuffle channel order
+    (c*4 + p1*2 + p2) matches torch's Rearrange, so the 1x1 downsample
+    weights convert without permutation."""
+    n = num_stages
+    params = {"init_conv": _conv(sd, "init_conv")}
+    for i in range(n):
+        params[f"ResBlock_{i}"] = _resunet_block(sd, f"downs.{i}.0")
+        key = f"downs.{i}.1.1" if i < n - 1 else f"downs.{i}.1"
+        params[f"Conv_{i}"] = _conv(sd, key)
+    params[f"ResBlock_{n}"] = _resunet_block(sd, "mid_block")
+    for i in range(n):
+        params[f"ResBlock_{n + 1 + i}"] = _resunet_block(sd, f"ups.{i}.0")
+        key = f"ups.{i}.1.1" if i < n - 1 else f"ups.{i}.1"
+        params[f"Conv_{n + i}"] = _conv(sd, key)
+    params[f"ResBlock_{2 * n + 1}"] = _resunet_block(sd, "final_res_block")
+    params["output_layer"] = _conv(sd, "output_layer")
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
 # SegFormer (smp.Segformer(mit_b3, activation='logsoftmax') naming —
 # reference models/__init__.py:6,47-49)
 # ---------------------------------------------------------------------------

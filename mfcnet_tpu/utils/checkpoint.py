@@ -1,15 +1,24 @@
 """Checkpointing (reference: utils/model_utils.py — torch.save/load of
 ``{model, optimizer, epoch}`` every save_freq epochs).
 
-TPU-native: Orbax for the full train state (params + batch_stats + opt_state
-+ epoch), with the reference's filename contract
-``ckpts/model_{epoch:03d}`` and a msgpack fallback (flax.serialization) for
-params-only interchange.
+Implementation: flax msgpack serialization of the full train state
+(params + batch_stats + opt_state + step) with the reference's filename
+contract ``ckpts/model_{epoch:03d}`` — and, unlike the reference, the
+optimizer state is actually restored on resume (the reference saves but
+never restores it, utils/model_utils.py:14-39).
+
+Writes are atomic (tmp file + rename). :class:`AsyncCheckpointer` overlaps
+serialization + disk IO with the next training steps: the device->host
+snapshot happens on the calling thread (so the saved state is consistent),
+the msgpack encode + write on a background thread. Call ``wait()`` before
+reading the file or exiting.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -37,12 +46,77 @@ def save_checkpoint(ckpt_dir, epoch: int, state, extra: Optional[dict] = None):
         "step": int(jax.device_get(state.step)),
     }
     path = ckpt_dir / f"model_{epoch:03d}.msgpack"
-    path.write_bytes(serialization.msgpack_serialize(payload))
+    _atomic_write(path, serialization.msgpack_serialize(payload))
     meta = {"epoch": epoch}
     if extra:
         meta.update(extra)
     (ckpt_dir / f"model_{epoch:03d}.json").write_text(json.dumps(meta))
     return path
+
+
+def _atomic_write(path: Path, data: bytes):
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def _snapshot(state) -> dict:
+    """Device->host copy of the train state as a pure-python tree."""
+    return {
+        "params": jax.device_get(serialization.to_state_dict(state.params)),
+        "batch_stats": jax.device_get(
+            serialization.to_state_dict(state.batch_stats)
+        ),
+        "opt_state": jax.device_get(
+            serialization.to_state_dict(state.opt_state)
+        ),
+        "step": int(jax.device_get(state.step)),
+    }
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization/IO with training.
+
+    ``save()`` snapshots the state to host synchronously (cheap relative to
+    serialization for big models; guarantees the saved state is the one at
+    call time), then encodes + writes on a single background worker. A new
+    save waits for the previous one (at most one outstanding write), and
+    worker exceptions surface on the next ``save()``/``wait()``.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, ckpt_dir, epoch: int, state,
+             extra: Optional[dict] = None) -> Path:
+        self.wait()
+        ckpt_dir = Path(ckpt_dir)
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        payload = _snapshot(state)
+        path = ckpt_dir / f"model_{epoch:03d}.msgpack"
+        meta = {"epoch": epoch, **(extra or {})}
+
+        def _work():
+            try:
+                _atomic_write(path, serialization.msgpack_serialize(payload))
+                (ckpt_dir / f"model_{epoch:03d}.json").write_text(
+                    json.dumps(meta)
+                )
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=_work, daemon=True)
+        self._thread.start()
+        return path
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def load_checkpoint(path, state=None) -> Tuple[dict, int]:

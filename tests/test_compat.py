@@ -421,3 +421,28 @@ def test_segformer_conversion_parity():
         jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_resunet_conversion_parity():
+    """ResUnet_VB: reference-naming oracle -> convert_resunet -> flax;
+    validates WS-conv raw-kernel conversion and the pixel-unshuffle
+    channel order feeding the 1x1 downsample convs."""
+    from tests.torch_resunet_ref import ResUnetVBTorch
+    from mfcnet_tpu.compat.torch_convert import convert_resunet
+    from mfcnet_tpu.models.resunet import ResUNetVB
+
+    torch.manual_seed(19)
+    tmodel = ResUnetVBTorch(channels=3, dim=16, out_dim=C).eval()
+    variables = convert_resunet(_state_dict_np(tmodel))
+
+    fmodel = ResUNetVB(out_channels=C, dim=16)
+    x = np.random.default_rng(19).standard_normal((1, 64, 64, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

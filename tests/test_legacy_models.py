@@ -71,3 +71,40 @@ def test_v1_weighted_centroid_decode():
     assert err_rc < 2.0 and err_rb < 2.0
     assert np.isnan(err_lc) and np.isnan(err_lb)
     assert p_gt[0] and p[0] and not p_gt[2]
+
+
+def test_abn_unbiased_running_var_matches_torch():
+    """InPlaceABN updates running_var with the count/(count-1) correction
+    (reference functions.py:98) — same as torch BatchNorm2d; flax
+    nn.BatchNorm does not, hence ABN's own stats handling."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from mfcnet_tpu.models.abn import ABN
+
+    m = ABN(activation="none")
+    x = np.random.default_rng(0).standard_normal((4, 8, 8, 3)).astype(
+        np.float32
+    )
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, upd = m.apply(v, jnp.asarray(x), train=True,
+                     mutable=["batch_stats"])
+    t = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1).train()
+    yt = t(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["var"]),
+        t.running_var.detach().numpy(), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.moveaxis(yt.detach().numpy(), 1, -1), atol=1e-5
+    )
+    # biased variant reproduces flax semantics (flag off)
+    mb = ABN(activation="none", unbiased_running_var=False)
+    _, updb = mb.apply(v, jnp.asarray(x), train=True,
+                       mutable=["batch_stats"])
+    axes_var = np.var(x, axis=(0, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(updb["batch_stats"]["var"]),
+        0.9 * 1.0 + 0.1 * axes_var, rtol=1e-5,
+    )
