@@ -686,6 +686,169 @@ def convert_raft(sd: Dict[str, np.ndarray]):
 
 
 # ---------------------------------------------------------------------------
+# FlowFormer++ (reference models/optical_flow/flowformerplusplus/ naming,
+# default 'things' path; checkpoint ffpp_things.pth after 'module.' strip)
+# ---------------------------------------------------------------------------
+def _ffn_pair(sd, prefix):
+    """reference ffn = Sequential(Linear, GELU, Dropout, Linear, Dropout)
+    -> params at indices 0 and 3."""
+    return {
+        "ffn0": _linear(sd, f"{prefix}.0"),
+        "ffn1": _linear(sd, f"{prefix}.3"),
+    }
+
+
+def _ffpp_twins_encoder(sd, prefix, depths=(2, 2)):
+    """timm twins_svt_large (2-stage, encoders.py del_layers) ->
+    TwinsSVTEncoder subtree."""
+    p = {}
+    for si in range(len(depths)):
+        p[f"embed{si}"] = _conv(sd, f"{prefix}.patch_embeds.{si}.proj")
+        p[f"embed_norm{si}"] = _ln(sd, f"{prefix}.patch_embeds.{si}.norm")
+        p[f"pos{si}"] = {
+            "conv": _conv(sd, f"{prefix}.pos_block.{si}.proj.0")
+        }
+        for bi in range(depths[si]):
+            tp = f"{prefix}.blocks.{si}.{bi}"
+            if bi % 2 == 0:  # LocallyGroupedAttn: fused qkv
+                attn = {
+                    "qkv": _linear(sd, f"{tp}.attn.qkv"),
+                    "proj": _linear(sd, f"{tp}.attn.proj"),
+                }
+            else:  # GlobalSubSampleAttn
+                attn = {
+                    "q": _linear(sd, f"{tp}.attn.q"),
+                    "kv": _linear(sd, f"{tp}.attn.kv"),
+                    "sr": _conv(sd, f"{tp}.attn.sr"),
+                    "norm": _ln(sd, f"{tp}.attn.norm"),
+                    "proj": _linear(sd, f"{tp}.attn.proj"),
+                }
+            p[f"s{si}_b{bi}"] = {
+                "norm1": _ln(sd, f"{tp}.norm1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{tp}.norm2"),
+                "mlp": {
+                    "fc1": _linear(sd, f"{tp}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{tp}.mlp.fc2"),
+                },
+            }
+    return p
+
+
+def _ffpp_vert_block(sd, prefix, is_global: bool):
+    attn = {
+        "context_proj": _linear(sd, f"{prefix}.attn.context_proj"),
+        "q": _linear(sd, f"{prefix}.attn.q"),
+        "k": _linear(sd, f"{prefix}.attn.k"),
+        "v": _linear(sd, f"{prefix}.attn.v"),
+        "proj": _linear(sd, f"{prefix}.attn.proj"),
+    }
+    if is_global:
+        attn["sr_key"] = _conv(sd, f"{prefix}.attn.sr_key")
+        attn["sr_value"] = _conv(sd, f"{prefix}.attn.sr_value")
+        attn["norm"] = _ln(sd, f"{prefix}.attn.norm")
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": attn,
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def _ffpp_attn_layer(sd, prefix):
+    """Shared layout of crossattentionlayer/SelfAttentionLayer/decoder
+    CrossAttentionLayer: norm1/norm2, q/k/v/proj linears, ffn.0/.3."""
+    p = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "q": _linear(sd, f"{prefix}.q"),
+        "k": _linear(sd, f"{prefix}.k"),
+        "v": _linear(sd, f"{prefix}.v"),
+        "proj": _linear(sd, f"{prefix}.proj"),
+    }
+    p.update(_ffn_pair(sd, f"{prefix}.ffn"))
+    return p
+
+
+def convert_flowformerpp(sd: Dict[str, np.ndarray], depth: int = 3):
+    """FlowFormer++ 'things' checkpoint -> flax FlowFormerPP variables.
+
+    The GMA RelPosEmb tables (memory_decoder.att.pos_emb.*) are present in
+    checkpoints but unused by the default forward (gma.py:60-72) — dropped
+    here. Unused timm leftovers (svt.norm / final-stage remnants) are
+    ignored by construction since only referenced keys are read."""
+    cpe = "memory_encoder.cost_perceiver_encoder"
+    dec = "memory_decoder"
+    perceiver = {
+        "patch_embed": {
+            "proj0": _conv(sd, f"{cpe}.patch_embed.proj.0"),
+            "proj1": _conv(sd, f"{cpe}.patch_embed.proj.2"),
+            "proj2": _conv(sd, f"{cpe}.patch_embed.proj.4"),
+            "ffn0": _conv(sd, f"{cpe}.patch_embed.ffn_with_coord.0"),
+            "ffn1": _conv(sd, f"{cpe}.patch_embed.ffn_with_coord.2"),
+            "norm": _ln(sd, f"{cpe}.patch_embed.norm"),
+        },
+        "latent_tokens": sd[f"{cpe}.latent_tokens"],
+        "input_layer": _ffpp_attn_layer(sd, f"{cpe}.input_layer"),
+    }
+    for i in range(depth):
+        perceiver[f"self{i}"] = _ffpp_attn_layer(
+            sd, f"{cpe}.encoder_layers.{i}"
+        )
+        vp = f"{cpe}.vertical_encoder_layers.{i}"
+        perceiver[f"vert{i}_local"] = _ffpp_vert_block(
+            sd, f"{vp}.local_block", is_global=False
+        )
+        perceiver[f"vert{i}_global"] = _ffpp_vert_block(
+            sd, f"{vp}.global_block", is_global=True
+        )
+
+    update = {
+        "convc1": _conv(sd, f"{dec}.update_block.encoder.convc1"),
+        "convc2": _conv(sd, f"{dec}.update_block.encoder.convc2"),
+        "convf1": _conv(sd, f"{dec}.update_block.encoder.convf1"),
+        "convf2": _conv(sd, f"{dec}.update_block.encoder.convf2"),
+        "conv": _conv(sd, f"{dec}.update_block.encoder.conv"),
+        "to_v": _conv(sd, f"{dec}.update_block.aggregator.to_v"),
+        "gamma": sd[f"{dec}.update_block.aggregator.gamma"],
+        "gru": {
+            "convz_h": _conv(sd, f"{dec}.update_block.gru.convz1"),
+            "convr_h": _conv(sd, f"{dec}.update_block.gru.convr1"),
+            "convq_h": _conv(sd, f"{dec}.update_block.gru.convq1"),
+            "convz_v": _conv(sd, f"{dec}.update_block.gru.convz2"),
+            "convr_v": _conv(sd, f"{dec}.update_block.gru.convr2"),
+            "convq_v": _conv(sd, f"{dec}.update_block.gru.convq2"),
+        },
+        "flow1": _conv(sd, f"{dec}.update_block.flow_head.conv1"),
+        "flow2": _conv(sd, f"{dec}.update_block.flow_head.conv2"),
+        "mask1": _conv(sd, f"{dec}.update_block.mask.0"),
+        "mask2": _conv(sd, f"{dec}.update_block.mask.2"),
+    }
+    return {
+        "params": {
+            "feat_encoder": _ffpp_twins_encoder(
+                sd, "memory_encoder.feat_encoder.svt"
+            ),
+            "context_encoder": _ffpp_twins_encoder(
+                sd, "context_encoder.svt"
+            ),
+            "cost_perceiver": perceiver,
+            "proj": _conv(sd, f"{dec}.proj"),
+            "ft_enc0": _conv(sd, f"{dec}.flow_token_encoder.0"),
+            "ft_enc1": _conv(sd, f"{dec}.flow_token_encoder.2"),
+            "decoder_cross": _ffpp_attn_layer(
+                sd, f"{dec}.decoder_layer.cross_attend"
+            ),
+            "att": {"to_qk": _conv(sd, f"{dec}.att.to_qk")},
+            "update_block": update,
+        }
+    }
+
+
+# ---------------------------------------------------------------------------
 # generic multi-frame wrapper conversion (any base family)
 # ---------------------------------------------------------------------------
 _BASE_CONVERTERS = {

@@ -1,36 +1,45 @@
-"""FlowFormer++ (default 'things' config path) in Flax.
+"""FlowFormer++ (default 'things' config path) in Flax — full fidelity.
 
 The reference vendors ~4.5k LoC of FlowFormer++ (models/optical_flow/
-flowformerplusplus/) of which the default config exercises one path
-(ffpp_cfg_things.py): twins-SVT-large feature/context encoders truncated to
-2 stages (encoders.py:12-18), an all-pairs cost volume
-(PerCostFormer3/encoder.py:364-374), the CostPerceiverEncoder (patch-embed
-each target-view cost map, cross-attend 8 latent tokens of dim 128,
-alternate latent self-attention with 'vertical' twins attention across
-source positions — encoder.py:179-291), and the MemoryDecoder (12
-iterations of {9x9 local cost sampling, cost-memory cross-attention with
-linear sine PE, GMA aggregation, SepConvGRU update, convex 8x upsample} —
-decoder.py:282-364).
+flowformerplusplus/); the default config (ffpp_cfg_things.py) exercises:
 
-Only the default path is implemented (vertical_encoder_attn='twins',
-cross_attn='all', gma='GMA', pe='linear', use_patch=False, r_16<0,
-quater_refine=False); the optional NATTEN/SK/quarter-refinement paths are
-dead configuration in the reference (its NATTEN sources are absent,
-PerCostFormer3/NA.py:12-16).
+  * timm ``twins_svt_large`` feature/context encoders truncated to the
+    first 2 stages (encoders.py:12-18): patch embeds k4s4/k2s2 + LayerNorm,
+    per stage [LocallyGroupedAttn(ws=7), PEG PosConv,
+    GlobalSubSampleAttn(sr=8|4)] -> (B, H/8, W/8, 256)
+  * an all-pairs UNnormalized cost volume (PerCostFormer3/encoder.py:364-374)
+  * CostPerceiverEncoder (encoder.py:179-292): patch-embed each target-view
+    cost map (3 conv k6s2p2 + linear-sine PE concat + 1x1 ffn + LN),
+    cross-attend 8 latent tokens (crossattentionlayer.py CrossAttentionLayer,
+    cross_attn='all'), then 3x [latent self-attention (SelfAttentionLayer),
+    vertical twins attention across source positions with learned
+    context-conditioning and window-local sine RPE
+    (twins.py LocallyGroupedAttnRPEContext ws=7 +
+    GlobalSubSampleAttnRPEContext sr=4, vert_c_dim=64)], residual shortcut
+  * MemoryDecoder (decoder.py:158-364): 12 iterations of {9x9 local cost
+    sampling (x-offset-major window, grid_sample align_corners=True),
+    cost-memory cross-attention with linear sine PE (flow_or_pe='and',
+    k/v cached across iterations), GMA aggregation (gma.py, content-only
+    similarity), SepConvGRU update, convex 8x upsample}
 
-Known simplification vs the reference (documented): the twins attention
-blocks use standard window / global-subsampled attention with the
-vert_c_dim context concatenation but without the learned relative-position
-bias tables ('with_rpe'); pretrained FlowFormer++ weights are not shipped
-with the reference, so structural equivalence of the default path is the
-target here.
+Not implemented (dead/optional config in the reference): NATTEN (sources
+absent, NA.py:12-16), SK blocks, quarter refinement, r_16, use_patch,
+pretrain_mode. All dropout/droppath rates are 0 in the 'things' config, so
+they are omitted. The GMA RelPosEmb tables exist in checkpoints but are
+unused by the default forward (gma.py:60-72 commented out); the converter
+drops them.
+
+LayerNorm eps bookkeeping (matters for conversion parity): timm image-
+encoder Block norms use eps 1e-6; everything else (patch-embed norms, GSA
+sr norms, all PerCostFormer3 norms incl. the vertical twins Block norms,
+which are built with the DEFAULT norm_layer — twins.py:762) uses torch's
+default 1e-5.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 
@@ -38,7 +47,8 @@ from flax import linen as nn
 # position embedding (PerCostFormer3/attention.py:156-161)
 # ---------------------------------------------------------------------------
 def linear_position_embedding_sine(x, dim: int = 128, factor: float = 1 / 200):
-    """x: (..., 2) coords -> (..., dim) embedding."""
+    """x: (..., 2) (x, y) coords -> (..., dim). Uses the reference's literal
+    3.14 (not pi)."""
     freqs = jnp.linspace(0, dim // 4 - 1, dim // 4)
     a = 3.14 * x[..., -2:-1] * freqs * factor
     b = 3.14 * x[..., -1:] * freqs * factor
@@ -47,137 +57,139 @@ def linear_position_embedding_sine(x, dim: int = 128, factor: float = 1 / 200):
     )
 
 
-# ---------------------------------------------------------------------------
-# twins-SVT attention blocks
-# ---------------------------------------------------------------------------
-class _MLP(nn.Module):
+def _coords_xy(H, W):
+    """coords_grid: (H, W, 2) with (x=col, y=row)."""
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    return jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+
+
+def _window_partition(t, ws):
+    """(B, Hp, Wp, C) -> (B, nh*nw, ws*ws, C)."""
+    B, Hp, Wp, C = t.shape
+    t = t.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, (Hp // ws) * (Wp // ws), ws * ws, C
+    )
+
+
+def _window_merge(t, Hp, Wp, ws):
+    """(B, nh*nw, ws*ws, C) -> (B, Hp, Wp, C)."""
+    B = t.shape[0]
+    C = t.shape[-1]
+    t = t.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+
+def _pad_hw(t, mult):
+    """Zero-pad H, W (axes 1, 2) up to a multiple of ``mult``."""
+    B, H, W, C = t.shape
+    pad_b = (mult - H % mult) % mult
+    pad_r = (mult - W % mult) % mult
+    if pad_b or pad_r:
+        t = jnp.pad(t, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    return t, H + pad_b, W + pad_r
+
+
+class Mlp(nn.Module):
+    """timm Mlp: fc1 -> GELU(exact) -> fc2."""
+
     dim: int
     ratio: int = 4
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.dim * self.ratio)(x)
-        y = nn.gelu(y)
-        return nn.Dense(self.dim)(y)
+        y = nn.Dense(self.dim * self.ratio, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(y)
 
 
-class WindowAttention(nn.Module):
-    """Locally-grouped self-attention (twins LSA), window ws x ws."""
+# ---------------------------------------------------------------------------
+# timm twins_svt_large image encoders (truncated; encoders.py:7-40)
+# ---------------------------------------------------------------------------
+class TimmLSA(nn.Module):
+    """timm twins LocallyGroupedAttn: fused qkv, ws x ws windows."""
 
     dim: int
     heads: int
     ws: int = 7
 
     @nn.compact
-    def __call__(self, x, size, qk_extra=None):
+    def __call__(self, x, size):
         H, W = size
         B = x.shape[0]
         D, h, ws = self.dim, self.heads, self.ws
-        xin = x if qk_extra is None else jnp.concatenate(
-            [x, qk_extra], axis=-1
-        )
-        pad_b = (ws - H % ws) % ws
-        pad_r = (ws - W % ws) % ws
-        Hp, Wp = H + pad_b, W + pad_r
+        t, Hp, Wp = _pad_hw(x.reshape(B, H, W, D), ws)
+        win = _window_partition(t, ws)  # (B, nw, ws*ws, D)
+        qkv = nn.Dense(3 * D, name="qkv")(win)
+        q, k, v = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
 
-        def to_windows(t):
-            C = t.shape[-1]
-            t = t.reshape(B, H, W, C)
-            t = jnp.pad(t, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-            t = t.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
-            return t.transpose(0, 1, 3, 2, 4, 5).reshape(
-                B, (Hp // ws) * (Wp // ws), ws * ws, C
-            )
-
-        qk_src = to_windows(xin)
-        v_src = to_windows(x)
-        q = nn.Dense(D, name="q")(qk_src)
-        k = nn.Dense(D, name="k")(qk_src)
-        v = nn.Dense(D, name="v")(v_src)
-
-        def heads_split(t):
+        def split(t):
             return t.reshape(*t.shape[:-1], h, D // h)
 
-        q, k, v = map(heads_split, (q, k, v))
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k) / jnp.sqrt(D / h)
+        q, k, v = split(q), split(k), split(v)
+        scale = (D // h) ** -0.5
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
-        out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, D)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, D)
+        out = _window_merge(out.reshape(*out.shape[:-2], D), Hp, Wp, ws)
         out = out[:, :H, :W].reshape(B, H * W, D)
         return nn.Dense(D, name="proj")(out)
 
 
-class GlobalSubSampleAttention(nn.Module):
-    """Global attention with sr_ratio-subsampled keys/values (twins GSA)."""
+class TimmGSA(nn.Module):
+    """timm twins GlobalSubSampleAttn: q + fused kv on sr-reduced tokens.
+    No padding (timm requires H, W divisible by sr_ratio)."""
 
     dim: int
     heads: int
-    sr_ratio: int = 4
+    sr_ratio: int = 8
 
     @nn.compact
-    def __call__(self, x, size, qk_extra=None):
+    def __call__(self, x, size):
         H, W = size
         B = x.shape[0]
-        D, h = self.dim, self.heads
-        xin = x if qk_extra is None else jnp.concatenate(
-            [x, qk_extra], axis=-1
-        )
-        q = nn.Dense(D, name="q")(xin)
-        kv_src = xin.reshape(B, H, W, xin.shape[-1])
-        v_src = x.reshape(B, H, W, x.shape[-1])
-        if self.sr_ratio > 1:
-            r = self.sr_ratio
-            pad_b = (r - H % r) % r
-            pad_r = (r - W % r) % r
-            kv_src = jnp.pad(
-                kv_src, ((0, 0), (0, pad_b), (0, pad_r), (0, 0))
-            )
-            v_src = jnp.pad(v_src, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-            kv_src = nn.Conv(D, (r, r), (r, r), padding="VALID",
-                             name="sr")(kv_src)
-            kv_src = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv_src)
-            v_src = kv_src
-        k = nn.Dense(D, name="k")(kv_src).reshape(B, -1, h, D // h)
-        v = nn.Dense(D, name="v")(v_src).reshape(B, -1, h, D // h)
-        q = q.reshape(B, -1, h, D // h)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(D / h)
+        D, h, r = self.dim, self.heads, self.sr_ratio
+        q = nn.Dense(D, name="q")(x).reshape(B, -1, h, D // h)
+        kv_in = x
+        if r > 1:
+            kv_in = nn.Conv(D, (r, r), (r, r), padding="VALID",
+                            name="sr")(x.reshape(B, H, W, D))
+            kv_in = nn.LayerNorm(epsilon=1e-5, name="norm")(kv_in)
+            kv_in = kv_in.reshape(B, -1, D)
+        kv = nn.Dense(2 * D, name="kv")(kv_in)
+        k = kv[..., :D].reshape(B, -1, h, D // h)
+        v = kv[..., D:].reshape(B, -1, h, D // h)
+        scale = (D // h) ** -0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, -1, D)
         return nn.Dense(D, name="proj")(out)
 
 
-class TwinsBlock(nn.Module):
-    """Pre-norm attention + MLP block with optional context conditioning
-    (vert_c_dim concat into q/k, twins.py Block with vert_c_dim)."""
+class TimmBlock(nn.Module):
+    """timm twins Block (norm eps 1e-6 via the Twins-constructor partial)."""
 
     dim: int
     heads: int
-    ws: int = 7  # 1 => global subsampled attention
-    sr_ratio: int = 4
-    vert_c_dim: int = 0
+    ws: int  # 1 => GSA
+    sr_ratio: int
 
     @nn.compact
-    def __call__(self, x, size, context=None):
-        qk_extra = None
-        if context is not None and self.vert_c_dim > 0:
-            ctx = nn.Dense(self.vert_c_dim, name="ctx_proj")(context)
-            qk_extra = nn.LayerNorm(epsilon=1e-6, name="ctx_norm")(ctx)
-        y = nn.LayerNorm(epsilon=1e-6)(x)
+    def __call__(self, x, size):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         if self.ws == 1:
-            att = GlobalSubSampleAttention(
-                self.dim, self.heads, self.sr_ratio, name="attn"
-            )(y, size, qk_extra)
+            att = TimmGSA(self.dim, self.heads, self.sr_ratio,
+                          name="attn")(y, size)
         else:
-            att = WindowAttention(self.dim, self.heads, self.ws,
-                                  name="attn")(y, size, qk_extra)
+            att = TimmLSA(self.dim, self.heads, self.ws, name="attn")(y, size)
         x = x + att
-        y = nn.LayerNorm(epsilon=1e-6)(x)
-        return x + _MLP(self.dim, name="mlp")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        return x + Mlp(self.dim, name="mlp")(y)
 
 
 class PosConv(nn.Module):
-    """Twins PEG: depthwise 3x3 conv + residual."""
+    """Twins PEG (twins.py:800-814): depthwise 3x3 conv + residual."""
 
     dim: int
 
@@ -187,13 +199,13 @@ class PosConv(nn.Module):
         B = x.shape[0]
         y = x.reshape(B, H, W, self.dim)
         y = nn.Conv(self.dim, (3, 3), padding="SAME",
-                    feature_group_count=self.dim)(y)
+                    feature_group_count=self.dim, name="conv")(y)
         return x + y.reshape(B, H * W, self.dim)
 
 
 class TwinsSVTEncoder(nn.Module):
-    """twins_svt_large truncated to the first 2 stages (encoders.py:7-40):
-    output (B, H/8, W/8, 256)."""
+    """timm twins_svt_large truncated to 2 stages (encoders.py del_layers):
+    output (B, H/8, W/8, dims[-1])."""
 
     dims: tuple = (128, 256)
     depths: tuple = (2, 2)
@@ -205,88 +217,211 @@ class TwinsSVTEncoder(nn.Module):
     def __call__(self, x):
         B = x.shape[0]
         for si in range(len(self.dims)):
-            patch, stride = (4, 4) if si == 0 else (2, 2)
-            x = nn.Conv(self.dims[si], (patch, patch), (stride, stride),
-                        name=f"embed{si}")(x)
+            patch = 4 if si == 0 else 2
+            x = nn.Conv(self.dims[si], (patch, patch), (patch, patch),
+                        padding="VALID", name=f"embed{si}")(x)
             H, W = x.shape[1], x.shape[2]
-            x = nn.LayerNorm(epsilon=1e-6, name=f"embed_norm{si}")(
+            # timm twins PatchEmbed.norm: default eps (1e-5)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"embed_norm{si}")(
                 x.reshape(B, H * W, self.dims[si])
             )
             for bi in range(self.depths[si]):
                 ws = self.wss[si] if bi % 2 == 0 else 1
-                x = TwinsBlock(
+                x = TimmBlock(
                     self.dims[si], self.heads[si], ws, self.sr_ratios[si],
                     name=f"s{si}_b{bi}",
                 )(x, (H, W))
                 if bi == 0:
                     x = PosConv(self.dims[si], name=f"pos{si}")(x, (H, W))
             x = x.reshape(B, H, W, self.dims[si])
-        return x  # (B, H/8, W/8, 256)
+        return x
 
 
 # ---------------------------------------------------------------------------
-# cost perceiver encoder
+# vendored-twins RPE+Context attention (vertical layers; twins.py:232-399)
+# ---------------------------------------------------------------------------
+class LocallyGroupedAttnRPEContext(nn.Module):
+    """twins.py:232-308: windowed attention; q/k read [x, projected context]
+    plus a window-local linear sine PE; v reads x only."""
+
+    dim: int
+    heads: int
+    ws: int
+    vert_c_dim: int
+    encoder_latent_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, size, context):
+        H, W = size
+        B = x.shape[0]
+        D, h, ws, vc = self.dim, self.heads, self.ws, self.vert_c_dim
+        Cqk = D + vc
+        ctx = nn.Dense(vc, name="context_proj")(context)  # (B, H*W, vc)
+        xg = x.reshape(B, H, W, D)
+        xqk = jnp.concatenate([xg, ctx.reshape(B, H, W, vc)], axis=-1)
+        xg, Hp, Wp = _pad_hw(xg, ws)
+        xqk, _, _ = _pad_hw(xqk, ws)
+        v_win = _window_partition(xg, ws)
+        qk_win = _window_partition(xqk, ws)
+        # window-local RPE: same (ws, ws) coord grid for every window
+        pe = linear_position_embedding_sine(_coords_xy(ws, ws), dim=Cqk)
+        qk_win = qk_win + pe.reshape(1, 1, ws * ws, Cqk)
+        q = nn.Dense(D, name="q")(qk_win)
+        k = nn.Dense(D, name="k")(qk_win)
+        v = nn.Dense(D, name="v")(v_win)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], h, D // h)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = (D // h) ** -0.5
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v)
+        out = _window_merge(out.reshape(*out.shape[:-2], D), Hp, Wp, ws)
+        out = out[:, :H, :W].reshape(B, H * W, D)
+        return nn.Dense(D, name="proj")(out)
+
+
+class GlobalSubSampleAttnRPEContext(nn.Module):
+    """twins.py:310-399: global attention; q from [x, ctx]+PE at full res,
+    k from sr_key([x, ctx])+PE(subsampled coords * sr), v from sr_value(x);
+    both sr outputs share one LayerNorm."""
+
+    dim: int
+    heads: int
+    sr_ratio: int
+    vert_c_dim: int
+    encoder_latent_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, size, context):
+        H, W = size
+        B = x.shape[0]
+        D, h, r, vc = self.dim, self.heads, self.sr_ratio, self.vert_c_dim
+        Cqk = D + vc
+        ctx = nn.Dense(vc, name="context_proj")(context)
+        xg = x.reshape(B, H, W, D)
+        xqk = jnp.concatenate([xg, ctx.reshape(B, H, W, vc)], axis=-1)
+        xg, Hp, Wp = _pad_hw(xg, r)
+        xqk, _, _ = _pad_hw(xqk, r)
+
+        pe_q = linear_position_embedding_sine(_coords_xy(Hp, Wp), dim=Cqk)
+        q = nn.Dense(D, name="q")(
+            (xqk + pe_q[None]).reshape(B, Hp * Wp, Cqk)
+        ).reshape(B, Hp * Wp, h, D // h)
+
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        xv = nn.Conv(D, (r, r), (r, r), padding="VALID",
+                     name="sr_value")(xg)
+        xk = nn.Conv(D, (r, r), (r, r), padding="VALID", name="sr_key")(xqk)
+        xv = norm(xv)
+        xk = norm(xk)
+        hs, ws_ = Hp // r, Wp // r
+        pe_k = linear_position_embedding_sine(
+            _coords_xy(hs, ws_) * r, dim=D
+        )
+        k = nn.Dense(D, name="k")(
+            (xk + pe_k[None]).reshape(B, hs * ws_, D)
+        ).reshape(B, hs * ws_, h, D // h)
+        v = nn.Dense(D, name="v")(xv.reshape(B, hs * ws_, D)).reshape(
+            B, hs * ws_, h, D // h
+        )
+        scale = (D // h) ** -0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Hp, Wp, D)
+        out = out[:, :H, :W].reshape(B, H * W, D)
+        return nn.Dense(D, name="proj")(out)
+
+
+class VerticalBlock(nn.Module):
+    """twins.py Block with the DEFAULT norm_layer (eps 1e-5) as built by
+    VerticalSelfAttentionLayer (encoder.py:104-130)."""
+
+    dim: int
+    heads: int
+    ws: int  # 1 => GSA
+    sr_ratio: int
+    vert_c_dim: int
+    encoder_latent_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, size, context):
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if self.ws == 1:
+            att = GlobalSubSampleAttnRPEContext(
+                self.dim, self.heads, self.sr_ratio, self.vert_c_dim,
+                self.encoder_latent_dim, name="attn",
+            )(y, size, context)
+        else:
+            att = LocallyGroupedAttnRPEContext(
+                self.dim, self.heads, self.ws, self.vert_c_dim,
+                self.encoder_latent_dim, name="attn",
+            )(y, size, context)
+        x = x + att
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        return x + Mlp(self.dim, name="mlp")(y)
+
+
+# ---------------------------------------------------------------------------
+# cost perceiver encoder (encoder.py:179-292)
 # ---------------------------------------------------------------------------
 class CostPatchEmbed(nn.Module):
-    """Patch-embed one cost map (encoder.py PatchEmbed, patch_size=8):
-    3 convs k6 s2 p2 + linear sine PE concat + 1x1 ffn + LN."""
+    """encoder.py PatchEmbed (patch_size=8, patch_embed='single'):
+    ModuleList [conv, ReLU, conv, ReLU, conv] (k6 s2 p2) + sine-PE concat +
+    ffn_with_coord (1x1, ReLU, 1x1) + LayerNorm (default eps)."""
 
     embed_dim: int = 64
+    pe_dim: int = 64  # hardcoded 64 in the reference (encoder.py:90)
 
     @nn.compact
     def __call__(self, cost_maps):
-        # cost_maps: (N, H2, W2, 1) with N = B*H1*W1
         N, H, W, _ = cost_maps.shape
-        x = cost_maps
-        pad_b = (8 - H % 8) % 8
-        pad_r = (8 - W % 8) % 8
-        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x, _, _ = _pad_hw(cost_maps, 8)
         d = self.embed_dim
-        x = nn.Conv(d // 4, (6, 6), (2, 2),
-                    padding=((2, 2), (2, 2)), name="proj0")(x)
+        x = nn.Conv(d // 4, (6, 6), (2, 2), padding=((2, 2), (2, 2)),
+                    name="proj0")(x)
         x = nn.relu(x)
-        x = nn.Conv(d // 2, (6, 6), (2, 2),
-                    padding=((2, 2), (2, 2)), name="proj1")(x)
+        x = nn.Conv(d // 2, (6, 6), (2, 2), padding=((2, 2), (2, 2)),
+                    name="proj1")(x)
         x = nn.relu(x)
-        x = nn.Conv(d, (6, 6), (2, 2),
-                    padding=((2, 2), (2, 2)), name="proj2")(x)
+        x = nn.Conv(d, (6, 6), (2, 2), padding=((2, 2), (2, 2)),
+                    name="proj2")(x)
         H3, W3 = x.shape[1], x.shape[2]
-        # patch-center coords in feature space * patch + patch/2
-        ys = jnp.arange(H3, dtype=jnp.float32)
-        xs = jnp.arange(W3, dtype=jnp.float32)
-        coord = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
-        coord = coord * 8.0 + 4.0
-        pe = linear_position_embedding_sine(coord, dim=64)
-        pe = jnp.broadcast_to(pe[None], (N, H3, W3, 64))
-        x = jnp.concatenate([x, pe], axis=-1)  # (N, H3, W3, d+64)
-        x = nn.Conv(d + 64, (1, 1), name="ffn0")(x)
+        coord = _coords_xy(H3, W3) * 8.0 + 4.0
+        pe = linear_position_embedding_sine(coord, dim=self.pe_dim)
+        pe = jnp.broadcast_to(pe[None], (N, H3, W3, self.pe_dim))
+        x = jnp.concatenate([x, pe], axis=-1)
+        x = nn.Conv(d + self.pe_dim, (1, 1), name="ffn0")(x)
         x = nn.relu(x)
-        x = nn.Conv(d + 64, (1, 1), name="ffn1")(x)
-        x = nn.LayerNorm(epsilon=1e-6)(x.reshape(N, H3 * W3, d + 64))
+        x = nn.Conv(d + self.pe_dim, (1, 1), name="ffn1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(
+            x.reshape(N, H3 * W3, d + self.pe_dim)
+        )
         return x, (H3, W3)
 
 
-class MHA(nn.Module):
-    dim: int
-    heads: int = 8
+def mha(q, k, v, heads: int = 8):
+    """attention.py MultiHeadAttention / BroadMultiHeadAttention (the Broad
+    variant's batch-1 query broadcasting falls out of jnp broadcasting).
+    Parameter-free. Scale is (dim/heads)**-0.5 (attention.py:47)."""
+    h = heads
 
-    @nn.compact
-    def __call__(self, q, k, v):
-        D, h = self.dim, self.heads
-        def split(t):
-            return t.reshape(*t.shape[:-1], h, t.shape[-1] // h)
-        qh, kh, vh = split(q), split(k), split(v)
-        attn = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(
-            q.shape[-1] / h
-        )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, vh)
-        return out.reshape(*out.shape[:-2], -1)
+    def split(t):
+        return t.reshape(*t.shape[:-1], h, t.shape[-1] // h)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    scale = (q.shape[-1] / h) ** -0.5
+    attn = jnp.einsum("...qhd,...khd->...hqk", qh, kh) * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("...hqk,...khd->...qhd", attn, vh)
+    return out.reshape(*out.shape[:-2], -1)
 
 
 class CrossAttentionInput(nn.Module):
-    """Latent tokens cross-attend the cost patches
-    (crossattentionlayer.py CrossAttentionLayer, cross_attn='all')."""
+    """crossattentionlayer.py CrossAttentionLayer (cross_attn='all'):
+    latent tokens cross-attend all cost patches."""
 
     query_dim: int = 128
     tgt_dim: int = 128
@@ -294,47 +429,49 @@ class CrossAttentionInput(nn.Module):
     @nn.compact
     def __call__(self, latents, patches):
         q = nn.Dense(self.query_dim, name="q")(
-            nn.LayerNorm(epsilon=1e-6)(latents)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(latents)
         )
         k = nn.Dense(self.query_dim, name="k")(patches)
         v = nn.Dense(self.query_dim, name="v")(patches)
-        x = MHA(self.query_dim, 8, name="attn")(q, k, v)
+        x = mha(q, k, v, 8)
         x = latents + nn.Dense(self.query_dim, name="proj")(x)
-        y = nn.LayerNorm(epsilon=1e-6)(x)
-        y = nn.Dense(self.query_dim)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.query_dim)(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.Dense(self.query_dim, name="ffn0")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.query_dim, name="ffn1")(y)
         return x + y
 
 
 class LatentSelfAttention(nn.Module):
-    """Self-attention over the 8 latent tokens (encoder.py
-    SelfAttentionLayer)."""
+    """encoder.py SelfAttentionLayer: self-attention over the 8 latents."""
 
     dim: int = 128
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         q = nn.Dense(self.dim, name="q")(y)
         k = nn.Dense(self.dim, name="k")(y)
         v = nn.Dense(self.dim, name="v")(y)
-        a = MHA(self.dim, 8, name="attn")(q, k, v)
+        a = mha(q, k, v, 8)
         x = x + nn.Dense(self.dim, name="proj")(a)
-        y = nn.LayerNorm(epsilon=1e-6)(x)
-        y = nn.Dense(self.dim)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.dim)(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.Dense(self.dim, name="ffn0")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="ffn1")(y)
         return x + y
 
 
 class CostPerceiverEncoder(nn.Module):
-    """encoder.py:178-291 (default path)."""
+    """encoder.py:179-292 (default path)."""
 
     latent_dim: int = 128
     latent_tokens: int = 8
     depth: int = 3
     vert_c_dim: int = 64
+    heads: int = 8
+    embed_dim: int = 64
+    encoder_latent_dim: int = 256
 
     @nn.compact
     def __call__(self, cost_volume, context):
@@ -342,7 +479,8 @@ class CostPerceiverEncoder(nn.Module):
         B, H1, W1, H2, W2 = cost_volume.shape
         N = B * H1 * W1
         cost_maps = cost_volume.reshape(N, H2, W2, 1)
-        patches, (H3, W3) = CostPatchEmbed(name="patch_embed")(cost_maps)
+        patches, _ = CostPatchEmbed(self.embed_dim,
+                                    name="patch_embed")(cost_maps)
 
         latents = self.param(
             "latent_tokens",
@@ -354,46 +492,48 @@ class CostPerceiverEncoder(nn.Module):
         )(jnp.broadcast_to(latents, (N, self.latent_tokens,
                                      self.latent_dim)), patches)
         short_cut = x
+        # per-latent-token vertical batch: [img0-tok0..img0-tok7, img1-...]
         ctx_tokens = context.reshape(B, H1 * W1, -1)
+        ctx_rep = jnp.repeat(ctx_tokens, self.latent_tokens, axis=0)
         for i in range(self.depth):
             x = LatentSelfAttention(self.latent_dim, name=f"self{i}")(x)
-            # vertical: attend across source positions per latent token
             xv = x.reshape(B, H1 * W1, self.latent_tokens, self.latent_dim)
             xv = xv.transpose(0, 2, 1, 3).reshape(
                 B * self.latent_tokens, H1 * W1, self.latent_dim
             )
-            ctx_rep = jnp.repeat(ctx_tokens, self.latent_tokens, axis=0)
-            xv = TwinsBlock(
-                self.latent_dim, 8, ws=7, sr_ratio=4,
-                vert_c_dim=self.vert_c_dim, name=f"vert_local{i}",
+            xv = VerticalBlock(
+                self.latent_dim, self.heads, 7, 4, self.vert_c_dim,
+                self.encoder_latent_dim, name=f"vert{i}_local",
             )(xv, (H1, W1), ctx_rep)
-            xv = TwinsBlock(
-                self.latent_dim, 8, ws=1, sr_ratio=4,
-                vert_c_dim=self.vert_c_dim, name=f"vert_global{i}",
+            xv = VerticalBlock(
+                self.latent_dim, self.heads, 1, 4, self.vert_c_dim,
+                self.encoder_latent_dim, name=f"vert{i}_global",
             )(xv, (H1, W1), ctx_rep)
             x = xv.reshape(B, self.latent_tokens, H1 * W1, self.latent_dim)
             x = x.transpose(0, 2, 1, 3).reshape(
                 N, self.latent_tokens, self.latent_dim
             )
-        x = x + short_cut  # cost_encoder_res
-        return x, cost_maps  # memory (N, 8, 128), raw cost maps
+        x = x + short_cut  # cost_encoder_res (encoder.py:286-287)
+        return x, cost_maps
 
 
 # ---------------------------------------------------------------------------
-# memory decoder
+# memory decoder (decoder.py:158-364)
 # ---------------------------------------------------------------------------
 def sample_local_cost(cost_maps, coords, r: int = 4):
-    """decoder.py encode_flow_token: 9x9 bilinear samples of each pixel's
-    cost map around its current flow target. cost_maps: (N, H2, W2, 1),
-    coords: (B, H1, W1, 2); N = B*H1*W1. Returns (B, H1, W1, 81)."""
+    """decoder.py encode_flow_token: (2r+1)^2 bilinear samples of each
+    pixel's cost map around its current flow target. Window channel order
+    matches the reference: the x offset varies along the FIRST window axis
+    (meshgrid(dy, dx) added to (x, y) coords — decoder.py:270-276).
+    cost_maps: (N, H2, W2, 1); coords: (B, H1, W1, 2) -> (B, H1, W1, 81)."""
     from mfcnet_tpu.ops.warp import grid_sample_bilinear
 
     B, H1, W1, _ = coords.shape
     N, H2, W2, _ = cost_maps.shape
     d = jnp.linspace(-r, r, 2 * r + 1)
-    dxy = jnp.stack(jnp.meshgrid(d, d, indexing="xy"), axis=-1)  # (9,9,2)
+    dxy = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (9,9,2)
     centers = coords.reshape(N, 1, 1, 2)
-    pos = centers + dxy[None]  # (N, 9, 9, 2)
+    pos = centers + dxy[None]
     gx = 2.0 * pos[..., 0] / (W2 - 1) - 1.0
     gy = 2.0 * pos[..., 1] / (H2 - 1) - 1.0
     out = grid_sample_bilinear(cost_maps, gx, gy, align_corners=True)
@@ -401,32 +541,43 @@ def sample_local_cost(cost_maps, coords, r: int = 4):
 
 
 class DecoderCrossAttention(nn.Module):
-    """decoder.py CrossAttentionLayer (flow_or_pe='and', pe='linear')."""
+    """decoder.py CrossAttentionLayer (flow_or_pe='and', pe='linear').
+    k/v are computed once from the memory and reused across iterations
+    (decoder.py:88-90,306)."""
 
     dim: int = 64
     memory_dim: int = 128
 
-    @nn.compact
-    def __call__(self, query, memory, coords):
-        # query: (N, 1, 64); memory: (N, 8, 128); coords: (N, 1, 2)
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.q = nn.Dense(self.dim)
+        self.k = nn.Dense(self.dim)
+        self.v = nn.Dense(self.dim)
+        self.proj = nn.Dense(self.dim)
+        self.ffn0 = nn.Dense(self.dim)
+        self.ffn1 = nn.Dense(self.dim)
+
+    def compute_kv(self, memory):
+        return self.k(memory), self.v(memory)
+
+    def __call__(self, query, k, v, coords):
+        # query: (N, 1, dim); k/v: (N, tokens, dim); coords: (N, 1, 2)
         pe = linear_position_embedding_sine(coords, dim=self.dim)
         sc = query
-        q = nn.Dense(self.dim, name="q")(
-            nn.LayerNorm(epsilon=1e-6)(query) + pe
-        )
-        k = nn.Dense(self.dim, name="k")(memory)
-        v = nn.Dense(self.dim, name="v")(memory)
-        x = MHA(self.dim, 8, name="attn")(q, k, v)
-        x = sc + nn.Dense(self.dim, name="proj")(x)
-        y = nn.LayerNorm(epsilon=1e-6)(x)
-        y = nn.Dense(self.dim)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.dim)(y)
+        q = self.q(self.norm1(query) + pe)
+        x = mha(q, k, v, 8)
+        x = sc + self.proj(x)
+        y = self.norm2(x)
+        y = self.ffn0(y)
+        y = nn.gelu(y, approximate=False)
+        y = self.ffn1(y)
         return x + y
 
 
 class GMAAttention(nn.Module):
-    """gma.py Attention (1 head, content-only similarity)."""
+    """gma.py Attention (1 head, content-only similarity; the RelPosEmb
+    tables in checkpoints are unused by this forward)."""
 
     dim: int = 128
     dim_head: int = 128
@@ -444,10 +595,10 @@ class GMAAttention(nn.Module):
 
 
 class GMAUpdate(nn.Module):
-    """gru.py GMAUpdateBlock + BasicMotionEncoder + Aggregate."""
+    """gru.py GMAUpdateBlock: BasicMotionEncoder + Aggregate + SepConvGRU +
+    FlowHead + mask head (x0.25)."""
 
     hidden: int = 128
-    corr_dim: int = 81 + 64
 
     @nn.compact
     def __call__(self, net, inp, corr, flow, attention):
@@ -462,7 +613,6 @@ class GMAUpdate(nn.Module):
         )
         motion = jnp.concatenate([m, flow], axis=-1)  # 128
 
-        # GMA aggregate
         B, H, W, _ = motion.shape
         v = nn.Conv(128, (1, 1), use_bias=False, name="to_v")(motion)
         v = v.reshape(B, H * W, 128)
@@ -474,11 +624,9 @@ class GMAUpdate(nn.Module):
         from mfcnet_tpu.models.raft import SepConvGRU
 
         net = SepConvGRU(self.hidden, name="gru")(net, x)
-        fh = nn.relu(nn.Conv(256, (3, 3), padding="SAME",
-                             name="flow1")(net))
+        fh = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="flow1")(net))
         delta = nn.Conv(2, (3, 3), padding="SAME", name="flow2")(fh)
-        mk = nn.relu(nn.Conv(256, (3, 3), padding="SAME",
-                             name="mask1")(net))
+        mk = nn.relu(nn.Conv(256, (3, 3), padding="SAME", name="mask1")(net))
         mask = nn.Conv(64 * 9, (1, 1), name="mask2")(mk) * 0.25
         return net, delta, mask
 
@@ -488,51 +636,58 @@ class FlowFormerPP(nn.Module):
 
     __call__(image1, image2) -> final upsampled flow (B, H, W, 2) in px
     (the reference's eval return is (flow_lowres, flow_up); the engine uses
-    [-1] which is flow_up)."""
+    [-1] which is flow_up, src/engine.py:49)."""
 
     iters: int = 12
     latent_dim: int = 128
+    latent_tokens: int = 8
     query_dim: int = 64
     enc_dims: tuple = (128, 256)
     enc_depths: tuple = (2, 2)
+    enc_heads: tuple = (4, 8)
+    vert_c_dim: int = 64
+    perceiver_depth: int = 3
+    perceiver_heads: int = 8
+    cost_embed_dim: int = 64
 
     @nn.compact
     def __call__(self, image1, image2, train: bool = False):
         from mfcnet_tpu.models.raft import convex_upsample
 
         fnet = TwinsSVTEncoder(
-            self.enc_dims, self.enc_depths, name="feat_encoder"
+            self.enc_dims, self.enc_depths, self.enc_heads,
+            name="feat_encoder",
         )
         cnet = TwinsSVTEncoder(
-            self.enc_dims, self.enc_depths, name="context_encoder"
+            self.enc_dims, self.enc_depths, self.enc_heads,
+            name="context_encoder",
         )
         feat_s = fnet(image1)
         feat_t = fnet(image2)
         context = cnet(image1)
         B, H1, W1, C = feat_s.shape
 
-        # all-pairs cost volume (encoder.py MemoryEncoder.corr)
+        # all-pairs cost volume, UNnormalized (encoder.py:364-374)
         cost = jnp.einsum(
-            "bxyc,buvc->bxyuv",
-            feat_s,
-            feat_t,
+            "bxyc,buvc->bxyuv", feat_s, feat_t,
             preferred_element_type=jnp.float32,
         )
 
         memory, cost_maps = CostPerceiverEncoder(
-            self.latent_dim, name="cost_perceiver"
+            self.latent_dim, self.latent_tokens, self.perceiver_depth,
+            self.vert_c_dim, self.perceiver_heads, self.cost_embed_dim,
+            self.enc_dims[-1], name="cost_perceiver",
         )(cost, context)
 
-        ctx = nn.Conv(256, (1, 1), name="proj")(context)
-        net = jnp.tanh(ctx[..., :128])
-        inp = nn.relu(ctx[..., 128:])
-        attention = GMAAttention(name="att")(inp)
+        ctx = nn.Conv(2 * self.latent_dim, (1, 1), name="proj")(context)
+        net = jnp.tanh(ctx[..., : self.latent_dim])
+        inp = nn.relu(ctx[..., self.latent_dim :])
+        attention = GMAAttention(self.latent_dim, self.latent_dim,
+                                 name="att")(inp)
 
-        xs = jnp.arange(W1, dtype=jnp.float32)
-        ys = jnp.arange(H1, dtype=jnp.float32)
-        coords0 = jnp.stack(
-            jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
-        )[None].repeat(B, axis=0)
+        coords0 = jnp.broadcast_to(
+            _coords_xy(H1, W1)[None], (B, H1, W1, 2)
+        )
         coords1 = coords0
 
         token_enc0 = nn.Conv(self.query_dim, (1, 1), name="ft_enc0")
@@ -540,18 +695,18 @@ class FlowFormerPP(nn.Module):
         cross = DecoderCrossAttention(
             self.query_dim, self.latent_dim, name="decoder_cross"
         )
-        update = GMAUpdate(name="update_block")
+        update = GMAUpdate(self.latent_dim, name="update_block")
 
+        key, value = cross.compute_kv(memory)  # cached across iterations
         up_flow = None
-        query_state = jnp.zeros(
-            (B * H1 * W1, 1, self.query_dim), jnp.float32
-        )
         for _ in range(self.iters):
+            coords1 = jax.lax.stop_gradient(coords1)  # decoder.py:309
             local_cost = sample_local_cost(cost_maps, coords1)
-            query = token_enc1(nn.gelu(token_enc0(local_cost)))
+            query = token_enc1(nn.gelu(token_enc0(local_cost),
+                                       approximate=False))
             query = query.reshape(B * H1 * W1, 1, self.query_dim)
             qcoords = coords1.reshape(B * H1 * W1, 1, 2)
-            cost_global = cross(query, memory, qcoords)
+            cost_global = cross(query, key, value, qcoords)
             cost_global = cost_global.reshape(B, H1, W1, self.query_dim)
             corr = jnp.concatenate([cost_global, local_cost], axis=-1)
             flow = coords1 - coords0

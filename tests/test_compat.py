@@ -446,3 +446,37 @@ def test_resunet_conversion_parity():
         jax.jit(lambda v, x: fmodel.apply(v, x))(variables, jnp.asarray(x))
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_flowformerpp_conversion_parity():
+    """Full-default-dims FlowFormer++ ('things' path): reference-naming
+    oracle -> convert_flowformerpp -> flax; final flow must match.
+    Exercises the timm twins encoders (fused qkv / GSA), the RPE+Context
+    vertical twins attention, the cost perceiver, and the GMA decoder."""
+    from tests.torch_ffpp_ref import FlowFormerTorch
+    from mfcnet_tpu.compat.torch_convert import convert_flowformerpp
+    from mfcnet_tpu.models.flowformerpp import FlowFormerPP
+
+    iters = 2
+    torch.manual_seed(23)
+    tmodel = FlowFormerTorch(decoder_depth=iters).eval()
+    variables = convert_flowformerpp(_state_dict_np(tmodel))
+
+    fmodel = FlowFormerPP(iters=iters)
+    rng = np.random.default_rng(23)
+    # 96x96: H1=12 exercises window padding (ws=7 -> 14) in both the timm
+    # LSA and the vertical RPE attention
+    a = rng.uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.moveaxis(a, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(b, -1, 1).copy()),
+        )
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, a, b: fmodel.apply(v, a, b))(
+            {"params": variables["params"]}, jnp.asarray(a), jnp.asarray(b)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
