@@ -61,6 +61,12 @@ def build_parser():
                    help="Flow-model weights (msgpack) for --add_optflow_inputs")
     p.add_argument("--tracker_mode", type=str, default="incremental",
                    choices=["incremental", "full"])
+    p.add_argument("--decode", type=str, default="host",
+                   choices=["host", "device"],
+                   help="host = exact OpenCV-parity decode; device = "
+                        "fully on-device fixed-shape decode (largest-"
+                        "component base via on-device connected "
+                        "components)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_scale", type=float, default=1.0)
@@ -127,6 +133,7 @@ def main(argv=None):
         area_threshold=args.area_threshold,
         dist_threshold=args.dist_threshold,
         mode=args.tracker_mode,
+        decode=args.decode,
         dtype=args.compute_dtype,
         add_depth_inputs=args.add_depth_inputs,
         add_optflow_inputs=args.add_optflow_inputs,

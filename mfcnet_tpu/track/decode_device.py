@@ -46,19 +46,121 @@ def decode_tips_device(heatmap, blob, max_peaks: int = 2):
     return jnp.stack([xs, ys, valid], axis=-1)
 
 
+def connected_components(mask, connectivity: int = 8):
+    """Connected-component labels by iterative min-label propagation with
+    pointer jumping (O(log diameter) sweeps, all elementwise/gather —
+    TPU-friendly, no data-dependent shapes).
+
+    mask: (H, W) bool. Returns (H, W) int32: each foreground pixel gets its
+    component's minimum flat index; background pixels get H*W.
+    """
+    H, W = mask.shape
+    n = H * W
+    big = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    lab = jnp.where(mask, idx, big)
+
+    def neighbor_min(l):
+        p = jnp.pad(l, 1, constant_values=n)
+        m = jnp.minimum(
+            jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
+            jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]),
+        )
+        if connectivity == 8:
+            m = jnp.minimum(
+                m,
+                jnp.minimum(
+                    jnp.minimum(p[:-2, :-2], p[:-2, 2:]),
+                    jnp.minimum(p[2:, :-2], p[2:, 2:]),
+                ),
+            )
+        return jnp.where(mask, jnp.minimum(l, m), big)
+
+    def hop(l):
+        # pointer jumping: follow each pixel's label to that pixel's label
+        flat = jnp.concatenate(
+            [l.reshape(-1), jnp.array([big], jnp.int32)]
+        )
+        return jnp.where(mask, flat[l], big)
+
+    def body(state):
+        l, _ = state
+        l2 = hop(hop(neighbor_min(l)))
+        return l2, jnp.any(l2 != l)
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True)))
+    return lab
+
+
+def fill_holes(mask):
+    """Fill interior holes: background pixels (4-connected, matching the
+    duality of 8-connected foreground) not reachable from the image border
+    become foreground. This makes per-component pixel counts track
+    cv2.contourArea of the OUTER contour (RETR_EXTERNAL), which is the
+    filled polygon area the host ranks blobs by."""
+    H, W = mask.shape
+    n = H * W
+    bg = ~mask
+    lab_bg = connected_components(bg, connectivity=4)
+    border = jnp.concatenate(
+        [lab_bg[0], lab_bg[-1], lab_bg[:, 0], lab_bg[:, -1]]
+    )
+    border_reach = jnp.zeros(n + 1, bool).at[border].set(True)
+    holes = bg & ~border_reach[lab_bg]
+    return mask | holes
+
+
 def decode_base_device(class_mask, area_threshold: float = 10.0):
-    """Pixel-centroid of a boolean class mask, gated by pixel count.
+    """LARGEST-component centroid gated by area — the host semantics
+    (track/decode.py calc_base_centroid; reference
+    test_multiframe_segmentation_on_videos_v3.py:45-59), on device.
+
+    Matching the OpenCV path: cv2 ranks RETR_EXTERNAL contours by polygon
+    area of the OUTER boundary (holes filled) and takes the polygon-moment
+    centroid. Here: holes are filled on device, components ranked by
+    filled pixel count, centroid over the filled component. Residual
+    envelope vs cv2: pixel count vs polygon area differ by ~perimeter/2
+    (can flip selection only between near-equal-area blobs) and the
+    centroid by <~1 px (cv2 also truncates to int). Pinned by
+    tests/test_decode_device.py multi-blob and ragged-mask cases.
 
     Returns (3,) = (x, y, valid).
     """
     H, W = class_mask.shape
-    m = class_mask.astype(jnp.float32)
-    count = jnp.sum(m)
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
-    cx = jnp.sum(m * xs) / jnp.maximum(count, 1.0)
-    cy = jnp.sum(m * ys) / jnp.maximum(count, 1.0)
-    valid = (count >= area_threshold).astype(jnp.float32)
+    n = H * W
+    filled = fill_holes(class_mask)
+    lab = connected_components(filled).reshape(-1)
+    ones = filled.reshape(-1).astype(jnp.float32)
+    # per-component pixel counts, indexed by the component's root pixel
+    counts = jax.ops.segment_sum(ones, lab, num_segments=n + 1)
+    counts = counts.at[n].set(0.0)  # background bucket
+    # rank by cv2.contourArea's polygon area: Pick's theorem gives
+    # area ~= pixels - boundary/2, where boundary pixels have a 4-neighbor
+    # outside the (filled) component
+    fp = jnp.pad(filled, 1)
+    interior4 = (
+        fp[:-2, 1:-1] & fp[2:, 1:-1] & fp[1:-1, :-2] & fp[1:-1, 2:]
+    ) & filled
+    bnd = (filled & ~interior4).reshape(-1).astype(jnp.float32)
+    bnd_counts = jax.ops.segment_sum(bnd, lab, num_segments=n + 1)
+    scores = counts - 0.5 * bnd_counts
+    scores = scores.at[n].set(0.0)
+    root = jnp.argmax(scores)
+    # centroid approximates cv2's polygon moments: interior pixels weight
+    # 1, boundary pixels 1/2 (Green's-theorem discretization) — halves the
+    # worst-case divergence on ragged blobs vs the plain pixel centroid
+    w = jnp.where(interior4, 1.0, 0.5).reshape(-1) * ones
+    sel_w = jnp.where(lab == root, w, 0.0)
+    wsum = jnp.sum(sel_w)
+    xs = jnp.arange(n, dtype=jnp.float32) % W
+    ys = jnp.floor(jnp.arange(n, dtype=jnp.float32) / W)
+    cx = jnp.sum(sel_w * xs) / jnp.maximum(wsum, 1.0)
+    cy = jnp.sum(sel_w * ys) / jnp.maximum(wsum, 1.0)
+    # gate on the polygon-area estimate (host gates on cv2.contourArea)
+    valid = (scores[root] >= area_threshold).astype(jnp.float32)
     return jnp.stack([cx, cy, valid])
 
 

@@ -64,3 +64,94 @@ def test_device_tips_empty_blob_invalid():
     blob = np.zeros((32, 32), bool)
     dev = np.asarray(decode_tips_device(jnp.asarray(heat), jnp.asarray(blob)))
     assert np.all(dev[:, 2] == 0.0)
+
+
+def test_connected_components_labels():
+    from mfcnet_tpu.track.decode_device import connected_components
+
+    mask = np.zeros((16, 20), bool)
+    mask[2:5, 2:6] = True          # blob A
+    mask[10:14, 10:16] = True      # blob B
+    mask[3, 7] = True              # isolated pixel (8-conn: separate)
+    mask[4, 6] = True              # diagonal touch to blob A (8-conn join)
+    lab = np.asarray(connected_components(jnp.asarray(mask)))
+    fg = lab[mask]
+    assert np.all(lab[~mask] == 16 * 20)
+    labels = set(fg.tolist())
+    # A + diagonal pixel merge; the (3,7) pixel touches (4,6) diagonally,
+    # which touches A at (4,5)... all 8-connected into one component
+    assert len(labels) == 2
+    a_label = lab[3, 3]
+    assert lab[4, 6] == a_label and lab[3, 7] == a_label
+    assert lab[12, 12] != a_label
+
+
+def test_device_base_matches_host_multi_blob():
+    """The VERDICT r1 gap: >=2-blob base masks must pick the LARGEST
+    component like the host contour path (not the all-pixel centroid)."""
+    from mfcnet_tpu.track.decode_device import decode_base_device
+
+    H, W = 64, 80
+    mask = np.zeros((H, W), bool)
+    mask[8:18, 8:20] = True     # 120 px — small blob
+    mask[35:55, 40:70] = True   # 600 px — large blob (host must pick this)
+    bx, by = calc_base_centroid(255 * mask.astype(np.uint8), 10.0)
+    dev = np.asarray(decode_base_device(jnp.asarray(mask), 10.0))
+    assert dev[2] == 1.0
+    # all-pixel centroid would land near (38, 31) — far from either blob
+    assert abs(dev[0] - bx[0]) <= 1.0 and abs(dev[1] - by[0]) <= 1.0
+    # sanity: host picked the big blob's centroid (~(54.5, 44.5))
+    assert abs(bx[0] - 54.5) <= 1.5 and abs(by[0] - 44.5) <= 1.5
+
+
+def test_device_base_three_blobs_irregular():
+    from mfcnet_tpu.track.decode_device import decode_base_device
+
+    H, W = 96, 96
+    rng = np.random.default_rng(3)
+    mask = np.zeros((H, W), bool)
+    mask[5:12, 5:12] = True                       # 49 px
+    mask[60:80, 10:25] = True                     # 300 px
+    # snake-shaped largest blob (stresses label propagation distance)
+    for i in range(40):
+        mask[20 + i // 4, 30 + i] = True
+        mask[21 + i // 4, 30 + i] = True
+    mask[20:34, 64:92] = True                     # joined fat end
+    bx, by = calc_base_centroid(255 * mask.astype(np.uint8), 10.0)
+    dev = np.asarray(decode_base_device(jnp.asarray(mask), 10.0))
+    assert dev[2] == 1.0
+    assert abs(dev[0] - bx[0]) <= 1.5 and abs(dev[1] - by[0]) <= 1.5
+
+
+def test_device_base_ragged_masks_statistical_envelope():
+    """200 adversarially ragged multi-blob masks: device largest-component
+    decode (hole-fill + Pick's-theorem polygon-area ranking) must agree
+    with the host cv2 contour path on >=99% of masks, within 2 px when the
+    same blob is chosen. The rare disagreement is a genuine near-tie
+    (two blobs within ~1% area)."""
+    import cv2
+
+    from mfcnet_tpu.track.decode_device import decode_base_device
+
+    rng = np.random.default_rng(0)
+    n_eval = mismatches = 0
+    worst = 0.0
+    for _ in range(200):
+        m = rng.random((64, 64)) < 0.03
+        m = cv2.dilate(
+            m.astype(np.uint8), np.ones((3, 3), np.uint8), iterations=2
+        ).astype(bool)
+        bx, by = calc_base_centroid(255 * m.astype(np.uint8), 10.0)
+        if not bx:
+            continue
+        dev = np.asarray(decode_base_device(jnp.asarray(m), 10.0))
+        if dev[2] > 0:
+            n_eval += 1
+            e = max(abs(dev[0] - bx[0]), abs(dev[1] - by[0]))
+            if e > 3.0:
+                mismatches += 1
+            else:
+                worst = max(worst, e)
+    assert n_eval >= 150
+    assert mismatches <= max(2, n_eval // 100)
+    assert worst <= 2.0
