@@ -42,7 +42,19 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="concurrent video streams (frames/sec counts "
                          "batch*frames)")
+    ap.add_argument("--record_detail",
+                    type=lambda v: v.lower() in ("true", "1"),
+                    default=None,
+                    help="also measure --mode full and --mode e2e in "
+                         "subprocesses and write all results to "
+                         "BENCH_DETAIL.json (default: on for the plain "
+                         "incremental run)")
     args = ap.parse_args()
+
+    if args.record_detail is None:
+        args.record_detail = (
+            args.mode == "incremental" and args.batch == 1
+        )
 
     import jax
     import jax.numpy as jnp
@@ -115,31 +127,48 @@ def main():
     )
 
     if args.mode == "incremental":
-        # ring buffer of per-frame class maps; one base fwd per new frame;
-        # args.chunk frames are processed per device launch via lax.scan
+        # s2d ring buffer of per-frame class maps; one base fwd per new
+        # frame; args.chunk frames per device launch via lax.scan. The
+        # buffer lives in the space-to-depth domain end to end (see
+        # MultiFrameHead): base output folds via a one-hot strided conv,
+        # the fusion head reads the buffer through a channel-permuted
+        # packed kernel, and softmax/argmax run per phase — zero layout
+        # transposes per frame. Outputs are identical to the plain path
+        # (parity-tested in tests/test_models.py).
         K = max(1, args.chunk)
+        F = 4
+        Hb, Wb = H // F, W // F
 
-        def one_frame(seg_buf, new_frame):
+        def _d2s1(y):
+            # (B, Hb, Wb, 16) single-channel unfold
+            return y.reshape(B, Hb, Wb, F, F).transpose(
+                0, 1, 3, 2, 4
+            ).reshape(B, H, W)
+
+        def one_frame(buf, new_frame):
             seg_new = model.apply(
-                cvars, new_frame, method="base_forward"
-            )  # (1, H, W, C)
-            seg_buf = jnp.concatenate(
-                [seg_new[:, None], seg_buf[:, :-1]], axis=1
+                cvars, new_frame, method="base_forward_s2d"
+            )  # (B, Hb, Wb, 16*C)
+            buf = jnp.concatenate(
+                [seg_new, buf[..., : (T - 1) * 16 * C]], axis=-1
             )  # newest first
             logits = model.apply(
-                cvars, seg_buf, method="fuse_precomputed"
-            )
+                cvars, buf, method="fuse_s2d", orig_hw=(H, W)
+            )  # (B, Hb, Wb, 16*C)
             # decode-adjacent work stays on device: per-frame class mask +
             # the two tip heatmaps are all the tracker's host decode needs
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return seg_buf, (mask, probs[..., 2], probs[..., 4])
+            p = jax.nn.softmax(
+                logits.reshape(B, Hb, Wb, 16, C).astype(jnp.float32),
+                axis=-1,
+            )
+            mask = _d2s1(jnp.argmax(p, axis=-1).astype(jnp.uint8))
+            return buf, (mask, _d2s1(p[..., 2]), _d2s1(p[..., 4]))
 
         @jax.jit
         def step(seg_buf, frames_k):
             return jax.lax.scan(one_frame, seg_buf, frames_k)
 
-        seg_buf = jnp.zeros((B, T, H, W, C), dtype)
+        seg_buf = jnp.zeros((B, Hb, Wb, T * 16 * C), dtype)
         frames_k = jnp.zeros((K, B, H, W, 3), dtype)
         seg_buf, out = step(seg_buf, frames_k)  # compile
         float(out[0][0, 0, 0, 0])
@@ -175,7 +204,7 @@ def main():
     run(10)  # warmup
     best = min(run(args.frames) for _ in range(args.trials))
     fps = args.frames * B / best
-    print(json.dumps({
+    headline = {
         "metric": (
             f"mfcnet_3frame_{H}x{W}_inference_{args.mode}_{args.dtype}"
             + (f"_b{B}" if B > 1 else "")
@@ -183,7 +212,39 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
-    }))
+    }
+
+    if args.record_detail:
+        # also put the reference-semantics (full: T base fwds/frame) and
+        # the end-to-end product-pipeline numbers on the record, next to
+        # the incremental headline (VERDICT r1 item 7). Subprocesses keep
+        # this process's stdout a single JSON line.
+        import subprocess
+        import sys
+
+        results = [headline]
+        for extra in (
+            ["--mode", "full", "--frames", "60", "--trials", "2"],
+            ["--mode", "e2e", "--frames", "60", "--trials", "1"],
+        ):
+            cmd = [sys.executable, __file__, "--record_detail", "false",
+                   "--dtype", args.dtype] + extra
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1200
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                results.append(json.loads(line))
+                print(f"[detail] {line}", file=sys.stderr)
+            except Exception as e:  # detail is best-effort
+                print(f"[detail] {extra[1]} failed: {e}", file=sys.stderr)
+        import pathlib
+
+        pathlib.Path(__file__).parent.joinpath(
+            "BENCH_DETAIL.json"
+        ).write_text(json.dumps(results, indent=1))
+
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -34,32 +34,156 @@ from mfcnet_tpu.ops.warp import flow_warp
 REFERENCE_GRID_HW = (576, 720)
 
 
+class _ConvKernel(nn.Module):
+    """Param holder matching nn.Conv's tree ({name}/kernel, HWIO)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class _BNState(nn.Module):
+    """Param/stat holder matching nn.BatchNorm's tree
+    (params {scale, bias}; batch_stats {mean, var})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        return scale, bias, mean, var
+
+
 class MultiFrameHead(nn.Module):
     """The 4-conv fusion head shared by Basic and Large variants.
 
     Conv11x11(-> T*C, no bias) + BN + ReLU, 2 x [Conv3x3 + BN + ReLU],
     Conv1x1(-> C, no bias). Reference: models/multiframe_model.py:62-73.
+
+    TPU-first: at eval, the head's tiny channel count (T*C = 15) wastes
+    ~90% of the MXU's 128-wide lanes, so the WHOLE head runs in the
+    space-to-depth(4) domain (channels x16; one fold at entry, one unfold
+    at exit; BN folds into a per-channel affine with phase-tiled params) —
+    identical math, ~1.5x on v5e at 480x640 (ops/fastconv.py). The train
+    path uses plain convs + batch statistics (flax BN semantics). Param
+    tree is unchanged: Conv_{0..3}/kernel, BatchNorm_{0..2}.
     """
 
     num_classes: int
     num_frames: int
+    s2d_block: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d_in: bool = False,
+                 cin_perm=None, s2d_out: bool = False, orig_hw=None):
+        """``s2d_in``: x is already s2d-folded (B, Hb, Wb, f^2*in_ch) with
+        ``cin_perm`` mapping its channel order to the standard packed
+        layout; ``s2d_out``: return s2d-folded logits (skip the unfold);
+        ``orig_hw``: original (H, W) when s2d_in (needed for unfold/mask).
+        The streaming tracker uses these to keep its ring buffer in the
+        s2d domain (no per-frame layout transposes)."""
+        import jax
+
+        f = self.s2d_block
         tc = self.num_frames * self.num_classes
+        if s2d_in:
+            in_ch = x.shape[-1] // (f * f)
+        else:
+            in_ch = x.shape[-1]
+        k0 = _ConvKernel((11, 11, in_ch, tc), name="Conv_0")()
+        k1 = _ConvKernel((3, 3, tc, tc), name="Conv_1")()
+        k2 = _ConvKernel((3, 3, tc, tc), name="Conv_2")()
+        k3 = _ConvKernel((1, 1, tc, self.num_classes), name="Conv_3")()
+        bns = [
+            _BNState(tc, name=f"BatchNorm_{i}")() for i in range(3)
+        ]
 
-        def bn(y):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
-            )(y)
+        eps = 1e-5
 
-        x = nn.Conv(tc, (11, 11), padding="SAME", use_bias=False)(x)
-        x = nn.relu(bn(x))
-        x = nn.Conv(tc, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.relu(bn(x))
-        x = nn.Conv(tc, (3, 3), padding="SAME", use_bias=False)(x)
-        x = nn.relu(bn(x))
-        return nn.Conv(self.num_classes, (1, 1), use_bias=False)(x)
+        if train:
+            assert not s2d_in and not s2d_out
+            # plain layout + batch statistics (flax nn.BatchNorm semantics:
+            # f32 stats, running = 0.9*running + 0.1*batch)
+            from mfcnet_tpu.ops.fastconv import fast_conv_same
+
+            def bn_train(y, st):
+                scale, bias, ra_mean, ra_var = st
+                yf = y.astype(jnp.float32)
+                mean = jnp.mean(yf, axis=(0, 1, 2))
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+                    - jnp.square(mean),
+                    0.0,
+                )
+                if not self.is_initializing():
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var
+                dt = jnp.promote_types(y.dtype, scale.dtype)
+                return (
+                    (y.astype(dt) - mean.astype(dt))
+                    * jax.lax.rsqrt(var.astype(dt) + eps)
+                    * scale.astype(dt)
+                    + bias.astype(dt)
+                )
+
+            y = fast_conv_same(x, k0)
+            y = nn.relu(bn_train(y, bns[0]))
+            y = fast_conv_same(y, k1)
+            y = nn.relu(bn_train(y, bns[1]))
+            y = fast_conv_same(y, k2)
+            y = nn.relu(bn_train(y, bns[2]))
+            return fast_conv_same(y, k3)
+
+        # eval: fused s2d-domain chain with BN as phase-tiled affine
+        from mfcnet_tpu.ops.fastconv import (
+            conv_s2d_indomain,
+            from_s2d,
+            mask_s2d_padding,
+            to_s2d,
+        )
+
+        if s2d_in:
+            assert orig_hw is not None
+            H, W = orig_hw
+            xs = x
+        else:
+            B, H, W, _ = x.shape
+            xs = to_s2d(x, f)
+
+        def bn_affine(st):
+            scale, bias, ra_mean, ra_var = st
+            inv = scale * jax.lax.rsqrt(ra_var.value + eps)
+            shift = bias - ra_mean.value * inv
+            return jnp.tile(inv, f * f), jnp.tile(shift, f * f)
+
+        y = conv_s2d_indomain(xs, k0, f, cin_perm=cin_perm)
+        for kern, st in ((k1, bns[0]), (k2, bns[1])):
+            inv, shift = bn_affine(st)
+            y = nn.relu(y * inv.astype(y.dtype) + shift.astype(y.dtype))
+            # the next conv's SAME padding must see zeros at out-of-image
+            # pixels inside partial trailing blocks (post-affine they'd be
+            # nonzero); no-op when f divides H and W
+            y = mask_s2d_padding(y, f, H, W)
+            y = conv_s2d_indomain(y, kern, f)
+        inv, shift = bn_affine(bns[2])
+        y = nn.relu(y * inv.astype(y.dtype) + shift.astype(y.dtype))
+        y = conv_s2d_indomain(y, k3, f)  # 1x1: padding-insensitive
+        if s2d_out:
+            return y
+        return from_s2d(y, f, H, W)
 
 
 class MultiFrameNet(nn.Module):
@@ -81,18 +205,42 @@ class MultiFrameNet(nn.Module):
     parity_grid: bool = True  # reproduce the reference's 576x720 crop grid
 
     @nn.compact
-    def __call__(self, seg, optflow=None, depth=None, train: bool = False):
+    def __call__(self, seg, optflow=None, depth=None, train: bool = False,
+                 s2d_buffer: bool = False, orig_hw=None):
         """Fuse per-frame maps into current-frame class logits.
 
         Args:
-          seg: (B, T, H, W, C) per-frame class probability/logit maps.
+          seg: (B, T, H, W, C) per-frame class probability/logit maps — or,
+            with ``s2d_buffer``, an s2d-folded ring buffer
+            (B, Hb, Wb, T*f^2*C) with channel order (t, (sy, sx, c)),
+            newest frame first.
           optflow: optional (B, T-1, H, W, 2) flow for frames 1..T-1
             (flow[i-1] belongs to frame i), pixels, (x, y) last axis.
           depth: optional (B, T, H, W, 1) per-frame depth maps.
 
         Returns:
-          (B, H, W, C) fused logits.
+          (B, H, W, C) fused logits — or s2d-folded (B, Hb, Wb, f^2*C)
+          logits with ``s2d_buffer``.
         """
+        if s2d_buffer:
+            # streaming fast path (no flow/depth): head reads the s2d ring
+            # buffer directly; the channel permutation is folded into the
+            # packed conv kernel, so no layout transposes at all
+            assert optflow is None and depth is None and not train
+            T, C = self.num_frames, self.num_classes
+            head = MultiFrameHead(C, T, name="head")
+            f = head.s2d_block
+            # static tuple: survives flax module boundaries un-traced
+            perm = tuple(
+                s * T * C + t * C + c
+                for t in range(T)
+                for s in range(f * f)
+                for c in range(C)
+            )
+            return head(
+                seg, train=False, s2d_in=True, cin_perm=perm,
+                s2d_out=True, orig_hw=orig_hw,
+            )
         B, T, H, W, C = seg.shape
         assert T == self.num_frames and C == self.num_classes
         grid_hw = REFERENCE_GRID_HW if self.parity_grid else None
@@ -204,3 +352,20 @@ class MultiFrameSegmenter(nn.Module):
         Invoke via ``model.apply(vars, frames, method='base_forward')``.
         """
         return self._base_transform(self.base(frames, train=train))
+
+    def base_forward_s2d(self, frames, train: bool = False):
+        """base_forward + fold to the s2d domain (one-hot strided conv;
+        bit-exact). Output (B, H/f, W/f, f^2*C) feeds the s2d ring buffer
+        consumed by :meth:`fuse_s2d`."""
+        from mfcnet_tpu.ops.fastconv import s2d_via_conv
+
+        return s2d_via_conv(self.base_forward(frames, train=train), 4)
+
+    def fuse_s2d(self, seg_s2d, orig_hw):
+        """Fusion head over an s2d ring buffer (B, Hb, Wb, T*f^2*C),
+        channel order (t, (sy, sx, c)), newest first; returns s2d-folded
+        logits (B, Hb, Wb, f^2*C). The streaming tracker's device path:
+        zero layout transposes per frame (see MultiFrameHead docstring)."""
+        return self.multiframe_net(
+            seg_s2d, s2d_buffer=True, orig_hw=orig_hw
+        )

@@ -330,14 +330,29 @@ class InferenceEngine:
                 flows.append(fl)
             return jnp.stack(flows, axis=1)
 
+        # streaming fast path: with no flow/depth inputs the per-frame seg
+        # ring buffer lives in the space-to-depth domain (zero layout
+        # transposes per frame; see MultiFrameHead) — outputs identical
+        use_s2d = (
+            not cfg.add_optflow_inputs and not cfg.add_depth_inputs
+            and cfg.mode == "incremental" and H % 4 == 0 and W % 4 == 0
+        )
+        self._use_s2d = use_s2d
+
         @jax.jit
         def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
             x = frame_u8.astype(dtype) / 255.0
             x = ((x - mean) / std)[None]
-            seg_new = model.apply(cvars, x, method="base_forward")
-            seg_buf = jnp.concatenate(
-                [seg_new[:, None], seg_buf[:, :-1]], axis=1
-            )
+            if use_s2d:
+                seg_new = model.apply(cvars, x, method="base_forward_s2d")
+                seg_buf = jnp.concatenate(
+                    [seg_new, seg_buf[..., : (T - 1) * 16 * C]], axis=-1
+                )
+            else:
+                seg_new = model.apply(cvars, x, method="base_forward")
+                seg_buf = jnp.concatenate(
+                    [seg_new[:, None], seg_buf[:, :-1]], axis=1
+                )
             d = (depth_u8.astype(dtype) / 255.0)[None, ..., None]
             depth_buf = jnp.concatenate(
                 [d[:, None], depth_buf[:, :-1]], axis=1
@@ -384,14 +399,24 @@ class InferenceEngine:
 
         @jax.jit
         def fuse(seg_buf, depth_buf, frame_buf):
-            kwargs = (
-                {"depth": depth_buf} if cfg.add_depth_inputs else {}
-            )
-            if cfg.add_optflow_inputs:
-                kwargs["optflow"] = compute_flow(frame_buf)
-            logits = model.apply(
-                cvars, seg_buf, method="fuse_precomputed", **kwargs
-            )
+            if use_s2d:
+                from mfcnet_tpu.ops.fastconv import from_s2d
+
+                logits = from_s2d(
+                    model.apply(
+                        cvars, seg_buf, method="fuse_s2d", orig_hw=(H, W)
+                    ),
+                    4, H, W,
+                )
+            else:
+                kwargs = (
+                    {"depth": depth_buf} if cfg.add_depth_inputs else {}
+                )
+                if cfg.add_optflow_inputs:
+                    kwargs["optflow"] = compute_flow(frame_buf)
+                logits = model.apply(
+                    cvars, seg_buf, method="fuse_precomputed", **kwargs
+                )
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
             return _outputs(probs)
 
@@ -411,7 +436,12 @@ class InferenceEngine:
             return _outputs(probs)
 
         self._ingest, self._fuse, self._full = ingest, fuse, full
-        self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
+        if use_s2d:
+            self.seg_buf = jnp.zeros(
+                (1, H // 4, W // 4, T * 16 * C), dtype
+            )
+        else:
+            self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
         self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
         self.frame_buf = jnp.zeros(
             (1, T if cfg.add_optflow_inputs else 1, H, W, 3), dtype

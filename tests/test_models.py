@@ -183,3 +183,50 @@ def test_train_step_with_frozen_raft_flow_in_loop():
     }
     state, logs = step(state, batch)
     assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_fuse_s2d_streaming_parity():
+    """The s2d ring-buffer streaming path (base_forward_s2d + fuse_s2d)
+    must reproduce the standard fuse_precomputed logits exactly (the
+    space-to-depth fold/packed kernels are the same math reassociated)."""
+    import numpy as np
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.ops.fastconv import from_s2d, s2d_via_conv
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    T, C, H, W = 3, 5, 64, 64
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", num_classes=C, num_input_frames=T,
+        scale=0.25,
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 1, (T, 1, H, W, 3)).astype(np.float32)
+    )
+    # standard path
+    seg = jnp.stack(
+        [
+            model.apply(variables, frames[t], method="base_forward")
+            for t in range(T)
+        ],
+        axis=1,
+    )
+    want = model.apply(variables, seg, method="fuse_precomputed")
+    # streaming s2d path
+    buf = jnp.concatenate(
+        [
+            model.apply(variables, frames[t], method="base_forward_s2d")
+            for t in range(T)
+        ],
+        axis=-1,
+    )
+    got = from_s2d(
+        model.apply(variables, buf, method="fuse_s2d", orig_hw=(H, W)),
+        4, H, W,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )

@@ -195,3 +195,69 @@ def test_local_maxima_matches_scipy():
     want = ndimage.maximum_filter(sm, footprint=mask) == sm
     got = np.asarray(local_maxima(jnp.asarray(sm), 10))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fast_conv_same_parity():
+    """Space-to-depth packed conv == plain SAME conv for assorted shapes,
+    kernels, and blocks (ops/fastconv.py)."""
+    from jax import lax
+
+    from mfcnet_tpu.ops.fastconv import fast_conv_same
+
+    rng = np.random.default_rng(0)
+    for (H, W, C, D, k, f) in [
+        (64, 64, 3, 8, 3, 2), (37, 53, 7, 9, 5, 2),
+        (33, 41, 15, 8, 11, 4), (8, 8, 3, 4, 3, 2), (5, 5, 2, 3, 11, 4),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((k, k, C, D)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+        want = lax.conv_general_dilated(
+            x, kern, (1, 1), [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        got = fast_conv_same(x, kern, b, block=f)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_s2d_helpers_roundtrip_and_indomain_conv():
+    from jax import lax
+
+    from mfcnet_tpu.ops.fastconv import (
+        conv_s2d_indomain,
+        from_s2d,
+        mask_s2d_padding,
+        s2d_via_conv,
+        to_s2d,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 30, 42, 5)).astype(np.float32))
+    # roundtrip + one-hot-conv equivalence
+    xs = to_s2d(x, 4)
+    np.testing.assert_array_equal(
+        np.asarray(s2d_via_conv(x, 4)), np.asarray(xs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(from_s2d(xs, 4, 30, 42)), np.asarray(x)
+    )
+    # in-domain SAME conv == plain SAME conv (with padding mask for the
+    # partial trailing blocks)
+    kern = jnp.asarray(
+        rng.standard_normal((3, 3, 5, 7)).astype(np.float32) * 0.1
+    )
+    want = lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = from_s2d(
+        conv_s2d_indomain(mask_s2d_padding(xs, 4, 30, 42), kern, 4),
+        4, 30, 42,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
