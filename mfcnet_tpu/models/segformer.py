@@ -83,17 +83,41 @@ class MixFFN(nn.Module):
         return nn.Dense(self.dim, name="fc2")(y)
 
 
+def _drop_path(x, rate: float, deterministic: bool, rng):
+    """Stochastic depth (timm DropPath): drop the residual branch per
+    SAMPLE with prob ``rate`` and rescale by 1/keep. mit_b3 trains with
+    drop_path_rate=0.1 linearly increasing over blocks (smp encoder
+    params); identity at eval."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
 class MiTBlock(nn.Module):
     dim: int
     heads: int
     sr_ratio: int
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        def dp(y):
+            if self.drop_path == 0.0 or deterministic:
+                return y
+            return _drop_path(
+                y, self.drop_path, deterministic,
+                self.make_rng("dropout"),
+            )
+
         y = nn.LayerNorm(epsilon=1e-6)(x)
-        x = x + EfficientAttention(self.dim, self.heads, self.sr_ratio)(y)
+        x = x + dp(
+            EfficientAttention(self.dim, self.heads, self.sr_ratio)(y)
+        )
         y = nn.LayerNorm(epsilon=1e-6)(x)
-        return x + MixFFN(self.dim)(y)
+        return x + dp(MixFFN(self.dim)(y))
 
 
 class MiTEncoder(nn.Module):
@@ -104,9 +128,16 @@ class MiTEncoder(nn.Module):
     depths: tuple = (3, 4, 18, 3)
     heads: tuple = (1, 2, 5, 8)
     sr_ratios: tuple = (8, 4, 2, 1)
+    drop_path_rate: float = 0.1  # smp mit_b3 encoder param
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        total = sum(self.depths)
+        rates = [
+            self.drop_path_rate * i / max(total - 1, 1)
+            for i in range(total)
+        ]
+        cur = 0
         feats = []
         for si in range(4):
             patch, stride = (7, 4) if si == 0 else (3, 2)
@@ -118,8 +149,10 @@ class MiTEncoder(nn.Module):
                     self.dims[si],
                     self.heads[si],
                     self.sr_ratios[si],
+                    drop_path=rates[cur],
                     name=f"stage{si + 1}_block{bi}",
-                )(x)
+                )(x, deterministic=deterministic)
+                cur += 1
             x = nn.LayerNorm(epsilon=1e-6, name=f"norm{si + 1}")(x)
             feats.append(x)
         return feats
@@ -139,7 +172,7 @@ class SegFormerMiTB3(nn.Module):
         feats = MiTEncoder(
             self.dims, self.depths, self.heads, self.sr_ratios,
             name="encoder",
-        )(x)
+        )(x, deterministic=not train)
         h4, w4 = feats[0].shape[-3], feats[0].shape[-2]
         proj = []
         for i, f in enumerate(feats):
