@@ -16,7 +16,11 @@ import numpy as np
 
 
 def _draw_instrument(img, posemap, cx, cy, angle, side_offset):
-    """Draw a shaft + two tips; posemap channels: B/R -> tips, G -> shaft."""
+    """Draw a shaft + two tips; posemap channels: B/R -> tips, G -> shaft.
+
+    Returns the ground-truth keypoints:
+    (tip1_xy, tip2_xy, base_xy) with base = shaft-segment midpoint (the
+    centroid the contour decode converges to)."""
     h, w = img.shape[:2]
     bx = int(np.clip(cx - 30 * np.cos(angle), 5, w - 6))
     by = int(np.clip(cy - 30 * np.sin(angle), 5, h - 6))
@@ -31,6 +35,11 @@ def _draw_instrument(img, posemap, cx, cy, angle, side_offset):
     cv2.line(posemap, (bx, by), (int(cx), int(cy)), (0, 255, 0), 5)
     cv2.circle(posemap, (tx1, ty1), 3, (255, 0, 0), -1)
     cv2.circle(posemap, (tx2, ty2), 3, (0, 0, 255), -1)
+    return (
+        (tx1, ty1),
+        (tx2, ty2),
+        ((bx + int(cx)) / 2.0, (by + int(cy)) / 2.0),
+    )
 
 
 def make_jigsaws_like_dataset(
@@ -83,9 +92,15 @@ def make_jigsaws_like_dataset(
 
 def make_synthetic_video(
     path, num_frames: int = 20, height: int = 96, width: int = 128,
-    fps: int = 30, seed: int = 0,
+    fps: int = 30, seed: int = 0, return_keypoints: bool = False,
 ):
-    """Write a small mp4 of the same moving-instrument scene."""
+    """Write a small mp4 of the same moving-instrument scene.
+
+    With ``return_keypoints`` also returns the ground-truth (N, 12) array
+    in the tracker-CSV column layout
+    [ltip1(x,y), ltip2(x,y), rtip1(x,y), rtip2(x,y), lbase(x,y),
+    rbase(x,y)] — enables quantitative tracking-accuracy evaluation
+    against the BASELINE tip-RMSE metric."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -93,15 +108,19 @@ def make_synthetic_video(
     writer = cv2.VideoWriter(str(path), fourcc, fps, (width, height))
     lx, ly, rx, ry = 0.3 * width, 0.5 * height, 0.7 * width, 0.5 * height
     la, ra = 0.5, 3.5
-    for _ in range(num_frames):
+    gt = np.zeros((num_frames, 12), np.float64)
+    for f in range(num_frames):
         img = np.full((height, width, 3), 40, np.uint8)
         img += rng.integers(0, 20, img.shape, dtype=np.uint8)
         pm = np.zeros_like(img)
-        _draw_instrument(img, pm, lx, ly, la, -1)
-        _draw_instrument(img, pm, rx, ry, ra, +1)
+        lt1, lt2, lb = _draw_instrument(img, pm, lx, ly, la, -1)
+        rt1, rt2, rb = _draw_instrument(img, pm, rx, ry, ra, +1)
+        gt[f] = [*lt1, *lt2, *rt1, *rt2, *lb, *rb]
         lx += rng.uniform(-3, 3); ly += rng.uniform(-3, 3)
         rx += rng.uniform(-3, 3); ry += rng.uniform(-3, 3)
         la += rng.uniform(-0.2, 0.2); ra += rng.uniform(-0.2, 0.2)
         writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     writer.release()
+    if return_keypoints:
+        return path, gt
     return path

@@ -47,9 +47,9 @@ def test_train_then_track_detects_instruments(tmp_path):
         "TernausNetMulti-Basic", 5, 3, scale=0.25
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    video = make_synthetic_video(
+    video, gt = make_synthetic_video(
         tmp_path / "v" / "demo.mp4", num_frames=12, height=64, width=64,
-        seed=3,
+        seed=3, return_keypoints=True,
     )
     cfg = TrackerConfig(
         num_input_frames=3, num_classes=5, input_height=64, input_width=64,
@@ -65,3 +65,26 @@ def test_train_then_track_detects_instruments(tmp_path):
     # 12 frames, 2 instruments; warmup skips the first 2 frames
     assert base_detections >= 8, rows
     assert tip_detections >= 5, rows
+
+    # quantitative accuracy vs the synthetic ground truth (the BASELINE
+    # tip-RMSE metric end to end): measured ~3.8px tips / ~1.4px bases
+    # after 6 epochs at 64x64; bounds pinned with margin
+    def tip_errors(tcol):
+        errs = []
+        for f in range(rows.shape[0]):
+            pred, g = rows[f, tcol:tcol + 4], gt[f, tcol:tcol + 4]
+            if not np.isfinite(pred).all():
+                continue
+            p1, p2, g1, g2 = pred[:2], pred[2:], g[:2], g[2:]
+            a = np.hypot(*(p1 - g1)) + np.hypot(*(p2 - g2))
+            b = np.hypot(*(p1 - g2)) + np.hypot(*(p2 - g1))
+            errs.append(min(a, b) / 2)
+        return np.asarray(errs)
+
+    for tcol in (0, 4):
+        errs = tip_errors(tcol)
+        assert len(errs) >= 4 and errs.mean() <= 6.5, (tcol, errs)
+    for bcol in (8, 10):
+        d = rows[:, bcol:bcol + 2] - gt[:, bcol:bcol + 2]
+        d = np.linalg.norm(d[np.isfinite(d).all(axis=1)], axis=1)
+        assert len(d) >= 8 and d.mean() <= 4.0, (bcol, d)

@@ -230,3 +230,55 @@ def test_fuse_s2d_streaming_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
+def test_multiframe_head_train_bn_matches_flax_batchnorm():
+    """MultiFrameHead's train path implements BN manually (the eval path
+    folds BN into s2d-domain affines); its semantics must match flax
+    nn.BatchNorm (f32 stats, 0.9/0.1 running update) exactly."""
+    import numpy as np
+    from flax import linen as nn
+    from mfcnet_tpu.models.mfcnet import MultiFrameHead
+
+    T, C, H, W = 3, 5, 16, 16
+    head = MultiFrameHead(C, T)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, H, W, T * C)).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), x, train=True)
+
+    y, upd = head.apply(x=x, variables=variables, train=True,
+                        mutable=["batch_stats"])
+
+    # flax-BN oracle applied with the same params on conv_0's output
+    from mfcnet_tpu.ops.fastconv import fast_conv_same
+
+    k0 = variables["params"]["Conv_0"]["kernel"]
+    c0 = fast_conv_same(x, k0)
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    bn_vars = {
+        "params": {
+            "scale": variables["params"]["BatchNorm_0"]["scale"],
+            "bias": variables["params"]["BatchNorm_0"]["bias"],
+        },
+        "batch_stats": {
+            "mean": variables["batch_stats"]["BatchNorm_0"]["mean"],
+            "var": variables["batch_stats"]["BatchNorm_0"]["var"],
+        },
+    }
+    _, bn_upd = bn.apply(bn_vars, c0, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["BatchNorm_0"]["mean"]),
+        np.asarray(bn_upd["batch_stats"]["mean"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["BatchNorm_0"]["var"]),
+        np.asarray(bn_upd["batch_stats"]["var"]), rtol=1e-6,
+    )
+    # and train-vs-eval consistency: eval with the updated stats stays
+    # finite and shaped
+    ev = head.apply(
+        {"params": variables["params"],
+         "batch_stats": upd["batch_stats"]}, x, train=False
+    )
+    assert ev.shape == (2, H, W, C)
+    assert bool(jnp.all(jnp.isfinite(ev)))
