@@ -261,3 +261,37 @@ def test_s2d_helpers_roundtrip_and_indomain_conv():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_vgg_stage1_pallas_parity():
+    """Fused stage-1 Pallas kernel (interpret mode on CPU) == plain XLA
+    convs, incl. the SAME-padding zero ring between the two convs and
+    batch > 1 / odd widths / different tile sizes."""
+    from mfcnet_tpu.ops.stage1_pallas import (
+        reference_stage1,
+        vgg_stage1_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for (H, W, C1, R) in [(32, 48, 16, 8), (16, 24, 16, 4),
+                          (64, 40, 8, 16)]:
+        x = jnp.asarray(
+            rng.standard_normal((2, H, W, 3)).astype(np.float32)
+        )
+        k1 = jnp.asarray(
+            rng.standard_normal((3, 3, 3, C1)).astype(np.float32) * 0.2
+        )
+        b1 = jnp.asarray(
+            rng.standard_normal(C1).astype(np.float32) * 0.1
+        )
+        k2 = jnp.asarray(
+            rng.standard_normal((3, 3, C1, C1)).astype(np.float32) * 0.05
+        )
+        b2 = jnp.asarray(
+            rng.standard_normal(C1).astype(np.float32) * 0.1
+        )
+        got = vgg_stage1_pallas(x, k1, b1, k2, b2, tile_rows=R)
+        want = reference_stage1(x, k1, b1, k2, b2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
