@@ -24,7 +24,6 @@ from mfcnet_tpu.models import get_tooltip_segmentation_model
 from mfcnet_tpu.track.tracker import (
     KeypointTracker,
     TrackerConfig,
-    classes_from_probs,
     render_overlay,
 )
 from mfcnet_tpu.utils.checkpoint import load_checkpoint
@@ -50,6 +49,11 @@ def build_parser():
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_scale", type=float, default=1.0)
+    p.add_argument("--decode", type=str, default="host",
+                   choices=["host", "device"],
+                   help="host = exact OpenCV-parity decode; device = "
+                        "fully on-device fixed-shape decode (largest-"
+                        "component base, ships 18 floats/frame)")
     return p
 
 
@@ -72,14 +76,12 @@ def track_singleframe_video(video_path, step_fn, cfg, out_dir, logger=None):
         if not ret:
             break
         frame = cv2.resize(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H))
-        mask_dev, probs = step_fn(frame)
-        mask_array = (
-            classes_from_probs(probs, cfg.score_detection_threshold)
-            if cfg.score_detection_threshold > 0
-            else mask_dev
-        )
+        mask_array, aux = step_fn(frame)
         disp = render_overlay(frame, mask_array) if cfg.overlay else None
-        tracker.update(mask_array, probs[..., 4], probs[..., 2], disp)
+        if cfg.decode == "device":
+            tracker.update_device(aux, mask_array, disp)
+        else:
+            tracker.update(mask_array, aux[..., 1], aux[..., 0], disp)
         if writer is not None:
             writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
         done += 1
@@ -151,11 +153,34 @@ def main(argv=None):
         if output_mode == "logits":
             out = jax.nn.log_softmax(out, axis=-1)
         probs = jnp.exp(out.astype(jnp.float32))[0]
-        return jnp.argmax(probs, axis=-1).astype(jnp.uint8), probs
+        # mask + minimized aux outputs (multiframe _outputs semantics:
+        # track/tracker.py) — full probs never leave the device
+        if args.score_detection_threshold > 0:
+            mask = jnp.zeros(probs.shape[:2], jnp.uint8)
+            for cls in range(1, probs.shape[-1]):
+                mask = jnp.where(
+                    probs[..., cls] > args.score_detection_threshold,
+                    jnp.uint8(cls), mask,
+                )
+        else:
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        if args.decode == "device":
+            from mfcnet_tpu.track.decode_device import (
+                decode_keypoints_device,
+            )
+
+            aux = decode_keypoints_device(
+                probs, int(args.area_threshold * 10)
+            )
+        else:
+            aux = jnp.stack(
+                [probs[..., 2], probs[..., 4]], axis=-1
+            ).astype(jnp.float16)
+        return mask, aux
 
     def step_fn(frame):
-        mask, probs = dev_step(jnp.asarray(frame))
-        return np.asarray(mask), np.asarray(probs)
+        mask, aux = dev_step(jnp.asarray(frame))
+        return np.asarray(mask), np.asarray(aux).astype(np.float32)
 
     cfg = TrackerConfig(
         num_input_frames=1, num_classes=num_classes, input_height=H,
@@ -164,6 +189,7 @@ def main(argv=None):
         area_threshold=args.area_threshold,
         dist_threshold=args.dist_threshold,
         dtype=args.compute_dtype,
+        decode=args.decode,
     )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:

@@ -11,16 +11,24 @@ concatenation (never touching HBM) and the intermediate activation kept in
 VMEM. Replaces the reference's cuDNN path for this stage
 (reference: models/ternausnet.py:116-120, torchvision VGG features).
 
-STATUS (round 2): numerically verified (interpret mode + small-shape TPU
-compile at 64x128, parity <= bf16 rounding) but NOT integrated into the
-models: this environment's axon AOT compile service cannot build it at
-480x640 — it scopes each pallas call's full output into the 16 MB VMEM
-budget (fixed here by H-chunking) and then the compile helper is
-OOM-killed on the chunked multi-call program. On a directly-attached
-chip with the standard PJRT compile path this kernel is expected to
-recover ~1.4 ms/frame (stage-1 measured at 1-16 TFLOP/s effective under
-XLA vs the ~100 TFLOP/s these contraction shapes reach). Revisit when
-the compile path allows; the models use the plain XLA convs meanwhile.
+STATUS (round 2, updated): compiles AND runs on the v5e at 480x640 now —
+the row offset is a runtime SMEM scalar and the H-chunk loop is a
+lax.scan, so the program contains ONE Mosaic kernel (the earlier
+per-chunk static offsets compiled 15 distinct kernels, which OOM-killed
+the AOT compile helper; per-grid-step internals also had to fit the
+16 MB scoped-VMEM budget => tile_rows<=8 at 480x640).
+
+Measured @480x640 bf16 (in-jit loop, v5e): this kernel 7.1 ms/frame
+('patches' variant) / 5.7 ms ('taps' variant) vs plain XLA convs
+1.3 ms. The im2col patch assembly — (R,TW,C)->(R*TW,C) relayout
+reshapes and 64-lane concats — dominates and runs on the VPU, while
+XLA's own conv schedule reaches ~50-60 TFLOP/s on these shapes (its
+practical ceiling here; also measured: space-to-depth packing of
+stage-1 is a wash at f=2 and 2.3x worse at f=4 because the packed
+kernel multiplies 7.1x redundant zeros). The kernel is therefore kept
+as a verified demonstration of the fused im2col-in-VMEM approach (and
+the compile-shape constraints), NOT wired into the models — the plain
+XLA convs are faster. See tests/test_ops.py::test_vgg_stage1_pallas_parity.
 """
 
 from __future__ import annotations
@@ -36,17 +44,19 @@ from jax.experimental.pallas import tpu as pltpu
 _CIN_PAD = 8  # pad the 3 input channels to a sublane-friendly 8
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, R, TW, W,
-            C1, Himg, row_offset=0):
+def _kernel(x_ref, ro_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, R,
+            TW, W, C1, Himg):
     """x_ref: (1, 1, R+4, TW+4, 8) pre-overlapped input tile (halo 2);
-    out_ref: (R, TW, C1) output tile. Tiled over both H and W with fully
-    blocked specs — Mosaic's compile time explodes on image-wide (600+
-    col) operands, and un-blocked outputs get scoped into VMEM whole."""
+    ro_ref: (1,) SMEM scalar — the H-chunk's start row (runtime value so
+    every chunk shares ONE compiled kernel); out_ref: (R, TW, C1) output
+    tile. Tiled over both H and W with fully blocked specs — Mosaic's
+    compile time explodes on image-wide (600+ col) operands, and
+    un-blocked outputs get scoped into VMEM whole."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # top of this tile in GLOBAL y1-halo coordinates (row_offset is the
-    # H-chunk's start row; the boundary mask needs global positions)
-    row0 = row_offset + i * R
+    # top of this tile in GLOBAL y1-halo coordinates (the boundary mask
+    # needs global positions)
+    row0 = ro_ref[0] + i * R
     col0 = j * TW
 
     # --- conv1: (R+2) x (TW+2) region of y1 (halo 1 for conv2) ---
@@ -92,13 +102,60 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, R, TW, W,
     out_ref[:, :, :] = y2.astype(out_ref.dtype).reshape(R, TW, C1)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "tile_cols"))
+def _kernel_taps(x_ref, ro_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                 *, R, TW, W, C1, Himg):
+    """Tap-accumulation variant: conv2 = sum of 9 shifted (R,TW,C1) x
+    (C1,C1) dot_generals — avoids the (R,TW,C)->(R*TW,C) relayout
+    reshapes of the im2col path for the second conv (conv1 keeps the 2D
+    patch matmul; its 8-lane pieces are cheap). Measured ~1.25x faster
+    than the 'patches' variant on v5e, still ~4x slower than XLA."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = ro_ref[0] + i * R
+    col0 = j * TW
+
+    R1 = R + 2
+    T1 = TW + 2
+    xs = x_ref[0, 0, :, :, :]
+    parts = []
+    for dy in range(3):
+        for dx in range(3):
+            sl = xs[dy : dy + R1, dx : dx + T1, :]
+            parts.append(sl.reshape(R1 * T1, _CIN_PAD))
+    patches1 = jnp.concatenate(parts, axis=-1)  # (R1*T1, 72)
+    y1 = jnp.dot(patches1, w1_ref[:, :],
+                 preferred_element_type=jnp.float32)
+    y1 = jnp.maximum(y1 + b1_ref[:, :], 0.0).reshape(R1, T1, C1)
+    r_img = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (R1, T1, 1), 0)
+    c_img = col0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (R1, T1, 1), 1)
+    valid = (r_img >= 0) & (r_img < Himg) & (c_img >= 0) & (c_img < W)
+    y1 = jnp.where(valid, y1, 0.0).astype(out_ref.dtype)
+
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = y1[dy : dy + R, dx : dx + TW, :]
+            tap = w2_ref[(dy * 3 + dx) * C1 : (dy * 3 + dx + 1) * C1, :]
+            p = jax.lax.dot_general(
+                sl, tap, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = p if acc is None else acc + p
+    y2 = jnp.maximum(acc + b2_ref[0, :], 0.0)
+    out_ref[:, :, :] = y2.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "tile_cols",
+                                             "variant"))
 def vgg_stage1_pallas(x, k1, b1, k2, b2, tile_rows: int = 16,
-                      tile_cols: int = 128):
+                      tile_cols: int = 128, variant: str = "patches"):
     """relu(conv2(relu(conv1(x)))) for 3x3 SAME convs, NHWC.
 
     x: (B, H, W, 3); k1: (3, 3, 3, C1); k2: (3, 3, C1, C1). H (W) must be
     a multiple of ``tile_rows`` (``tile_cols``). Returns (B, H, W, C1).
+    ``variant``: 'patches' (full im2col matmuls) or 'taps' (conv2 as 9
+    accumulated tap matmuls). At 480x640 bf16 use tile_rows<=8 — larger
+    tiles exceed the 16 MB scoped-VMEM budget per grid step.
     """
     B, H, W, _ = x.shape
     C1 = k1.shape[-1]
@@ -134,58 +191,61 @@ def vgg_stage1_pallas(x, k1, b1, k2, b2, tile_rows: int = 16,
            and (H // R) % ((rows_per_chunk * 2) // R) == 0
            and rows_per_chunk * 2 <= H):
         rows_per_chunk *= 2
-    n_chunks = H // rows_per_chunk
     Hc = rows_per_chunk
+    n_chunks = H // Hc
+    tiles_per_chunk = Hc // R
 
     interpret = jax.default_backend() not in ("tpu",)
 
-    def one_chunk(xi_chunk, row_offset, Hc=Hc):
-        kernel = functools.partial(
-            _kernel, R=R, TW=TW, W=W, C1=C1, Himg=H,
-            row_offset=row_offset,
-        )
-        return pl.pallas_call(
-            kernel,
-            grid=(Hc // R, W // TW),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, R + 4, TW + 4, _CIN_PAD),
-                    lambda i, j: (i, j, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (R, TW, C1), lambda i, j: (i, j, 0),
+    kernel = functools.partial(
+        _kernel_taps if variant == "taps" else _kernel,
+        R=R, TW=TW, W=W, C1=C1, Himg=H,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(tiles_per_chunk, W // TW),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, R + 4, TW + 4, _CIN_PAD),
+                lambda i, j: (i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((Hc, W, C1), x.dtype),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=2 * H * W * (9 * _CIN_PAD + 9 * C1) * C1,
-                bytes_accessed=(
-                    xp.shape[1] * xp.shape[2] * _CIN_PAD * 2
-                    + H * W * C1 * 2
-                ),
-                transcendentals=0,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk row offset
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, TW, C1), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((Hc, W, C1), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Hc * W * (9 * _CIN_PAD + 9 * C1) * C1,
+            bytes_accessed=(
+                (Hc + 4) * (W + 4) * _CIN_PAD * 2 + Hc * W * C1 * 2
             ),
-        )(xi_chunk, w1, b1r, w2, b2r)
+            transcendentals=0,
+        ),
+    )
+
+    # one chunk per scan step: the row offset is a runtime SMEM scalar,
+    # so all chunks share one Mosaic kernel and one call site (the
+    # earlier static-offset python loop compiled n_chunks kernels)
+    offs = jnp.arange(n_chunks, dtype=jnp.int32).reshape(n_chunks, 1) * Hc
 
     def one(xi):
-        # xi: (H/R, W/TW, R+4, TW+4, 8); python loop over H-chunks (the
-        # chunked pallas calls share shapes except the static row_offset)
-        tiles_per_chunk = Hc // R
-        outs = [
-            one_chunk(
-                xi[c * tiles_per_chunk : (c + 1) * tiles_per_chunk],
-                c * Hc,
-            )
-            for c in range(n_chunks)
-        ]
-        return jnp.concatenate(outs, axis=0)
+        xc = xi.reshape(n_chunks, tiles_per_chunk, W // TW,
+                        R + 4, TW + 4, _CIN_PAD)
+
+        def body(carry, inp):
+            xck, off = inp
+            return carry, call(xck, off, w1, b1r, w2, b2r)
+
+        _, outs = jax.lax.scan(body, None, (xc, offs))
+        return outs.reshape(H, W, C1)
 
     return jax.vmap(one)(xt)
 

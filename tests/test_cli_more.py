@@ -183,3 +183,23 @@ def test_singleframe_video_cli(tmp_path):
     out = tmp_path / "sfvt" / "video_tracking_results"
     rows = np.loadtxt(out / "b_tracked.csv", delimiter=",")
     assert rows.shape == (5, 12)
+
+    # on-device decode path produces a CSV of the same shape
+    fps = main([
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--expt_name", "sfvt_dev",
+        "--model_type", "TernausNet16",
+        "--load_wts_model", str(ck),
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--decode", "device",
+    ])
+    assert len(fps) == 1
+    rows_dev = np.loadtxt(
+        tmp_path / "sfvt_dev" / "video_tracking_results" / "b_tracked.csv",
+        delimiter=",",
+    )
+    assert rows_dev.shape == (5, 12)

@@ -290,8 +290,11 @@ def test_vgg_stage1_pallas_parity():
         b2 = jnp.asarray(
             rng.standard_normal(C1).astype(np.float32) * 0.1
         )
-        got = vgg_stage1_pallas(x, k1, b1, k2, b2, tile_rows=R)
         want = reference_stage1(x, k1, b1, k2, b2)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
-        )
+        for variant in ("patches", "taps"):
+            got = vgg_stage1_pallas(
+                x, k1, b1, k2, b2, tile_rows=R, variant=variant
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+            )
