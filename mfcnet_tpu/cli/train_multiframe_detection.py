@@ -34,6 +34,7 @@ from mfcnet_tpu.train.steps import (
 )
 from mfcnet_tpu.utils.checkpoint import (
     AsyncCheckpointer,
+    make_checkpointer,
     latest_checkpoint,
     load_checkpoint,
     load_params,
@@ -211,7 +212,9 @@ def main(argv=None):
     mesh_ctx = (
         jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     )
-    ckpt_writer = AsyncCheckpointer()
+    ckpt_writer = make_checkpointer(
+        getattr(args, "ckpt_backend", "msgpack")
+    )
     try:
         with mesh_ctx:
             for epoch in range(start_epoch, args.num_epochs + 1):
@@ -250,6 +253,7 @@ def main(argv=None):
         logger.info(f"Interrupted; snapshot saved to {p}")
         raise
     ckpt_writer.wait()
+    getattr(ckpt_writer, "close", lambda: None)()
     writer.close()
     return state
 

@@ -33,6 +33,7 @@ from mfcnet_tpu.train.steps import (
 )
 from mfcnet_tpu.utils.checkpoint import (
     AsyncCheckpointer,
+    make_checkpointer,
     latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -156,7 +157,9 @@ def main(argv=None):
         out_height=H, out_width=W, prediction_task=args.prediction_task
     )
 
-    ckpt_writer = AsyncCheckpointer()
+    ckpt_writer = make_checkpointer(
+        getattr(args, "ckpt_backend", "msgpack")
+    )
     try:
         for epoch in range(start_epoch, args.num_epochs + 1):
             key, ek = jax.random.split(key)
@@ -188,6 +191,7 @@ def main(argv=None):
         logger.info(f"Interrupted; snapshot saved to {p}")
         raise
     ckpt_writer.wait()
+    getattr(ckpt_writer, "close", lambda: None)()
     writer.close()
     return state
 

@@ -110,6 +110,10 @@ def _add_common(parser, multiframe: bool, train: bool):
     g.add_argument("--print_freq", type=int, default=10)
     if train:
         g.add_argument("--save_freq", type=int, default=10)
+        g.add_argument("--ckpt_backend", type=str, default="msgpack",
+                       choices=["msgpack", "orbax"],
+                       help="checkpoint format: flax msgpack files or "
+                            "orbax (async, tensorstore-backed) dirs")
         g.add_argument("--debug", type=_str2bool, default=False)
     else:
         g.add_argument("--save_output_freq", type=int, default=10)

@@ -78,6 +78,52 @@ def test_resume_from_checkpoint(tmp_path):
     assert int(s2.step) >= int(s1.step)
 
 
+def test_resume_through_orbax_backend(tmp_path):
+    """--ckpt_backend orbax: async Orbax dirs written, resume restores
+    params + optimizer state from them (load_checkpoint dispatches on the
+    .orbax suffix)."""
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=1, frames_per_video=4,
+        height=64, width=64,
+    )
+    common = [
+        "--data_dir", str(data_root),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path / "runs"),
+        "--expt_name", "resume_orbax",
+        "--batch_size", "2",
+        "--num_workers", "1",
+        "--num_epochs", "1",
+        "--save_freq", "1",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+        "--ckpt_backend", "orbax",
+    ]
+    s1 = main(common)
+    ck = tmp_path / "runs" / "resume_orbax" / "ckpts" / "model_001.orbax"
+    assert ck.is_dir()
+
+    # the restored payload round-trips exactly
+    from mfcnet_tpu.utils.checkpoint import load_checkpoint
+    import jax
+
+    payload, epoch = load_checkpoint(ck, s1)
+    assert epoch == 1
+    a = jax.tree.leaves(payload["params"])
+    b = jax.tree.leaves(jax.device_get(s1.params))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    s2 = main(common + ["--resume", "true", "--starting_epoch", "1"])
+    assert int(s2.step) >= int(s1.step)
+
+
 def test_train_cli_multidevice_sharded(tmp_path):
     """The CLI shards batches over all 8 virtual CPU devices (GSPMD DP)."""
     import jax
