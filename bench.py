@@ -27,9 +27,10 @@ def main():
                     help="timed frames per trial")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--mode", default="incremental",
-                    choices=["incremental", "full", "e2e"],
+                    choices=["incremental", "full", "e2e", "train"],
                     help="incremental: 1 base fwd/frame (tracker mode); "
-                         "full: T base fwds/frame (reference semantics)")
+                         "full: T base fwds/frame (reference semantics); "
+                         "train: optimizer steps/s, README flagship recipe")
     ap.add_argument("--chunk", type=int, default=8,
                     help="frames per device launch in incremental mode "
                          "(lax.scan; amortizes dispatch latency; 1 = "
@@ -108,6 +109,70 @@ def main():
             "value": round(best, 2),
             "unit": "frames/sec/chip",
             "vs_baseline": round(best / 60.0, 3),
+        }))
+        return
+
+    if args.mode == "train":
+        # training throughput, README flagship recipe (JIGSAWS multiframe:
+        # batch 4, nll+soft_jaccard 0.7/0.3, class wts [1,1000x4], Adam
+        # differential LRs, train_base_model) — f32, device-resident batch
+        from mfcnet_tpu.train.schedule import make_schedule
+        from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+        from mfcnet_tpu.train.steps import make_multiframe_train_step
+
+        T, C, H, W = 3, 5, args.height, args.width
+        B = args.batch if args.batch > 1 else 4
+        # remat: full-scale batch-4 training does not fit 16 GB HBM
+        # without encoder/decoder-block rematerialization
+        model = get_multiframe_segmentation_model(
+            "TernausNetMulti-Basic", num_classes=C, num_input_frames=T,
+            remat=True,
+        )
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, T, H, W, 3), np.float32),
+        )
+        tx = multiframe_optimizer(
+            make_schedule("StepDecay", 1e-4, 20, 100), T,
+            train_base_model=True, base_pretrained_loaded=True,
+        )
+        state = TrainState.create(
+            model.apply, variables["params"], tx,
+            variables.get("batch_stats", {}),
+        )
+        step = make_multiframe_train_step(
+            model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
+            class_weights=[1, 1000, 1000, 1000, 1000],
+            train_base_model=True,
+        )
+        rng = np.random.RandomState(0)
+        batch = {
+            "frames": jax.device_put(
+                rng.rand(B, T, H, W, 3).astype(np.float32)
+            ),
+            "mask": jax.device_put(
+                rng.randint(0, C, (B, H, W)).astype(np.int32)
+            ),
+        }
+        state, parts = step(state, batch)  # compile
+        float(list(parts.values())[0])
+        n = max(5, args.frames // 10)
+        best = 0.0
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, parts = step(state, batch)
+            float(list(parts.values())[0])  # drain the tunnel queue
+            best = max(best, n / (time.perf_counter() - t0))
+        print(json.dumps({
+            "metric": (
+                f"mfcnet_train_step_{H}x{W}_b{B}_float32"
+            ),
+            "value": round(best * B * T, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(best, 3),
+            "note": "value = frame-windows/s x T frames; vs_baseline = "
+                    "optimizer steps/s",
         }))
         return
 
@@ -226,18 +291,24 @@ def main():
         for extra in (
             ["--mode", "full", "--frames", "60", "--trials", "2"],
             ["--mode", "e2e", "--frames", "60", "--trials", "1"],
+            ["--mode", "train", "--frames", "100", "--trials", "2"],
         ):
             cmd = [sys.executable, __file__, "--record_detail", "false",
                    "--dtype", args.dtype] + extra
-            try:
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=1200
-                )
-                line = proc.stdout.strip().splitlines()[-1]
-                results.append(json.loads(line))
-                print(f"[detail] {line}", file=sys.stderr)
-            except Exception as e:  # detail is best-effort
-                print(f"[detail] {extra[1]} failed: {e}", file=sys.stderr)
+            for attempt in (1, 2):  # the remote compile service can flake
+                try:
+                    proc = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=1200
+                    )
+                    line = proc.stdout.strip().splitlines()[-1]
+                    results.append(json.loads(line))
+                    print(f"[detail] {line}", file=sys.stderr)
+                    break
+                except Exception as e:  # detail is best-effort
+                    print(
+                        f"[detail] {extra[1]} attempt {attempt} "
+                        f"failed: {e}", file=sys.stderr,
+                    )
         import pathlib
 
         pathlib.Path(__file__).parent.joinpath(

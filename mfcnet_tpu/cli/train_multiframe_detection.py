@@ -111,6 +111,7 @@ def main(argv=None):
         add_depth_inputs=args.add_depth_inputs,
         parity_grid=args.parity_grid,
         scale=args.model_scale,
+        remat=getattr(args, "remat", False),
     )
 
     T, H, W = args.num_input_frames, args.input_height, args.input_width

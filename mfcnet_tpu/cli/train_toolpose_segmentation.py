@@ -107,7 +107,7 @@ def main(argv=None):
 
     model = get_tooltip_segmentation_model(
         args.model_type, args.num_classes, args.pretrained,
-        scale=args.model_scale,
+        scale=args.model_scale, remat=getattr(args, "remat", False),
     )
     H, W = args.input_height, args.input_width
     key, ik = jax.random.split(key)

@@ -164,6 +164,15 @@ def _add_common(parser, multiframe: bool, train: bool):
     g.add_argument("--parity_grid", type=_str2bool, default=True)
     g.add_argument("--model_scale", type=float, default=1.0,
                    help="Uniform channel-width scale (<1 for smoke tests)")
+    if train:
+        g.add_argument("--remat", type=_str2bool, default=False,
+                       help="Rematerialize training activations "
+                            "(TernausNet backbones): recompute "
+                            "intra-segment activations in the backward "
+                            "pass instead of holding them in HBM — "
+                            "needed for full-res batch-4 training on a "
+                            "16 GB chip. No effect on values or the "
+                            "parameter tree.")
     return parser
 
 

@@ -33,7 +33,8 @@ def _scaled_vgg(stages, scale: float):
 
 
 def _build_base(
-    kind: str, num_classes: int, pretrained: bool = False, scale: float = 1.0
+    kind: str, num_classes: int, pretrained: bool = False,
+    scale: float = 1.0, remat: bool = False,
 ):
     """Build a single-frame base model by family name.
 
@@ -61,12 +62,14 @@ def _build_base(
             num_classes=num_classes,
             num_filters=max(4, int(64 * scale)),
             stage_convs=_scaled_vgg(VGG11_STAGES, scale),
+            remat=remat,
         ), "exp"
     if kind == "TernausNet16":
         return TernausNet16(
             num_classes=num_classes,
             num_filters=max(4, int(64 * scale)),
             stage_convs=_scaled_vgg(VGG16_STAGES, scale),
+            remat=remat,
         ), "exp"
     if kind == "UNet":
         from mfcnet_tpu.models.unet import UNet
@@ -142,10 +145,14 @@ def _build_base(
 
 def get_tooltip_segmentation_model(
     model_type: str, num_classes: int, pretrained: bool = False,
-    scale: float = 1.0,
+    scale: float = 1.0, remat: bool = False,
 ) -> nn.Module:
-    """Single-frame registry (reference: models/__init__.py:23-52)."""
-    model, _ = _build_base(model_type, num_classes, pretrained, scale)
+    """Single-frame registry (reference: models/__init__.py:23-52).
+
+    ``remat``: rematerialize training activations (TernausNet backbones;
+    no-op structurally — the param tree is unchanged).
+    """
+    model, _ = _build_base(model_type, num_classes, pretrained, scale, remat)
     return model
 
 
@@ -169,6 +176,7 @@ def get_multiframe_segmentation_model(
     add_depth_inputs: bool = False,
     parity_grid: bool = True,
     scale: float = 1.0,
+    remat: bool = False,
 ) -> MultiFrameSegmenter:
     """Multi-frame registry (reference: models/__init__.py:54-87).
 
@@ -181,7 +189,9 @@ def get_multiframe_segmentation_model(
         assert variant in ("basic", "large")
     except (ValueError, KeyError, AssertionError):
         raise ValueError(f"Model type {model_type} not recognized") from None
-    base, base_output = _build_base(base_kind, num_classes, pretrained, scale)
+    base, base_output = _build_base(
+        base_kind, num_classes, pretrained, scale, remat
+    )
     return MultiFrameSegmenter(
         base=base,
         num_classes=num_classes,

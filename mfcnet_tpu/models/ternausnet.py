@@ -29,32 +29,42 @@ class TernausNet16(nn.Module):
     """VGG16-encoder TernausNet (reference: models/ternausnet.py:98-150).
 
     ``stage_convs`` overrides the encoder widths (tests use tiny stacks).
+    ``remat``: rematerialize the encoder (one segment) and each decoder
+    block during training — intra-segment activations are recomputed in
+    the backward pass instead of held in HBM (full-scale 480x640 batch-4
+    training OOMs a 16 GB v5e without it). ``nn.remat`` is
+    scope-preserving, so the parameter tree (and every checkpoint
+    converter) is unchanged; forward values are bit-identical.
     """
 
     num_classes: int = 1
     num_filters: int = 32
     stage_convs: tuple = VGG16_STAGES
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
-        conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
+        Enc = nn.remat(VGGFeatures) if self.remat else VGGFeatures
+        Dec = (
+            nn.remat(DecoderBlockDeconv) if self.remat
+            else DecoderBlockDeconv
+        )
+        conv1, conv2, conv3, conv4, conv5 = Enc(
             self.stage_convs, name="encoder"
         )(x)
 
-        center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(
-            max_pool_2x(conv5)
-        )
-        dec5 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec5")(
+        center = Dec(nf * 16, nf * 8, name="center")(max_pool_2x(conv5))
+        dec5 = Dec(nf * 16, nf * 8, name="dec5")(
             jnp.concatenate([center, conv5], axis=-1)
         )
-        dec4 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec4")(
+        dec4 = Dec(nf * 16, nf * 8, name="dec4")(
             jnp.concatenate([dec5, conv4], axis=-1)
         )
-        dec3 = DecoderBlockDeconv(nf * 8, nf * 2, name="dec3")(
+        dec3 = Dec(nf * 8, nf * 2, name="dec3")(
             jnp.concatenate([dec4, conv3], axis=-1)
         )
-        dec2 = DecoderBlockDeconv(nf * 4, nf, name="dec2")(
+        dec2 = Dec(nf * 4, nf, name="dec2")(
             jnp.concatenate([dec3, conv2], axis=-1)
         )
         dec1 = ConvReLU(nf, name="dec1")(
@@ -77,27 +87,31 @@ class TernausNet11(nn.Module):
     num_classes: int = 1
     num_filters: int = 32
     stage_convs: tuple = VGG11_STAGES
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
-        conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
+        Enc = nn.remat(VGGFeatures) if self.remat else VGGFeatures
+        Dec = (
+            nn.remat(DecoderBlockDeconv) if self.remat
+            else DecoderBlockDeconv
+        )
+        conv1, conv2, conv3, conv4, conv5 = Enc(
             self.stage_convs, name="encoder"
         )(x)
 
-        center = DecoderBlockDeconv(nf * 16, nf * 8, name="center")(
-            max_pool_2x(conv5)
-        )
-        dec5 = DecoderBlockDeconv(nf * 16, nf * 8, name="dec5")(
+        center = Dec(nf * 16, nf * 8, name="center")(max_pool_2x(conv5))
+        dec5 = Dec(nf * 16, nf * 8, name="dec5")(
             jnp.concatenate([center, conv5], axis=-1)
         )
-        dec4 = DecoderBlockDeconv(nf * 16, nf * 4, name="dec4")(
+        dec4 = Dec(nf * 16, nf * 4, name="dec4")(
             jnp.concatenate([dec5, conv4], axis=-1)
         )
-        dec3 = DecoderBlockDeconv(nf * 8, nf * 2, name="dec3")(
+        dec3 = Dec(nf * 8, nf * 2, name="dec3")(
             jnp.concatenate([dec4, conv3], axis=-1)
         )
-        dec2 = DecoderBlockDeconv(nf * 4, nf, name="dec2")(
+        dec2 = Dec(nf * 4, nf, name="dec2")(
             jnp.concatenate([dec3, conv2], axis=-1)
         )
         dec1 = ConvReLU(nf, name="dec1")(

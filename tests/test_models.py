@@ -56,6 +56,40 @@ def test_ternausnet16_output_is_log_probs():
     )
 
 
+def test_ternausnet_remat_is_transparent():
+    """remat=True: identical param tree, bit-identical forward, identical
+    gradients — only the backward's activation storage changes (encoder +
+    decoder blocks recomputed)."""
+    plain = TernausNet16(
+        num_classes=C, num_filters=4, stage_convs=TINY_STAGES
+    )
+    rem = TernausNet16(
+        num_classes=C, num_filters=4, stage_convs=TINY_STAGES, remat=True
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, H, W, 3).astype(np.float32)
+    )
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = rem.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v2
+    )
+
+    ya = plain.apply(v, x)
+    yb = rem.apply(v, x)  # same params drive both
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    def loss(m, params):
+        return (m.apply({"params": params}, x) ** 2).mean()
+
+    ga = jax.grad(lambda p: loss(plain, p))(v["params"])
+    gb = jax.grad(lambda p: loss(rem, p))(v["params"])
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        )
+
+
 @pytest.mark.parametrize(
     "variant,optflow,depth",
     [("Basic", False, False), ("Basic", True, True), ("Large", True, True)],
@@ -127,6 +161,59 @@ def test_train_step_runs_sharded_and_loss_decreases():
     base1 = jax.tree.leaves(state.params["base"])
     for a, b in zip(base0, base1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_train_step_matches_single_device():
+    """GSPMD data parallelism is numerically transparent: one train step on
+    the same batch — 8-way sharded vs single device — yields the same loss
+    and the same updated parameters (the gradient all-reduce and global
+    batch statistics that replace the reference's DataParallel +
+    InPlaceABNSync collectives change only the reduction layout, within
+    float tolerance)."""
+    import optax
+
+    model, variables = _mf_model_and_vars("Basic")
+
+    def fresh_state():
+        # SGD so the param delta IS the gradient (first-step Adam divides
+        # by |g|, amplifying near-zero-gradient reduction-order noise into
+        # +-lr sign flips — not a parallelism defect)
+        return TrainState.create(
+            model.apply, variables["params"], optax.sgd(1e-2),
+            variables.get("batch_stats", {}),
+        )
+
+    step = make_multiframe_train_step(
+        model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
+        class_weights=[1.0, 1000.0, 1000.0, 1000.0, 1000.0],
+        train_base_model=True, donate=False,
+    )
+    rng = np.random.default_rng(1)
+    batch = {
+        "frames": rng.standard_normal((8, T, H, W, 3)).astype(np.float32),
+        "mask": rng.integers(0, C, (8, H, W)).astype(np.int32),
+    }
+
+    s_single, logs_single = step(fresh_state(), batch)
+
+    mesh = make_mesh(8)
+    with jax.set_mesh(mesh):
+        s_shard, logs_shard = step(fresh_state(), shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(
+        float(logs_single["loss_total"]), float(logs_shard["loss_total"]),
+        rtol=1e-5,
+    )
+    pa = jax.tree.leaves(jax.device_get(s_single.params))
+    pb = jax.tree.leaves(jax.device_get(s_shard.params))
+    assert len(pa) == len(pb)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    # BN statistics were reduced over the GLOBAL batch in both cases
+    sa = jax.tree.leaves(jax.device_get(s_single.batch_stats))
+    sb = jax.tree.leaves(jax.device_get(s_shard.batch_stats))
+    for a, b in zip(sa, sb):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 
 def test_eval_step_metrics():
