@@ -144,6 +144,8 @@ def main():
             model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
             class_weights=[1, 1000, 1000, 1000, 1000],
             train_base_model=True,
+            # bf16 = mixed precision (f32 master params/opt/BN stats)
+            compute_dtype=args.dtype,
         )
         rng = np.random.RandomState(0)
         batch = {
@@ -166,7 +168,7 @@ def main():
             best = max(best, n / (time.perf_counter() - t0))
         print(json.dumps({
             "metric": (
-                f"mfcnet_train_step_{H}x{W}_b{B}_float32"
+                f"mfcnet_train_step_{H}x{W}_b{B}_{args.dtype}"
             ),
             "value": round(best * B * T, 2),
             "unit": "frames/sec/chip",
@@ -291,7 +293,10 @@ def main():
         for extra in (
             ["--mode", "full", "--frames", "60", "--trials", "2"],
             ["--mode", "e2e", "--frames", "60", "--trials", "1"],
-            ["--mode", "train", "--frames", "100", "--trials", "2"],
+            ["--mode", "train", "--frames", "100", "--trials", "2",
+             "--dtype", "float32"],
+            ["--mode", "train", "--frames", "100", "--trials", "2",
+             "--dtype", "bfloat16"],
         ):
             cmd = [sys.executable, __file__, "--record_detail", "false",
                    "--dtype", args.dtype] + extra

@@ -187,6 +187,7 @@ def main(argv=None):
         class_weights=args.class_weights,
         train_base_model=args.train_base_model,
         flow_fn=flow_fn,
+        compute_dtype=args.compute_dtype,
     )
     eval_step = make_multiframe_eval_step(
         model,
@@ -196,6 +197,7 @@ def main(argv=None):
         args.num_classes,
         class_weights=args.class_weights,
         flow_fn=flow_fn,
+        compute_dtype=args.compute_dtype,
     )
 
     tcfg = TransformConfig(

@@ -146,11 +146,12 @@ def main(argv=None):
     train_step = make_singleframe_train_step(
         model, args.loss_fns, args.loss_wts, args.num_classes,
         class_weights=args.class_weights, output_mode=output_mode,
+        compute_dtype=args.compute_dtype,
     )
     eval_step = make_singleframe_eval_step(
         model, args.loss_fns, args.loss_wts, args.metric_fns,
         args.num_classes, class_weights=args.class_weights,
-        output_mode=output_mode,
+        output_mode=output_mode, compute_dtype=args.compute_dtype,
     )
 
     tcfg = TransformConfig(

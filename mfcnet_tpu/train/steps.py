@@ -19,6 +19,37 @@ from mfcnet_tpu.train.loss import compute_losses
 from mfcnet_tpu.train.metrics import compute_metrics
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params / inputs) to ``dtype``."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def _resolve_dtype(compute_dtype):
+    """'bfloat16'/'float32'/None -> jnp dtype or None (= no casting).
+
+    Mixed-precision training: master params, optimizer state, and BN
+    running statistics stay f32; the forward/backward compute runs in
+    ``compute_dtype`` (gradients flow back to the f32 leaves through the
+    cast). The loss is always computed on f32 log-probs.
+    """
+    import jax.numpy as jnp
+
+    if compute_dtype in (None, "float32", jnp.float32):
+        return None
+    if compute_dtype in ("bfloat16", jnp.bfloat16):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype: {compute_dtype}")
+
+
 def make_multiframe_train_step(
     model,
     loss_fns: Sequence[str],
@@ -28,6 +59,7 @@ def make_multiframe_train_step(
     train_base_model: bool = False,
     flow_fn: Optional[Callable] = None,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Build the jitted multi-frame train step.
 
@@ -42,10 +74,19 @@ def make_multiframe_train_step(
     'depth' (B,T,H,W,1).
     """
 
+    cdt = _resolve_dtype(compute_dtype)
+
     def loss_fn(params, batch_stats, batch, rng):
         frames = batch["frames"]
         depth = batch.get("depth")
         optflow = flow_fn(frames) if flow_fn is not None else None
+        if cdt is not None:
+            # bf16 compute: params + inputs cast; batch_stats stay f32
+            # (the head's BN computes statistics in f32 regardless)
+            params = _cast_floats(params, cdt)
+            frames = frames.astype(cdt)
+            depth = None if depth is None else depth.astype(cdt)
+            optflow = None if optflow is None else optflow.astype(cdt)
         variables = {"params": params, "batch_stats": batch_stats}
         logits, mutated = model.apply(
             variables,
@@ -57,7 +98,9 @@ def make_multiframe_train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        import jax.numpy as jnp
+
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         total, parts = compute_losses(
             log_probs,
             batch["mask"],
@@ -66,7 +109,12 @@ def make_multiframe_train_step(
             num_classes,
             class_weights,
         )
-        return total, (parts, mutated["batch_stats"])
+        new_stats = mutated["batch_stats"]
+        if cdt is not None:
+            # flax-BatchNorm backbones may emit bf16 batch stats under
+            # bf16 compute; the stored running stats stay f32
+            new_stats = _cast_floats(new_stats, jnp.float32)
+        return total, (parts, new_stats)
 
     base_rng = jax.random.PRNGKey(17)
 
@@ -90,22 +138,33 @@ def make_multiframe_eval_step(
     num_classes: int,
     class_weights=None,
     flow_fn: Optional[Callable] = None,
+    compute_dtype=None,
 ):
     """Eval step: loss + on-device per-class IoU/Dice (src/engine.py:89-171)."""
 
+    cdt = _resolve_dtype(compute_dtype)
+
     @jax.jit
     def eval_step(state, batch):
+        import jax.numpy as jnp
+
         frames = batch["frames"]
         depth = batch.get("depth")
         optflow = flow_fn(frames) if flow_fn is not None else None
+        params = state.params
+        if cdt is not None:
+            params = _cast_floats(params, cdt)
+            frames = frames.astype(cdt)
+            depth = None if depth is None else depth.astype(cdt)
+            optflow = None if optflow is None else optflow.astype(cdt)
         logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             frames,
             optflow=optflow,
             depth=depth,
             train=False,
         )
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         _, parts = compute_losses(
             log_probs,
             batch["mask"],
@@ -130,6 +189,7 @@ def make_singleframe_train_step(
     class_weights=None,
     output_mode: str = "log_probs",
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Single-frame train step (scripts/train_toolpose_segmentation.py:142-192).
 
@@ -139,8 +199,17 @@ def make_singleframe_train_step(
       'tapnet'    — input is (B,H,W,4): RGB + attention map, model takes both
     """
 
+    cdt = _resolve_dtype(compute_dtype)
+
     def adapt(variables, batch, train, rng=None):
+        import jax.numpy as jnp
+
         x = batch["image"]
+        if cdt is not None:
+            variables = dict(
+                variables, params=_cast_floats(variables["params"], cdt)
+            )
+            x = x.astype(cdt)
         kwargs = dict(train=train)
         if rng is not None:
             kwargs["rngs"] = {"dropout": rng}
@@ -154,8 +223,11 @@ def make_singleframe_train_step(
         if train:
             out, mutated = out
             stats = mutated.get("batch_stats", {})
+            if cdt is not None:
+                stats = _cast_floats(stats, jnp.float32)
         else:
             stats = None
+        out = out.astype(jnp.float32)
         if output_mode == "logits":
             out = jax.nn.log_softmax(out, axis=-1)
         return out, stats
@@ -197,15 +269,25 @@ def make_singleframe_eval_step(
     num_classes: int,
     class_weights=None,
     output_mode: str = "log_probs",
+    compute_dtype=None,
 ):
+    cdt = _resolve_dtype(compute_dtype)
+
     @jax.jit
     def eval_step(state, batch):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        import jax.numpy as jnp
+
+        params = state.params
         x = batch["image"]
+        if cdt is not None:
+            params = _cast_floats(params, cdt)
+            x = x.astype(cdt)
+        variables = {"params": params, "batch_stats": state.batch_stats}
         if output_mode == "tapnet":
             out = model.apply(variables, x[..., :3], x[..., 3:], train=False)
         else:
             out = model.apply(variables, x, train=False)
+        out = out.astype(jnp.float32)
         if output_mode == "logits":
             out = jax.nn.log_softmax(out, axis=-1)
         _, parts = compute_losses(

@@ -163,6 +163,55 @@ def test_train_step_runs_sharded_and_loss_decreases():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_mixed_precision_train_step():
+    """compute_dtype='bfloat16': master params/opt state/BN stats stay
+    f32, the loss is computed on f32 log-probs, training still learns,
+    and the first-step loss matches f32 training to bf16 tolerance."""
+    model, variables = _mf_model_and_vars("Basic")
+    sched = make_schedule("Constant", 1e-3, 1, 1)
+
+    def fresh_state():
+        tx = multiframe_optimizer(
+            sched, T, train_base_model=True, base_pretrained_loaded=False
+        )
+        return TrainState.create(
+            model.apply, variables["params"], tx,
+            variables.get("batch_stats", {}),
+        )
+
+    kwargs = dict(
+        class_weights=[1.0, 1000.0, 1000.0, 1000.0, 1000.0],
+        train_base_model=True, donate=False,
+    )
+    step16 = make_multiframe_train_step(
+        model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
+        compute_dtype="bfloat16", **kwargs,
+    )
+    step32 = make_multiframe_train_step(
+        model, ["nll", "soft_jaccard"], [0.7, 0.3], C, **kwargs,
+    )
+    rng = np.random.default_rng(2)
+    batch = {
+        "frames": rng.standard_normal((2, T, H, W, 3)).astype(np.float32),
+        "mask": rng.integers(0, C, (2, H, W)).astype(np.int32),
+    }
+    s32, logs32 = step32(fresh_state(), batch)
+    s16, logs0 = step16(fresh_state(), batch)
+    np.testing.assert_allclose(
+        float(logs0["loss_total"]), float(logs32["loss_total"]), rtol=0.05
+    )
+    for leaf in jax.tree.leaves(s16.params) + jax.tree.leaves(
+        s16.batch_stats
+    ):
+        assert leaf.dtype == jnp.float32
+    losses = [float(logs0["loss_total"])]
+    for _ in range(3):
+        s16, logs = step16(s16, batch)
+        losses.append(float(logs["loss_total"]))
+    assert all(np.isfinite(v) for v in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_sharded_train_step_matches_single_device():
     """GSPMD data parallelism is numerically transparent: one train step on
     the same batch — 8-way sharded vs single device — yields the same loss
