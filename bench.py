@@ -40,9 +40,11 @@ def main():
     ap.add_argument("--decode", default="device",
                     choices=["device", "host"],
                     help="e2e mode keypoint decode path")
-    ap.add_argument("--batch", type=int, default=1,
-                    help="concurrent video streams (frames/sec counts "
-                         "batch*frames)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="inference: concurrent video streams (frames/sec "
+                         "counts batch*frames; default 1). train: the "
+                         "optimizer batch size (default 4, the README "
+                         "recipe)")
     ap.add_argument("--record_detail",
                     type=lambda v: v.lower() in ("true", "1"),
                     default=None,
@@ -52,6 +54,8 @@ def main():
                          "incremental run)")
     args = ap.parse_args()
 
+    if args.batch is None:
+        args.batch = 4 if args.mode == "train" else 1
     if args.record_detail is None:
         args.record_detail = (
             args.mode == "incremental" and args.batch == 1
@@ -121,7 +125,7 @@ def main():
         from mfcnet_tpu.train.steps import make_multiframe_train_step
 
         T, C, H, W = 3, 5, args.height, args.width
-        B = args.batch if args.batch > 1 else 4
+        B = args.batch
         # remat: full-scale batch-4 training does not fit 16 GB HBM
         # without encoder/decoder-block rematerialization
         model = get_multiframe_segmentation_model(

@@ -170,12 +170,12 @@ def main(argv=None):
             )
 
             aux = decode_keypoints_device(
-                probs, int(args.area_threshold * 10)
+                probs, int(args.area_threshold * 10),
+                pred=mask.astype(jnp.int32),
             )
         else:
-            aux = jnp.stack(
-                [probs[..., 2], probs[..., 4]], axis=-1
-            ).astype(jnp.float16)
+            # f32 heats: the host path is the exact OpenCV-parity decode
+            aux = jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
         return mask, aux
 
     def step_fn(frame):

@@ -165,16 +165,22 @@ def decode_base_device(class_mask, area_threshold: float = 10.0):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def decode_keypoints_device(probs, area_threshold_x10: int = 100):
+def decode_keypoints_device(probs, area_threshold_x10: int = 100,
+                            pred=None):
     """Full per-frame decode on device.
 
     probs: (H, W, C>=5) class probabilities (toolpose layout:
-    1=r-base, 2=r-tip, 3=l-base, 4=l-tip).
+    1=r-base, 2=r-tip, 3=l-base, 4=l-tip). ``pred``: optional (H, W)
+    class-ID map to decode from instead of argmax(probs) — pass the
+    score-thresholded mask so device decode matches the host path's
+    semantics when --score_detection_threshold > 0 (reference
+    test_multiframe_segmentation_on_videos_v3.py:282-289).
 
     Returns (2, 3, 3): [side (left, right)][tip1, tip2, base][x, y, valid].
     """
     area_threshold = area_threshold_x10 / 10.0
-    pred = jnp.argmax(probs, axis=-1)
+    if pred is None:
+        pred = jnp.argmax(probs, axis=-1)
     out = []
     for base_cls, tip_cls in ((3, 4), (1, 2)):  # left, right
         tips = decode_tips_device(probs[..., tip_cls], pred == tip_cls)

@@ -389,7 +389,8 @@ class InferenceEngine:
                 )
 
                 kps = decode_keypoints_device(
-                    probs, int(cfg.area_threshold * 10)
+                    probs, int(cfg.area_threshold * 10),
+                    pred=mask.astype(jnp.int32),
                 )
                 return mask, kps
             heats = jnp.stack(

@@ -14,6 +14,7 @@ import functools
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from mfcnet_tpu.train.loss import compute_losses
 from mfcnet_tpu.train.metrics import compute_metrics
@@ -21,8 +22,6 @@ from mfcnet_tpu.train.metrics import compute_metrics
 
 def _cast_floats(tree, dtype):
     """Cast floating leaves of a pytree (params / inputs) to ``dtype``."""
-    import jax.numpy as jnp
-
     if dtype is None:
         return tree
     return jax.tree.map(
@@ -39,10 +38,13 @@ def _resolve_dtype(compute_dtype):
     Mixed-precision training: master params, optimizer state, and BN
     running statistics stay f32; the forward/backward compute runs in
     ``compute_dtype`` (gradients flow back to the f32 leaves through the
-    cast). The loss is always computed on f32 log-probs.
+    cast). The loss reductions run in f32. Where the final log_softmax
+    lives in the STEP (multi-frame; single-frame 'logits' models) it is
+    computed on f32-cast logits; models that emit log-probs internally
+    ('log_probs'/'tapnet' single-frame modes) produce them at compute
+    precision — under bf16 those log-probs carry bf16 rounding (~1e-3
+    relative) into the loss.
     """
-    import jax.numpy as jnp
-
     if compute_dtype in (None, "float32", jnp.float32):
         return None
     if compute_dtype in ("bfloat16", jnp.bfloat16):
@@ -98,8 +100,6 @@ def make_multiframe_train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        import jax.numpy as jnp
-
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         total, parts = compute_losses(
             log_probs,
@@ -146,8 +146,6 @@ def make_multiframe_eval_step(
 
     @jax.jit
     def eval_step(state, batch):
-        import jax.numpy as jnp
-
         frames = batch["frames"]
         depth = batch.get("depth")
         optflow = flow_fn(frames) if flow_fn is not None else None
@@ -202,8 +200,6 @@ def make_singleframe_train_step(
     cdt = _resolve_dtype(compute_dtype)
 
     def adapt(variables, batch, train, rng=None):
-        import jax.numpy as jnp
-
         x = batch["image"]
         if cdt is not None:
             variables = dict(
@@ -275,8 +271,6 @@ def make_singleframe_eval_step(
 
     @jax.jit
     def eval_step(state, batch):
-        import jax.numpy as jnp
-
         params = state.params
         x = batch["image"]
         if cdt is not None:

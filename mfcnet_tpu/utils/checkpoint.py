@@ -142,10 +142,20 @@ class OrbaxCheckpointer:
 
         self._ocp = ocp
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # the epoch .json sidecar is written only AFTER the async data
+        # write commits (same durability ordering as the msgpack backend:
+        # sidecar implies a complete checkpoint)
+        self._pending_sidecar = None
+
+    def _flush_sidecar(self):
+        if self._pending_sidecar is not None:
+            sidecar_path, meta = self._pending_sidecar
+            self._pending_sidecar = None
+            sidecar_path.write_text(json.dumps(meta))
 
     def save(self, ckpt_dir, epoch: int, state,
              extra: Optional[dict] = None) -> Path:
-        self._ckptr.wait_until_finished()
+        self.wait()
         ckpt_dir = Path(ckpt_dir).resolve()
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         path = ckpt_dir / f"model_{epoch:03d}.orbax"
@@ -153,15 +163,18 @@ class OrbaxCheckpointer:
             path, args=self._ocp.args.StandardSave(_snapshot(state)),
             force=True,
         )
-        (ckpt_dir / f"model_{epoch:03d}.json").write_text(
-            json.dumps({"epoch": epoch, **(extra or {})})
+        self._pending_sidecar = (
+            ckpt_dir / f"model_{epoch:03d}.json",
+            {"epoch": epoch, **(extra or {})},
         )
         return path
 
     def wait(self):
         self._ckptr.wait_until_finished()
+        self._flush_sidecar()
 
     def close(self):
+        self.wait()
         self._ckptr.close()
 
 
