@@ -40,7 +40,7 @@ def cal_attmap_batched(attmaps, optflows):
     device-side equivalent used in the training pipeline (the subsequent
     dilation makes the two formulations nearly identical for the smooth
     probability maps involved; the NumPy path above is the exact-parity
-    reference).
+    reference, :func:`cal_attmap_scatter` the exact device one).
     """
     import jax.numpy as jnp
     from flax import linen as nn
@@ -52,3 +52,48 @@ def cal_attmap_batched(attmaps, optflows):
     return nn.max_pool(
         warped[..., None], (10, 10), strides=(1, 1), padding="SAME"
     )[..., 0]
+
+
+def cal_attmap_scatter(attmaps, optflows):
+    """EXACT device forward-warp: bit-parity with :func:`cal_attmap_np`.
+
+    The reference's integer scatter (src/dataloader.py:56-76) assigns
+    ``out[ny, nx] = att[y, x]`` in row-major order, so on collisions the
+    LAST source pixel wins. On device: each valid source proposes its
+    row-major linear index to its target; a ``segment_max`` picks the
+    winning (largest) source per target, then a gather reads the value —
+    deterministic, vectorized, O(n). The 10x10 grey dilation uses scipy's
+    even-size footprint (window [i-4, i+5], pad (4, 5)).
+
+    attmaps: (B, H, W); optflows: (B, H, W, 2) with (dx, dy) channels.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B, H, W = attmaps.shape
+    n = H * W
+    ys, xs = jnp.mgrid[:H, :W]
+
+    def one(att, flow):
+        ny = jnp.rint(ys + flow[..., 1]).astype(jnp.int32)
+        nx = jnp.rint(xs + flow[..., 0]).astype(jnp.int32)
+        valid = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+        tgt = jnp.where(valid, ny * W + nx, n).reshape(-1)
+        src = jnp.arange(n, dtype=jnp.int32)
+        win = jax.ops.segment_max(
+            src, tgt, num_segments=n + 1, indices_are_sorted=False
+        )[:n]
+        has = win >= 0  # segment_max fills empty segments with int32 min
+        out = jnp.where(
+            has, att.reshape(-1)[jnp.clip(win, 0, n - 1)], 0.0
+        ).reshape(H, W)
+        # grey dilation, scipy footprint for even size 10: window
+        # [i-4, i+5] -> pad (4, 5)
+        neg = jnp.finfo(out.dtype).min
+        return lax.reduce_window(
+            out, neg, lax.max, (10, 10), (1, 1),
+            ((4, 5), (4, 5)),
+        )
+
+    return jax.vmap(one)(attmaps, optflows)

@@ -135,3 +135,27 @@ def test_attmap_batched_approximation_envelope():
         )[0]
         diff = np.abs(exact - approx)
         assert diff.max() <= 0.2 and diff.mean() <= 0.02
+
+
+def test_attmap_scatter_device_exact():
+    """cal_attmap_scatter == cal_attmap_np bit-for-bit: last-writer-wins
+    scatter collisions (adversarial random inputs, non-smooth) and the
+    scipy even-size dilation footprint."""
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.data.attmap import cal_attmap_np, cal_attmap_scatter
+
+    rng = np.random.default_rng(3)
+    H, W = 48, 56
+    for trial in range(4):
+        att = rng.random((H, W)).astype(np.float32)
+        # large random flows -> heavy collisions + many out-of-bounds
+        flow = (rng.random((H, W, 2)).astype(np.float32) * 2 - 1) * (
+            3.0 if trial < 2 else 25.0
+        )
+        want = cal_attmap_np(att, flow)
+        got = np.asarray(
+            cal_attmap_scatter(jnp.asarray(att[None]),
+                               jnp.asarray(flow[None]))
+        )[0]
+        np.testing.assert_array_equal(got, want)
