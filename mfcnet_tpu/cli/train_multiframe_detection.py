@@ -72,11 +72,20 @@ def main(argv=None):
     )
     logger.info(f"args: {vars(args)}")
     np.random.seed(args.seed)
-    key = jax.random.PRNGKey(args.seed)
 
-    # data-parallel mesh over every visible chip (GSPMD; replaces the
-    # reference's nn.DataParallel, scripts/train_multiframe_detection.py:107)
-    from mfcnet_tpu.parallel import make_mesh, shard_batch
+    # multi-host bootstrap (no-op single-process); must run before any
+    # other jax API so jax.devices() spans the whole pod
+    from mfcnet_tpu.parallel import (
+        init_distributed,
+        make_mesh,
+        shard_batch,
+        shard_host_local_batch,
+    )
+
+    proc_idx, proc_count = init_distributed()
+    if proc_count > 1:
+        logger.info(f"distributed: process {proc_idx}/{proc_count}")
+    key = jax.random.PRNGKey(args.seed)
 
     n_dev = len(jax.devices())
     # shard over the largest device count that divides the batch
@@ -208,7 +217,13 @@ def main(argv=None):
 
     def aug(batch, k):
         out = augment_train_batch(batch, k, tcfg)
-        return shard_batch(mesh, out) if mesh is not None else out
+        if mesh is None:
+            return out
+        # multi-host: each process loads+augments its local shard and the
+        # global batch is assembled without a gather
+        if jax.process_count() > 1:
+            return shard_host_local_batch(mesh, out)
+        return shard_batch(mesh, out)
 
     import contextlib
 

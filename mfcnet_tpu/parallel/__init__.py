@@ -5,6 +5,8 @@ from mfcnet_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
     shard_batch,
+    init_distributed,
+    shard_host_local_batch,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "init_distributed",
+    "shard_host_local_batch",
 ]

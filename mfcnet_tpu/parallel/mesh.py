@@ -56,3 +56,50 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch
     )
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host bootstrap: ``jax.distributed.initialize`` with env-var
+    defaults (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+    or the cluster autodetection JAX ships for TPU pods). Call once before
+    any other jax API on every process; afterwards ``jax.devices()`` spans
+    the whole pod and :func:`make_mesh` lays the data axis across ICI.
+
+    Returns (process_index, process_count). No-op (0, 1) when only one
+    process is configured — safe to call unconditionally from CLIs.
+    """
+    import os
+
+    coordinator_address = (
+        coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address or (num_processes or 0) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def shard_host_local_batch(mesh: Mesh, batch):
+    """Assemble a GLOBAL axis-0-sharded batch from per-host local shards.
+
+    Multi-host data loading: each process loads ``global_batch /
+    process_count`` samples; this stitches them into one global
+    jax.Array without gathering through any single host
+    (``jax.make_array_from_process_local_data``). With one process it is
+    equivalent to :func:`shard_batch`.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), np.asarray(x)
+        ),
+        batch,
+    )
