@@ -91,6 +91,7 @@ def _build_base(
         return TAPNet11(
             num_classes=num_classes,
             stage_convs=_scaled_vgg(VGG11_STAGES, scale),
+            remat=remat,
         ), "exp"
     if kind == "TAPNet16":
         from mfcnet_tpu.models.tapnet import TAPNet16
@@ -98,6 +99,7 @@ def _build_base(
         return TAPNet16(
             num_classes=num_classes,
             stage_convs=_scaled_vgg(VGG16_STAGES, scale),
+            remat=remat,
         ), "exp"
     if kind == "HRNet":
         from mfcnet_tpu.models.hrnet import HRNetW48

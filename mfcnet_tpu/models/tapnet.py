@@ -85,10 +85,16 @@ class _TAPNetVGG(nn.Module):
     stage_convs: tuple
     upsample_decoder: bool
     width_mult: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
-        conv1, conv2, conv3, conv4, conv5 = VGGFeatures(
+        # remat (scope-preserving, see ternausnet.py): encoder + decoder
+        # stages recompute intra-segment activations in the backward pass
+        Enc = nn.remat(VGGFeatures) if self.remat else VGGFeatures
+        Dec = nn.remat(DecoderModule) if self.remat else DecoderModule
+        Att = nn.remat(AttentionModule) if self.remat else AttentionModule
+        conv1, conv2, conv3, conv4, conv5 = Enc(
             self.stage_convs, name="encoder"
         )(x)
         up = self.upsample_decoder
@@ -96,32 +102,32 @@ class _TAPNetVGG(nn.Module):
         def c(n):
             return max(1, int(n * self.width_mult))
 
-        center = DecoderModule(c(512), c(256), up, name="center")(
+        center = Dec(c(512), c(256), up, name="center")(
             max_pool_2x(conv5)
         )
 
-        att5, a5 = AttentionModule(c(256) + c(512), 1 / 16, name="att5")(
+        att5, a5 = Att(c(256) + c(512), 1 / 16, name="att5")(
             jnp.concatenate([center, conv5], axis=-1), attmap
         )
-        dec5 = DecoderModule(c(512), c(256), up, name="dec5")(att5)
-        att4, a4 = AttentionModule(c(256) + c(512), 1, name="att4")(
+        dec5 = Dec(c(512), c(256), up, name="dec5")(att5)
+        att4, a4 = Att(c(256) + c(512), 1, name="att4")(
             jnp.concatenate([dec5, conv4], axis=-1),
             upsample_bilinear_2x(a5, align_corners=False),
         )
-        dec4 = DecoderModule(
+        dec4 = Dec(
             c(512), c(256) if up else c(128), up, name="dec4"
         )(att4)
-        att3, a3 = AttentionModule(c(128) + c(256), 1, name="att3")(
+        att3, a3 = Att(c(128) + c(256), 1, name="att3")(
             jnp.concatenate([dec4, conv3], axis=-1),
             upsample_bilinear_2x(a4, align_corners=False),
         )
-        dec3 = DecoderModule(c(256), c(64), up, name="dec3")(att3)
-        att2, a2 = AttentionModule(c(64) + c(128), 1, name="att2")(
+        dec3 = Dec(c(256), c(64), up, name="dec3")(att3)
+        att2, a2 = Att(c(64) + c(128), 1, name="att2")(
             jnp.concatenate([dec3, conv2], axis=-1),
             upsample_bilinear_2x(a3, align_corners=False),
         )
-        dec2 = DecoderModule(c(128), c(32), up, name="dec2")(att2)
-        att1, a1 = AttentionModule(c(32) + c(64), 1, name="att1")(
+        dec2 = Dec(c(128), c(32), up, name="dec2")(att2)
+        att1, a1 = Att(c(32) + c(64), 1, name="att1")(
             jnp.concatenate([dec2, conv1], axis=-1),
             upsample_bilinear_2x(a2, align_corners=False),
         )
@@ -139,12 +145,13 @@ class TAPNet11(nn.Module):
     num_classes: int
     stage_convs: tuple = VGG11_STAGES
     width_mult: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
         return _TAPNetVGG(
             self.num_classes, self.stage_convs, upsample_decoder=False,
-            width_mult=self.width_mult, name="body",
+            width_mult=self.width_mult, remat=self.remat, name="body",
         )(x, attmap, train=train)
 
 
@@ -155,12 +162,13 @@ class TAPNet16(nn.Module):
     num_classes: int
     stage_convs: tuple = VGG16_STAGES
     width_mult: float = 1.0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, attmap, train: bool = False):
         return _TAPNetVGG(
             self.num_classes, self.stage_convs, upsample_decoder=True,
-            width_mult=self.width_mult, name="body",
+            width_mult=self.width_mult, remat=self.remat, name="body",
         )(x, attmap, train=train)
 
 

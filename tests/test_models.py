@@ -89,6 +89,33 @@ def test_ternausnet_remat_is_transparent():
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
         )
 
+    # TAPNet path: same transparency guarantee
+    from mfcnet_tpu.models.tapnet import TAPNet16
+
+    tp = TAPNet16(num_classes=C, stage_convs=TINY_STAGES, width_mult=0.1)
+    tr = TAPNet16(
+        num_classes=C, stage_convs=TINY_STAGES, width_mult=0.1, remat=True
+    )
+    att = jnp.zeros((2, H, W, 1), jnp.float32)
+    vt = tp.init(jax.random.PRNGKey(1), x, att)
+    vt2 = tr.init(jax.random.PRNGKey(1), x, att)
+    assert jax.tree_util.tree_structure(vt) == jax.tree_util.tree_structure(
+        vt2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tp.apply(vt, x, att)), np.asarray(tr.apply(vt, x, att))
+    )
+    gta = jax.grad(
+        lambda p: (tp.apply({"params": p}, x, att) ** 2).mean()
+    )(vt["params"])
+    gtb = jax.grad(
+        lambda p: (tr.apply({"params": p}, x, att) ** 2).mean()
+    )(vt["params"])
+    for a, b in zip(jax.tree.leaves(gta), jax.tree.leaves(gtb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        )
+
 
 @pytest.mark.parametrize(
     "variant,optflow,depth",
