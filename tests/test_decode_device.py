@@ -155,3 +155,43 @@ def test_device_base_ragged_masks_statistical_envelope():
     assert n_eval >= 150
     assert mismatches <= max(2, n_eval // 100)
     assert worst <= 2.0
+
+
+def test_decode_keypoints_device_respects_thresholded_pred():
+    """decode_keypoints_device(pred=...) decodes blobs from the supplied
+    class map (the CLIs pass the score-thresholded mask), not from
+    argmax(probs): a low-probability tip blob that the threshold keeps
+    out of argmax must still be decoded when present in pred."""
+    from mfcnet_tpu.track.decode_device import decode_keypoints_device
+
+    H, W = 64, 80
+    probs = np.zeros((H, W, 5), np.float32)
+    probs[..., 0] = 0.55  # background wins argmax everywhere
+    # right-tip (class 2) heat: strong blob, but below bg prob
+    heat = _gaussian_blob(H, W, 20, 25, sigma=3.0, amp=0.45)
+    probs[..., 2] = heat
+    # right-base (class 1) region, also sub-argmax
+    probs[25:40, 20:40, 1] = 0.5
+
+    # with argmax semantics (pred=None) nothing is detected
+    kps_argmax = np.asarray(
+        decode_keypoints_device(jnp.asarray(probs), 100)
+    )
+    assert kps_argmax[1, 2, 2] == 0  # right base invalid
+
+    # threshold 0.3 marks the blobs in the class map
+    pred = np.zeros((H, W), np.int32)
+    pred[probs[..., 1] > 0.3] = 1
+    pred[probs[..., 2] > 0.3] = 2
+    kps = np.asarray(
+        decode_keypoints_device(
+            jnp.asarray(probs), 100, pred=jnp.asarray(pred)
+        )
+    )
+    assert kps[1, 2, 2] > 0  # right base valid
+    bx, by = kps[1, 2, 0], kps[1, 2, 1]
+    assert abs(bx - 29.5) <= 1.5 and abs(by - 32) <= 1.5
+    # tip decoded from the thresholded blob near the heat peak
+    tips = [(x, y) for x, y, v in kps[1, :2] if v > 0]
+    assert len(tips) >= 1
+    assert abs(tips[0][0] - 25) <= 1.5 and abs(tips[0][1] - 20) <= 1.5
