@@ -50,6 +50,10 @@ def main():
                          "counts batch*frames; default 1). train: the "
                          "optimizer batch size (default 4, the README "
                          "recipe)")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax.profiler trace of one timed trial "
+                         "to this directory (view with TensorBoard's "
+                         "profile tab / XProf)")
     ap.add_argument("--record_detail",
                     type=lambda v: v.lower() in ("true", "1"),
                     default=None,
@@ -278,6 +282,11 @@ def main():
             return time.perf_counter() - t0
 
     run(10)  # warmup
+    if args.profile:
+        from mfcnet_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            run(min(args.frames, 50))
     best = min(run(args.frames) for _ in range(args.trials))
     fps = args.frames * B / best
     headline = {
