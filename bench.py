@@ -107,6 +107,11 @@ def main():
                 decode=args.decode,
             )
             track_on_video(video, model, variables, cfg, td)  # warm compile
+            if args.profile:
+                from mfcnet_tpu.utils.profiling import trace
+
+                with trace(args.profile):
+                    track_on_video(video, model, variables, cfg, td)
             best = 0.0
             for _ in range(args.trials):
                 _, fps = track_on_video(video, model, variables, cfg, td)
@@ -171,6 +176,13 @@ def main():
         }
         state, parts = step(state, batch)  # compile
         float(list(parts.values())[0])
+        if args.profile:
+            from mfcnet_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                for _ in range(3):
+                    state, parts = step(state, batch)
+                float(list(parts.values())[0])
         n = max(5, args.frames // 10)
         best = 0.0
         for _ in range(args.trials):

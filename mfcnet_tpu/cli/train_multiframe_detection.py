@@ -12,8 +12,6 @@ Usage: python -m mfcnet_tpu.cli.train_multiframe_detection --dataset JIGSAWS ...
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import numpy as np
 
@@ -82,18 +80,36 @@ def main(argv=None):
         shard_host_local_batch,
     )
 
-    proc_idx, proc_count = init_distributed()
+    proc_idx, proc_count = init_distributed(
+        auto=getattr(args, "multihost", False)
+    )
     if proc_count > 1:
         logger.info(f"distributed: process {proc_idx}/{proc_count}")
     key = jax.random.PRNGKey(args.seed)
 
     n_dev = len(jax.devices())
-    # shard over the largest device count that divides the batch
-    while n_dev > 1 and args.batch_size % n_dev != 0:
-        n_dev -= 1
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    if mesh is not None:
-        logger.info(f"data-parallel over {n_dev} devices")
+    if proc_count > 1:
+        # multi-host: --batch_size is PER PROCESS; the global batch must
+        # divide the global device count and the mesh must span ALL
+        # devices (a truncated mesh would exclude other hosts' chips)
+        global_batch = args.batch_size * proc_count
+        if global_batch % n_dev != 0:
+            raise SystemExit(
+                f"global batch {global_batch} (= {args.batch_size} x "
+                f"{proc_count} processes) must divide {n_dev} devices"
+            )
+        mesh = make_mesh(n_dev)
+        logger.info(
+            f"data-parallel over {n_dev} devices on {proc_count} hosts "
+            f"(global batch {global_batch})"
+        )
+    else:
+        # shard over the largest device count that divides the batch
+        while n_dev > 1 and args.batch_size % n_dev != 0:
+            n_dev -= 1
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if mesh is not None:
+            logger.info(f"data-parallel over {n_dev} devices")
 
     train_loader, val_loader = get_data_loader(
         args.dataset,
@@ -106,6 +122,9 @@ def main(argv=None):
         fold_index=args.fold_index,
         add_depth_inputs=args.add_depth_inputs,
         seed=args.seed,
+        # multi-host: disjoint per-process training shards (identical
+        # global shuffle on every host, strided slice per rank)
+        shard=(proc_idx, proc_count) if proc_count > 1 else None,
     )
     if mesh is not None:
         # fixed batch shapes so axis-0 sharding always divides
@@ -212,18 +231,19 @@ def main(argv=None):
     tcfg = TransformConfig(
         out_height=H, out_width=W, prediction_task=args.prediction_task
     )
-    aug_fn = functools.partial(augment_train_batch, cfg=tcfg)
-    prep_fn = functools.partial(preprocess_eval_batch, cfg=tcfg)
-
     def aug(batch, k):
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: assemble the global batch from the per-process
+            # host (numpy) shards FIRST, then augment the sharded global
+            # array under the mesh — no host round trip of device data.
+            # The key is one GLOBAL value (identical on every process —
+            # augmentation is a single SPMD program; per-sample
+            # randomness comes from the per-element key split inside
+            # augment_train_batch).
+            batch = shard_host_local_batch(mesh, batch)
+            return augment_train_batch(batch, k, tcfg)
         out = augment_train_batch(batch, k, tcfg)
-        if mesh is None:
-            return out
-        # multi-host: each process loads+augments its local shard and the
-        # global batch is assembled without a gather
-        if jax.process_count() > 1:
-            return shard_host_local_batch(mesh, out)
-        return shard_batch(mesh, out)
+        return shard_batch(mesh, out) if mesh is not None else out
 
     import contextlib
 
@@ -262,13 +282,19 @@ def main(argv=None):
                     args.metric_fns,
                     args.num_classes,
                 )
-                if epoch % args.save_freq == 0 or epoch == args.num_epochs:
-                    p = ckpt_writer.save(expt_dir / "ckpts", epoch, state)
-                    logger.info(f"Saved checkpoint {p} (async)")
+                if (epoch % args.save_freq == 0
+                        or epoch == args.num_epochs):
+                    # multi-host: params are replicated; process 0 writes
+                    if jax.process_index() == 0:
+                        p = ckpt_writer.save(
+                            expt_dir / "ckpts", epoch, state
+                        )
+                        logger.info(f"Saved checkpoint {p} (async)")
     except KeyboardInterrupt:
         # snapshot on interrupt (reference :179-183)
-        p = save_checkpoint(expt_dir / "ckpts", 999, state)
-        logger.info(f"Interrupted; snapshot saved to {p}")
+        if jax.process_index() == 0:
+            p = save_checkpoint(expt_dir / "ckpts", 999, state)
+            logger.info(f"Interrupted; snapshot saved to {p}")
         raise
     ckpt_writer.wait()
     getattr(ckpt_writer, "close", lambda: None)()

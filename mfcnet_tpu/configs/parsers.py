@@ -110,6 +110,11 @@ def _add_common(parser, multiframe: bool, train: bool):
     g.add_argument("--print_freq", type=int, default=10)
     if train:
         g.add_argument("--save_freq", type=int, default=10)
+        g.add_argument("--multihost", type=_str2bool, default=False,
+                       help="bootstrap jax.distributed with cluster "
+                            "autodetection (TPU pod); --batch_size is "
+                            "then PER PROCESS and training data is "
+                            "sharded across hosts")
         g.add_argument("--ckpt_backend", type=str, default="msgpack",
                        choices=["msgpack", "orbax"],
                        help="checkpoint format: flax msgpack files or "

@@ -36,16 +36,29 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         drop_last: bool = False,
+        shard: Optional[tuple] = None,
     ):
+        """``shard=(rank, count)``: multi-host data parallelism — every
+        process shuffles the SAME global permutation (same seed) and
+        takes the strided slice ``idxs[rank::count]``, so the processes'
+        local batches are disjoint and jointly cover the dataset."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.shard = shard
+
+    def _num_local(self):
+        n = len(self.dataset)
+        if self.shard is None:
+            return n
+        rank, count = self.shard
+        return (n - rank + count - 1) // count
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._num_local()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -54,6 +67,9 @@ class DataLoader:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
+        if self.shard is not None:
+            rank, count = self.shard
+            idxs = idxs[rank::count]
         if self.drop_last:
             idxs = idxs[: len(self) * self.batch_size]
         with ThreadPoolExecutor(self.num_workers) as pool:
@@ -133,10 +149,13 @@ def get_data_loader(
     fold_index: int = -1,
     add_depth_inputs: bool = False,
     seed: int = 0,
+    shard: Optional[tuple] = None,
 ):
     """Multi-frame loader factory (reference:
     src/dataloader_multiframe.py:225-317): train loader shuffled at
-    batch_size, val/test at batch 1 unshuffled."""
+    batch_size, val/test at batch 1 unshuffled. ``shard=(rank, count)``
+    partitions the TRAIN samples across processes (multi-host; validation
+    stays unsharded — every process evaluates the full set)."""
     from mfcnet_tpu.data.dataset import MultiFrameDataset
     from mfcnet_tpu.data.files import get_dataset_filenames
 
@@ -152,7 +171,7 @@ def get_data_loader(
         )
         return (
             DataLoader(train_ds, batch_size, shuffle=True,
-                       num_workers=num_workers, seed=seed),
+                       num_workers=num_workers, seed=seed, shard=shard),
             DataLoader(val_ds, 1, shuffle=False, num_workers=num_workers),
         )
     test_ds = MultiFrameDataset(

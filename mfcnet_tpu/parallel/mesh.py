@@ -60,15 +60,21 @@ def shard_batch(mesh: Mesh, batch):
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None):
-    """Multi-host bootstrap: ``jax.distributed.initialize`` with env-var
-    defaults (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
-    or the cluster autodetection JAX ships for TPU pods). Call once before
-    any other jax API on every process; afterwards ``jax.devices()`` spans
-    the whole pod and :func:`make_mesh` lays the data axis across ICI.
+                     process_id: Optional[int] = None,
+                     auto: bool = False):
+    """Multi-host bootstrap around ``jax.distributed.initialize``.
 
-    Returns (process_index, process_count). No-op (0, 1) when only one
-    process is configured — safe to call unconditionally from CLIs.
+    Initialization triggers when (a) ``auto=True`` — no-arg initialize,
+    which runs JAX's cluster autodetection (TPU pod runtime env); or (b)
+    explicit coordinates are given via arguments or env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — also
+    set MFCNET_MULTIHOST=1 or pass ``--multihost true`` on the train CLI
+    for (a)). Otherwise it is a no-op returning (0, 1) — it does NOT
+    autodetect on its own, so a pod launch must opt in. Call once before
+    any other jax API on every process; afterwards ``jax.devices()``
+    spans the whole pod and :func:`make_mesh` lays the data axis over ICI.
+
+    Returns (process_index, process_count).
     """
     import os
 
@@ -79,12 +85,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+    auto = auto or os.environ.get("MFCNET_MULTIHOST", "") in ("1", "true")
     if coordinator_address or (num_processes or 0) > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif auto:
+        jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 

@@ -43,3 +43,34 @@ def test_shard_host_local_batch_matches_shard_batch():
     np.testing.assert_allclose(
         float(total), batch["frames"].sum(), rtol=1e-5
     )
+
+
+def test_dataloader_process_sharding_disjoint_cover():
+    """DataLoader(shard=(rank, count)): identical global shuffle per
+    process, strided disjoint slices, joint coverage of the dataset."""
+    from mfcnet_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return {"idx": np.asarray([i])}
+
+    seen = []
+    lens = []
+    for rank in range(3):
+        dl = DataLoader(_DS(), 2, shuffle=True, seed=7, num_workers=1,
+                        shard=(rank, 3))
+        got = [int(v) for b in dl for v in b["idx"][:, 0]]
+        lens.append(len(dl))
+        seen.append(set(got))
+        assert len(got) == (23 - rank + 2) // 3
+    assert seen[0] | seen[1] | seen[2] == set(range(23))
+    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
+    assert sum(len(s) for s in seen) == 23
+    # drop_last trims to full local batches
+    dl = DataLoader(_DS(), 2, shuffle=True, seed=7, num_workers=1,
+                    shard=(0, 3), drop_last=True)
+    got = [int(v) for b in dl for v in b["idx"][:, 0]]
+    assert len(got) == len(dl) * 2

@@ -7,8 +7,13 @@ NOTES_ROUND1.md). Source of the model-zoo table in docs/PERFORMANCE.md.
 Usage: python tools/zoo_bench.py [model ...]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +21,7 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
+from mfcnet_tpu.cli.train_toolpose_segmentation import OUTPUT_MODES
 from mfcnet_tpu.models import get_tooltip_segmentation_model
 from mfcnet_tpu.utils.jitinit import jit_init
 
@@ -43,14 +49,22 @@ def main(names):
                 variables,
             )
             x = jnp.zeros((1, H, W, 3), jnp.bfloat16)
+            # models with 'logits' output get the log_softmax the train
+            # CLI applies, so every row measures forward + log-softmax
+            logits_out = OUTPUT_MODES.get(name) == "logits"
+
+            def post(y):
+                y = y.astype(jnp.float32)
+                if logits_out:
+                    y = jax.nn.log_softmax(y, axis=-1)
+                return y.sum()
+
             if tapnet:
                 a = jnp.zeros((1, H, W, 1), jnp.bfloat16)
-                f = jax.jit(lambda x, a: model.apply(cvars, x, a).astype(
-                    jnp.float32).sum())
+                f = jax.jit(lambda x, a: post(model.apply(cvars, x, a)))
                 args = (x, a)
             else:
-                f = jax.jit(lambda x: model.apply(cvars, x).astype(
-                    jnp.float32).sum())
+                f = jax.jit(lambda x: post(model.apply(cvars, x)))
                 args = (x,)
             float(f(*args))  # compile
             n = 60
