@@ -310,6 +310,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
     }
+    # headline FIRST: the detail runs below take ~30 min and a driver
+    # timeout must not cost the headline line
+    print(json.dumps(headline), flush=True)
 
     if args.record_detail:
         # also put the reference-semantics (full: T base fwds/frame) and
@@ -349,8 +352,6 @@ def main():
         pathlib.Path(__file__).parent.joinpath(
             "BENCH_DETAIL.json"
         ).write_text(json.dumps(results, indent=1))
-
-    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
