@@ -31,7 +31,6 @@ from mfcnet_tpu.train.steps import (
     make_multiframe_train_step,
 )
 from mfcnet_tpu.utils.checkpoint import (
-    AsyncCheckpointer,
     make_checkpointer,
     latest_checkpoint,
     load_checkpoint,

@@ -32,7 +32,6 @@ from mfcnet_tpu.train.steps import (
     make_singleframe_train_step,
 )
 from mfcnet_tpu.utils.checkpoint import (
-    AsyncCheckpointer,
     make_checkpointer,
     latest_checkpoint,
     load_checkpoint,
