@@ -283,12 +283,17 @@ def main(argv=None):
                 )
                 if (epoch % args.save_freq == 0
                         or epoch == args.num_epochs):
-                    # multi-host: params are replicated; process 0 writes
-                    if jax.process_index() == 0:
+                    # multi-host: a collective backend (orbax) uses global
+                    # process barriers, so EVERY process must enter save()
+                    # (orbax writes from the primary host internally);
+                    # the process-local msgpack backend is gated on
+                    # process 0 since params are replicated.
+                    if ckpt_writer.collective or jax.process_index() == 0:
                         p = ckpt_writer.save(
                             expt_dir / "ckpts", epoch, state
                         )
-                        logger.info(f"Saved checkpoint {p} (async)")
+                        if jax.process_index() == 0:
+                            logger.info(f"Saved checkpoint {p} (async)")
     except KeyboardInterrupt:
         # snapshot on interrupt (reference :179-183)
         if jax.process_index() == 0:

@@ -19,16 +19,18 @@ def cal_attmap_np(attmap: np.ndarray, optflow: np.ndarray) -> np.ndarray:
     dilation with a 10x10 structuring element.
 
     Forward warping: each source pixel (y, x) pushes its value to
-    (y + flow_y, x + flow_x) rounded, in-bounds only — matching the
-    reference's integer scatter.
+    (y + flow_y, x + flow_x) rounded, with target coordinates CLIPPED to
+    the image border (np.clip in the reference, src/dataloader.py:69-70)
+    — off-screen flow therefore writes to edge pixels, and on collisions
+    the last source pixel in row-major order wins, exactly as the
+    reference's fancy-indexed assignment.
     """
     H, W = attmap.shape
     ys, xs = np.mgrid[:H, :W]
-    ny = np.rint(ys + optflow[..., 1]).astype(np.int64)
-    nx = np.rint(xs + optflow[..., 0]).astype(np.int64)
-    valid = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+    ny = np.clip(np.rint(ys + optflow[..., 1]).astype(np.int64), 0, H - 1)
+    nx = np.clip(np.rint(xs + optflow[..., 0]).astype(np.int64), 0, W - 1)
     out = np.zeros_like(attmap)
-    out[ny[valid], nx[valid]] = attmap[ys[valid], xs[valid]]
+    out[ny.ravel(), nx.ravel()] = attmap[ys.ravel(), xs.ravel()]
     return ndimage.grey_dilation(out, size=(10, 10))
 
 
@@ -57,13 +59,14 @@ def cal_attmap_batched(attmaps, optflows):
 def cal_attmap_scatter(attmaps, optflows):
     """EXACT device forward-warp: bit-parity with :func:`cal_attmap_np`.
 
-    The reference's integer scatter (src/dataloader.py:56-76) assigns
+    The reference's integer scatter (src/dataloader.py:56-76) clips the
+    target coordinates to the border (np.clip :69-70) and assigns
     ``out[ny, nx] = att[y, x]`` in row-major order, so on collisions the
-    LAST source pixel wins. On device: each valid source proposes its
-    row-major linear index to its target; a ``segment_max`` picks the
-    winning (largest) source per target, then a gather reads the value —
-    deterministic, vectorized, O(n). The 10x10 grey dilation uses scipy's
-    even-size footprint (window [i-4, i+5], pad (4, 5)).
+    LAST source pixel wins. On device: every source proposes its
+    row-major linear index to its (clipped) target; a ``segment_max``
+    picks the winning (largest) source per target, then a gather reads
+    the value — deterministic, vectorized, O(n). The 10x10 grey dilation
+    uses scipy's even-size footprint (window [i-4, i+5], pad (4, 5)).
 
     attmaps: (B, H, W); optflows: (B, H, W, 2) with (dx, dy) channels.
     """
@@ -76,14 +79,17 @@ def cal_attmap_scatter(attmaps, optflows):
     ys, xs = jnp.mgrid[:H, :W]
 
     def one(att, flow):
-        ny = jnp.rint(ys + flow[..., 1]).astype(jnp.int32)
-        nx = jnp.rint(xs + flow[..., 0]).astype(jnp.int32)
-        valid = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
-        tgt = jnp.where(valid, ny * W + nx, n).reshape(-1)
+        ny = jnp.clip(
+            jnp.rint(ys + flow[..., 1]).astype(jnp.int32), 0, H - 1
+        )
+        nx = jnp.clip(
+            jnp.rint(xs + flow[..., 0]).astype(jnp.int32), 0, W - 1
+        )
+        tgt = (ny * W + nx).reshape(-1)
         src = jnp.arange(n, dtype=jnp.int32)
         win = jax.ops.segment_max(
-            src, tgt, num_segments=n + 1, indices_are_sorted=False
-        )[:n]
+            src, tgt, num_segments=n, indices_are_sorted=False
+        )
         has = win >= 0  # segment_max fills empty segments with int32 min
         out = jnp.where(
             has, att.reshape(-1)[jnp.clip(win, 0, n - 1)], 0.0

@@ -39,9 +39,13 @@ class DataLoader:
         shard: Optional[tuple] = None,
     ):
         """``shard=(rank, count)``: multi-host data parallelism — every
-        process shuffles the SAME global permutation (same seed) and
-        takes the strided slice ``idxs[rank::count]``, so the processes'
-        local batches are disjoint and jointly cover the dataset."""
+        process shuffles the SAME global permutation (same seed),
+        truncates it to a multiple of ``count``, and takes the strided
+        slice ``idxs[rank::count]``. The truncation guarantees every
+        rank holds exactly ``len(dataset) // count`` samples, so all
+        processes launch the SAME number of train steps per epoch: each
+        step is a global SPMD program with cross-host collectives, and a
+        rank with one extra batch would deadlock the pod mid-epoch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,8 +58,8 @@ class DataLoader:
         n = len(self.dataset)
         if self.shard is None:
             return n
-        rank, count = self.shard
-        return (n - rank + count - 1) // count
+        _, count = self.shard
+        return n // count
 
     def __len__(self):
         n = self._num_local()
@@ -69,7 +73,7 @@ class DataLoader:
             self.rng.shuffle(idxs)
         if self.shard is not None:
             rank, count = self.shard
-            idxs = idxs[rank::count]
+            idxs = idxs[: (len(idxs) // count) * count][rank::count]
         if self.drop_last:
             idxs = idxs[: len(self) * self.batch_size]
         with ThreadPoolExecutor(self.num_workers) as pool:

@@ -82,12 +82,17 @@ def _snapshot(state) -> dict:
 class AsyncCheckpointer:
     """Overlap checkpoint serialization/IO with training.
 
+    Process-local (no cross-host barriers): in multi-host runs callers
+    gate saves on ``jax.process_index() == 0``; see ``collective``.
+
     ``save()`` snapshots the state to host synchronously (cheap relative to
     serialization for big models; guarantees the saved state is the one at
     call time), then encodes + writes on a single background worker. A new
     save waits for the previous one (at most one outstanding write), and
     worker exceptions surface on the next ``save()``/``wait()``.
     """
+
+    collective = False
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
@@ -137,20 +142,36 @@ class OrbaxCheckpointer:
     backend.
     """
 
+    #: Orbax saves use global process barriers — in a multi-host run
+    #: ``save()``/``wait()`` must be called by EVERY process (Orbax
+    #: writes from the primary host internally). The msgpack backend is
+    #: process-local and is gated on process 0 by callers instead.
+    collective = True
+
     def __init__(self):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
-        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         # the epoch .json sidecar is written only AFTER the async data
         # write commits (same durability ordering as the msgpack backend:
-        # sidecar implies a complete checkpoint)
+        # sidecar implies a complete checkpoint). The post-finalization
+        # callback runs on Orbax's background thread right at commit, so
+        # a crash between commit and the next wait() cannot leave a
+        # complete .orbax dir without its sidecar.
+        self._lock = threading.Lock()
         self._pending_sidecar = None
+        self._ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler(),
+            async_options=ocp.AsyncOptions(
+                post_finalization_callback=self._flush_sidecar
+            ),
+        )
 
     def _flush_sidecar(self):
-        if self._pending_sidecar is not None:
-            sidecar_path, meta = self._pending_sidecar
-            self._pending_sidecar = None
+        with self._lock:
+            pending, self._pending_sidecar = self._pending_sidecar, None
+        if pending is not None and jax.process_index() == 0:
+            sidecar_path, meta = pending
             sidecar_path.write_text(json.dumps(meta))
 
     def save(self, ckpt_dir, epoch: int, state,
@@ -159,13 +180,14 @@ class OrbaxCheckpointer:
         ckpt_dir = Path(ckpt_dir).resolve()
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         path = ckpt_dir / f"model_{epoch:03d}.orbax"
+        with self._lock:
+            self._pending_sidecar = (
+                ckpt_dir / f"model_{epoch:03d}.json",
+                {"epoch": epoch, **(extra or {})},
+            )
         self._ckptr.save(
             path, args=self._ocp.args.StandardSave(_snapshot(state)),
             force=True,
-        )
-        self._pending_sidecar = (
-            ckpt_dir / f"model_{epoch:03d}.json",
-            {"epoch": epoch, **(extra or {})},
         )
         return path
 
@@ -248,12 +270,23 @@ def load_params(path, template=None):
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    """Newest checkpoint WITH its epoch ``.json`` sidecar. The sidecar is
+    written only after the data write commits (both backends), so
+    "sidecar present" is the completeness marker; a sidecar-less entry is
+    an in-flight or interrupted write and resuming from it would restart
+    at epoch 0."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
     cands = sorted(
-        list(ckpt_dir.glob("model_*.msgpack"))
-        + list(ckpt_dir.glob("model_*.orbax")),
+        (
+            p
+            for p in (
+                list(ckpt_dir.glob("model_*.msgpack"))
+                + list(ckpt_dir.glob("model_*.orbax"))
+            )
+            if p.with_suffix(".json").exists()
+        ),
         key=lambda p: p.stem,
     )
     return cands[-1] if cands else None

@@ -1,0 +1,80 @@
+"""Checkpointer durability invariants.
+
+The epoch ``.json`` sidecar is the completeness marker for a checkpoint
+(reference analogue: utils/model_utils.py writes torch.save atomically in
+one file; with async backends we need an explicit marker). Pinned here:
+the Orbax backend writes the sidecar at commit time (post-finalization
+callback) — not lazily at the next wait()/save() — and
+``latest_checkpoint`` never returns an entry whose sidecar is missing,
+so a crash mid-write can never corrupt resume's start epoch.
+"""
+
+import json
+import time
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from mfcnet_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
+    OrbaxCheckpointer,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _tiny_state(step=3):
+    return SimpleNamespace(
+        params={"w": np.arange(4, dtype=np.float32)},
+        batch_stats={},
+        opt_state={"m": np.zeros(4, dtype=np.float32)},
+        step=np.asarray(step),
+    )
+
+
+def test_latest_checkpoint_skips_sidecarless(tmp_path):
+    state = _tiny_state()
+    save_checkpoint(tmp_path, 1, state)
+    # simulate an interrupted async write: data present, no sidecar
+    (tmp_path / "model_002.msgpack").write_bytes(
+        (tmp_path / "model_001.msgpack").read_bytes()
+    )
+    assert latest_checkpoint(tmp_path).stem == "model_001"
+    # an empty dir of partials -> None
+    (tmp_path / "model_001.json").unlink()
+    (tmp_path / "model_001.msgpack").unlink()
+    (tmp_path / "model_002.msgpack").unlink()
+    assert latest_checkpoint(tmp_path) is None
+
+
+def test_orbax_sidecar_written_at_commit(tmp_path):
+    """The sidecar must appear WITHOUT any wait()/subsequent save() call —
+    the post-finalization callback writes it when the async commit
+    finishes, so a crash right after commit leaves a loadable
+    (sidecar-bearing) checkpoint."""
+    ckptr = OrbaxCheckpointer()
+    try:
+        ckptr.save(tmp_path, 5, _tiny_state(step=7))
+        sidecar = tmp_path / "model_005.json"
+        deadline = time.time() + 60
+        while not sidecar.exists() and time.time() < deadline:
+            time.sleep(0.05)
+        assert sidecar.exists(), "sidecar not written by commit callback"
+        assert json.loads(sidecar.read_text())["epoch"] == 5
+        payload, epoch = load_checkpoint(tmp_path / "model_005.orbax")
+        assert epoch == 5 and payload["step"] == 7
+        np.testing.assert_array_equal(
+            payload["params"]["w"], np.arange(4, dtype=np.float32)
+        )
+    finally:
+        ckptr.close()
+
+
+def test_collective_flags():
+    """Multi-host save gating contract (cli/train_multiframe_detection):
+    Orbax saves are global collectives (every process must call save);
+    msgpack saves are process-local (process 0 only)."""
+    assert OrbaxCheckpointer.collective is True
+    assert AsyncCheckpointer.collective is False

@@ -81,6 +81,17 @@ def test_cal_attmap_np_warp_and_dilate():
     assert out.max() == 1.0
     assert out.sum() > 1.0  # dilated
 
+    # reference border semantics (src/dataloader.py:69-70): off-screen
+    # targets are CLIPPED to the border, not discarded — the peak pushed
+    # past the right edge lands on column W-1. (The edge pixel's own
+    # source is given a flow off that pixel so the peak is the last
+    # row-major writer there, isolating the clip from collision order.)
+    flow2 = np.zeros((20, 20, 2), np.float32)
+    flow2[5, 5, 0] = 100.0   # peak -> (5, 119) -> clipped to (5, 19)
+    flow2[5, 19, 1] = 1.0    # edge source vacates (5, 19)
+    out2 = cal_attmap_np(att, flow2)
+    assert out2[5, 19] == 1.0
+
 
 def test_config_file_parsing(tmp_path):
     """-c file with key = value lines; CLI args take precedence

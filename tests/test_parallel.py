@@ -45,9 +45,13 @@ def test_shard_host_local_batch_matches_shard_batch():
     )
 
 
-def test_dataloader_process_sharding_disjoint_cover():
+def test_dataloader_process_sharding_equal_steps_disjoint():
     """DataLoader(shard=(rank, count)): identical global shuffle per
-    process, strided disjoint slices, joint coverage of the dataset."""
+    process, strided disjoint slices, and — critically — the SAME number
+    of samples/batches on every rank (each train step is a global SPMD
+    program; a rank with an extra batch would deadlock the pod). The
+    global permutation is truncated to a multiple of count, so up to
+    count-1 samples per epoch are dropped instead."""
     from mfcnet_tpu.data.loader import DataLoader
 
     class _DS:
@@ -65,12 +69,21 @@ def test_dataloader_process_sharding_disjoint_cover():
         got = [int(v) for b in dl for v in b["idx"][:, 0]]
         lens.append(len(dl))
         seen.append(set(got))
-        assert len(got) == (23 - rank + 2) // 3
-    assert seen[0] | seen[1] | seen[2] == set(range(23))
-    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
-    assert sum(len(s) for s in seen) == 23
-    # drop_last trims to full local batches
-    dl = DataLoader(_DS(), 2, shuffle=True, seed=7, num_workers=1,
-                    shard=(0, 3), drop_last=True)
-    got = [int(v) for b in dl for v in b["idx"][:, 0]]
-    assert len(got) == len(dl) * 2
+        # every rank: exactly floor(23/3) = 7 samples
+        assert len(got) == 23 // 3
+    # identical batch counts across ranks (the deadlock invariant)
+    assert len(set(lens)) == 1
+    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2]) \
+        and not (seen[0] & seen[2])
+    # 21 of 23 covered; the 2 surplus of the shuffled permutation dropped
+    assert len(seen[0] | seen[1] | seen[2]) == 21
+    # drop_last trims to full local batches, still rank-uniform
+    for bs in (2, 3):
+        lens = []
+        for rank in range(3):
+            dl = DataLoader(_DS(), bs, shuffle=True, seed=7, num_workers=1,
+                            shard=(rank, 3), drop_last=True)
+            got = [int(v) for b in dl for v in b["idx"][:, 0]]
+            assert len(got) == len(dl) * bs
+            lens.append(len(dl))
+        assert len(set(lens)) == 1
