@@ -267,7 +267,7 @@ def test_vgg_stage1_pallas_parity():
     """Fused stage-1 Pallas kernel (interpret mode on CPU) == plain XLA
     convs, incl. the SAME-padding zero ring between the two convs and
     batch > 1 / odd widths / different tile sizes."""
-    from mfcnet_tpu.ops.stage1_pallas import (
+    from mfcnet_tpu.experimental.stage1_pallas import (
         reference_stage1,
         vgg_stage1_pallas,
     )
