@@ -480,3 +480,127 @@ def test_flowformerpp_conversion_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_flowformerpp_default_depth_12iter_parity():
+    """FULL default decoder depth: 12 recurrent GRU iterations
+    (reference decoder.py:308-352, cfg decoder_depth=12 in
+    ffpp_cfg_things.py:66) — pins error accumulation through the cached
+    cross-attention + GMA + SepConvGRU recurrence, which the 2-iter case
+    above cannot see. 64x64 input (cost maps 8x8, ws=7 window padding
+    still exercised). Tolerance 2e-3 as for the 2-iter case: the per-iter
+    flax/torch divergence is dominated by the non-accumulating final
+    convex upsample, not by GRU drift."""
+    from tests.torch_ffpp_ref import FlowFormerTorch
+    from mfcnet_tpu.compat.torch_convert import convert_flowformerpp
+    from mfcnet_tpu.models.flowformerpp import FlowFormerPP
+
+    iters = 12
+    torch.manual_seed(29)
+    tmodel = FlowFormerTorch(decoder_depth=iters).eval()
+    variables = convert_flowformerpp(_state_dict_np(tmodel))
+
+    fmodel = FlowFormerPP(iters=iters)
+    rng = np.random.default_rng(29)
+    a = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(np.moveaxis(a, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(b, -1, 1).copy()),
+        )
+    want = np.moveaxis(want.numpy(), 1, -1)
+    got = np.asarray(
+        jax.jit(lambda v, a, b: fmodel.apply(v, a, b))(
+            {"params": variables["params"]}, jnp.asarray(a), jnp.asarray(b)
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_ffpp_flow_conditioned_mfcnet_parity():
+    """Heatmaps through a FLOW-CONDITIONED MFCNet forward with
+    FlowFormer++ as the frozen provider, torch vs converted flax —
+    the FFPP analogue of test_raft_flow_conditioned_mfcnet_parity.
+
+    Mirrors src/engine.py:39-53 for a 'Basic' model INCLUDING the
+    0.225/0.5 input-range hack applied to the flow model's inputs only
+    (:43,:47): per pair i>=1, flow_i = FFPP(scaled frame_i, scaled
+    frame_0); base seg maps on the unscaled frames + flows + depth fused
+    by the warped Basic head."""
+    from tests.torch_ffpp_ref import FlowFormerTorch
+    from tests.torch_ref import (
+        MultiFrameNetBasicFlowTorch,
+        TernausNet16Torch,
+    )
+    from mfcnet_tpu.compat.torch_convert import (
+        _multiframe_head,
+        convert_flowformerpp,
+        convert_ternausnet,
+    )
+    from mfcnet_tpu.models.flowformerpp import make_ffpp_flow_fn, FlowFormerPP
+
+    iters = 4
+    Hf, Wf = 64, 64
+    torch.manual_seed(31)
+    ffpp_t = FlowFormerTorch(decoder_depth=iters).eval()
+    base_t = TernausNet16Torch(C, num_filters=NF, width_mult=WM).eval()
+    fuse_t = MultiFrameNetBasicFlowTorch(C, T, with_depth=True).eval()
+
+    ffpp_v = convert_flowformerpp(_state_dict_np(ffpp_t))
+    base_v = convert_ternausnet(_state_dict_np(base_t), "TernausNet16")
+    head_params, head_stats = _multiframe_head(
+        _state_dict_np(fuse_t), "multiframe_net"
+    )
+
+    rng = np.random.default_rng(31)
+    frames = rng.uniform(-1, 1, (1, T, Hf, Wf, 3)).astype(np.float32)
+    depth = rng.uniform(0, 1, (1, T, Hf, Wf, 1)).astype(np.float32)
+
+    # --- torch chain (engine.py semantics incl. the range hack) ---
+    with torch.no_grad():
+        tframes = [
+            torch.from_numpy(np.moveaxis(frames[:, i], -1, 1).copy())
+            for i in range(T)
+        ]
+        tdepth = [
+            torch.from_numpy(np.moveaxis(depth[:, i], -1, 1).copy())
+            for i in range(T)
+        ]
+        segs = [base_t(f).exp() for f in tframes]
+        scale = 0.225 / 0.5
+        flows = [
+            ffpp_t(tframes[i] * scale, tframes[0] * scale)
+            for i in range(1, T)
+        ]
+        x_t = torch.cat(segs + flows + tdepth, dim=1)
+        want = fuse_t(x_t)
+    want = np.moveaxis(want.numpy(), 1, -1)
+
+    # --- flax chain (the production flow_fn path) ---
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+
+    base_f = TernausNet16(num_classes=C, num_filters=NF,
+                          stage_convs=SCALED_STAGES)
+    fmodel = MultiFrameSegmenter(
+        base=base_f, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = {
+        "params": {
+            "base": base_v["params"],
+            "multiframe_net": {"head": head_params},
+        },
+        "batch_stats": {"multiframe_net": {"head": head_stats}},
+    }
+    flow_fn = make_ffpp_flow_fn(
+        basic=True, iters=iters, variables={"params": ffpp_v["params"]}
+    )
+
+    @jax.jit
+    def fwd(variables, frames, depth):
+        flows = flow_fn(frames)
+        return fmodel.apply(variables, frames, optflow=flows, depth=depth)
+
+    got = np.asarray(fwd(variables, jnp.asarray(frames), jnp.asarray(depth)))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
