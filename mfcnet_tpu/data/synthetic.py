@@ -90,22 +90,20 @@ def make_jigsaws_like_dataset(
     return root
 
 
-def make_synthetic_video(
-    path, num_frames: int = 20, height: int = 96, width: int = 128,
-    fps: int = 30, seed: int = 0, return_keypoints: bool = False,
+def make_synthetic_frames(
+    num_frames: int = 20, height: int = 96, width: int = 128,
+    seed: int = 0, return_keypoints: bool = False,
 ):
-    """Write a small mp4 of the same moving-instrument scene.
+    """In-RAM RGB frames (N, H, W, 3) uint8 of the moving-instrument
+    scene — the decoded form of :func:`make_synthetic_video`, for
+    pipelines that start from frames already in host memory
+    (``bench.py --mode e2e --source ram|device``,
+    :func:`mfcnet_tpu.track.tracker.track_on_frames`).
 
     With ``return_keypoints`` also returns the ground-truth (N, 12) array
-    in the tracker-CSV column layout
-    [ltip1(x,y), ltip2(x,y), rtip1(x,y), rtip2(x,y), lbase(x,y),
-    rbase(x,y)] — enables quantitative tracking-accuracy evaluation
-    against the BASELINE tip-RMSE metric."""
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    in the tracker-CSV column layout."""
     rng = np.random.default_rng(seed)
-    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-    writer = cv2.VideoWriter(str(path), fourcc, fps, (width, height))
+    frames = np.zeros((num_frames, height, width, 3), np.uint8)
     lx, ly, rx, ry = 0.3 * width, 0.5 * height, 0.7 * width, 0.5 * height
     la, ra = 0.5, 3.5
     gt = np.zeros((num_frames, 12), np.float64)
@@ -119,6 +117,31 @@ def make_synthetic_video(
         lx += rng.uniform(-3, 3); ly += rng.uniform(-3, 3)
         rx += rng.uniform(-3, 3); ry += rng.uniform(-3, 3)
         la += rng.uniform(-0.2, 0.2); ra += rng.uniform(-0.2, 0.2)
+        frames[f] = img
+    if return_keypoints:
+        return frames, gt
+    return frames
+
+
+def make_synthetic_video(
+    path, num_frames: int = 20, height: int = 96, width: int = 128,
+    fps: int = 30, seed: int = 0, return_keypoints: bool = False,
+):
+    """Write a small mp4 of the same moving-instrument scene.
+
+    With ``return_keypoints`` also returns the ground-truth (N, 12) array
+    in the tracker-CSV column layout
+    [ltip1(x,y), ltip2(x,y), rtip1(x,y), rtip2(x,y), lbase(x,y),
+    rbase(x,y)] — enables quantitative tracking-accuracy evaluation
+    against the BASELINE tip-RMSE metric."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    frames, gt = make_synthetic_frames(
+        num_frames, height, width, seed, return_keypoints=True
+    )
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    writer = cv2.VideoWriter(str(path), fourcc, fps, (width, height))
+    for img in frames:
         writer.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     writer.release()
     if return_keypoints:

@@ -53,6 +53,13 @@ class TrackerConfig:
     dist_threshold: float = 40.0
     mode: str = "incremental"  # 'incremental' | 'full'
     decode: str = "host"  # 'host' (exact parity) | 'device' (fixed-shape)
+    #: frames per device->host result fetch. 1 = synchronous per-frame
+    #: readback; K>1 stacks K frames' outputs on device and fetches them
+    #: in ONE transfer, amortizing the round-trip latency K-fold (the
+    #: dominant per-frame cost on high-latency links). Keypoint rows are
+    #: identical for any K — only fetch granularity changes; results
+    #: lag the newest ingested frame by up to 2K frames.
+    fetch_batch: int = 8
     dtype: str = "bfloat16"
     add_depth_inputs: bool = False
     add_optflow_inputs: bool = False
@@ -437,7 +444,17 @@ class InferenceEngine:
             return _outputs(probs)
 
         self._ingest, self._fuse, self._full = ingest, fuse, full
-        if use_s2d:
+        self._shapes = (H, W, T, C, dtype)
+        self._zero_depth = jnp.zeros((H, W), jnp.uint8)  # uploaded once
+        self.reset()
+
+    def reset(self):
+        """Zero the ring buffers and warmup queue — start of a new video.
+        Compiled executables are kept, so one engine can be reused across
+        videos/trials without recompiling."""
+        jnp = self._jnp
+        H, W, T, C, dtype = self._shapes
+        if self._use_s2d:
             self.seg_buf = jnp.zeros(
                 (1, H // 4, W // 4, T * 16 * C), dtype
             )
@@ -445,9 +462,8 @@ class InferenceEngine:
             self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
         self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
         self.frame_buf = jnp.zeros(
-            (1, T if cfg.add_optflow_inputs else 1, H, W, 3), dtype
+            (1, T if self.cfg.add_optflow_inputs else 1, H, W, 3), dtype
         )
-        self._zero_depth = jnp.zeros((H, W), jnp.uint8)  # uploaded once
         self._frame_q = []
         self._depth_q = []
 
@@ -492,6 +508,121 @@ class InferenceEngine:
         return np.asarray(mask), np.asarray(aux)
 
 
+def _track_stream(
+    frame_iter,
+    num_frames_total: int,
+    name: str,
+    engine: "InferenceEngine",
+    cfg: TrackerConfig,
+    output_dir,
+    logger=None,
+):
+    """Shared per-frame pipeline over a ``(frame_rgb_u8, depth_u8|None)``
+    iterator: device engine (normalize, base forward(s), fuse, softmax,
+    argmax) -> host keypoint decode -> CSV/MP4. The iterator is pulled one
+    frame AHEAD of host decode (1-frame pipeline), so frame acquisition +
+    device dispatch overlap the previous frame's host-side work."""
+    H, W = cfg.input_height, cfg.input_width
+    engine.reset()  # fresh ring buffers per video; executables kept
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    writer = None
+    if cfg.overlay:
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        writer = cv2.VideoWriter(
+            str(output_dir / f"{name}_tracked.mp4"),
+            fourcc,
+            cfg.output_fps,
+            (W, H),
+        )
+
+    tracker = KeypointTracker(num_frames_total, cfg)
+    t_start = time.perf_counter()
+    frames_done = 0
+    # device decode ships 18 floats/frame; the class mask (H*W bytes) is
+    # only fetched when something on host actually reads it (overlay
+    # render or the host decode path)
+    need_mask = cfg.overlay or cfg.decode != "device"
+    K = max(1, cfg.fetch_batch)
+    jnp = engine._jnp
+    cur = []       # (frame, handles) dispatched, not yet stacked
+    staged = None  # (frames, mask_stack|None, aux_stack) device handles
+
+    def consume_row(frame, mask_array, aux):
+        nonlocal frames_done
+        disp = (
+            render_overlay(np.asarray(frame), mask_array)
+            if cfg.overlay else None
+        )
+        if cfg.decode == "device":
+            tracker.update_device(aux, mask_array, disp)
+        else:
+            heats = aux.astype(np.float32)
+            tracker.update(mask_array, heats[..., 1], heats[..., 0], disp)
+        if writer is not None:
+            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+        frames_done += 1
+
+    def stage():
+        """Stack the current batch's outputs on device (async) — turns K
+        per-frame fetches into one transfer each for masks and aux."""
+        nonlocal staged, cur
+        if not cur:
+            return
+        frames = [f for f, _ in cur]
+        masks = (
+            jnp.stack([h[0] for _, h in cur]) if need_mask else None
+        )
+        auxs = jnp.stack([h[1] for _, h in cur])
+        cur = []
+        staged = (frames, masks, auxs)
+
+    def fetch_staged():
+        nonlocal staged
+        if staged is None:
+            return
+        frames, masks, auxs = staged
+        staged = None
+        masks_np = np.asarray(masks) if masks is not None else None
+        auxs_np = np.asarray(auxs)
+        for i, frame in enumerate(frames):
+            consume_row(
+                frame, masks_np[i] if masks_np is not None else None,
+                auxs_np[i],
+            )
+
+    for frame, dframe in frame_iter:
+        handles = engine.step_async(frame, dframe)
+        if handles is None:  # warmup frame — keep row order
+            stage()
+            fetch_staged()
+            tracker.skip()
+            continue
+        cur.append((frame, handles))
+        if len(cur) >= K:
+            # fetch the PREVIOUS batch (its device work is long done)
+            # before staging this one: one batch of fetch/compute overlap
+            fetch_staged()
+            stage()
+    fetch_staged()
+    stage()
+    fetch_staged()
+
+    elapsed = time.perf_counter() - t_start
+    if writer is not None:
+        writer.release()
+    csv_path = output_dir / f"{name}_tracked.csv"
+    np.savetxt(csv_path, tracker.rows, delimiter=",")
+    lmiss, rmiss = tracker.missing_rates
+    if logger:
+        logger.info(f"Saved tracked results to {csv_path}")
+        logger.info(
+            f"Missing centroids — left: {lmiss:.3f}, right: {rmiss:.3f}; "
+            f"{frames_done / max(elapsed, 1e-9):.1f} frames/s"
+        )
+    return tracker.rows, frames_done / max(elapsed, 1e-9)
+
+
 def track_on_video(
     video_path,
     model,
@@ -507,6 +638,7 @@ def track_on_video(
 
     Per frame: host decode+resize -> device engine (normalize, base
     forward(s), fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
+    (Reference: test_multiframe_segmentation_on_videos_v3.py:198-315.)
     """
     H, W = cfg.input_height, cfg.input_width
     engine = InferenceEngine(
@@ -523,74 +655,69 @@ def track_on_video(
         nd = int(depth_vid.get(cv2.CAP_PROP_FRAME_COUNT))
         assert N == nd, f"RGB({N}) vs depth({nd}) frame-count mismatch"
 
-    output_dir = Path(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    writer = None
-    if cfg.overlay:
-        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-        writer = cv2.VideoWriter(
-            str(output_dir / f"{name}_tracked.mp4"),
-            fourcc,
-            cfg.output_fps,
-            (W, H),
+    def frames():
+        while True:
+            ret, frame = vid.read()
+            if not ret:
+                return
+            frame = cv2.resize(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H)
+            )
+            dframe = None
+            if depth_vid is not None:
+                retd, d = depth_vid.read()
+                if not retd:
+                    return
+                dframe = cv2.resize(
+                    cv2.cvtColor(d, cv2.COLOR_BGR2GRAY), (W, H)
+                )
+            yield frame, dframe
+
+    try:
+        return _track_stream(
+            frames(), N, name, engine, cfg, output_dir, logger
         )
-
-    tracker = KeypointTracker(N, cfg)
-    t_start = time.perf_counter()
-    frames_done = 0
-    pending = None  # (frame, device handles) — 1-frame pipeline: the next
-    # frame's device work is dispatched before this frame's host decode, so
-    # host decode/transfer overlaps device compute
-
-    def consume(frame, handles):
-        nonlocal frames_done
-        mask_array = np.asarray(handles[0])
-        aux = np.asarray(handles[1])
-        disp = render_overlay(frame, mask_array) if cfg.overlay else None
-        if cfg.decode == "device":
-            tracker.update_device(aux, mask_array, disp)
-        else:
-            heats = aux.astype(np.float32)
-            tracker.update(mask_array, heats[..., 1], heats[..., 0], disp)
-        if writer is not None:
-            writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
-        frames_done += 1
-
-    while True:
-        ret, frame = vid.read()
-        if not ret:
-            break
-        frame = cv2.resize(
-            cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H)
-        )
-        dframe = None
+    finally:
+        vid.release()
         if depth_vid is not None:
-            retd, d = depth_vid.read()
-            if not retd:
-                break
-            dframe = cv2.resize(cv2.cvtColor(d, cv2.COLOR_BGR2GRAY), (W, H))
-        handles = engine.step_async(frame, dframe)
-        if pending is not None:
-            consume(*pending)
-        if handles is None:
-            tracker.skip()
-            pending = None
-            continue
-        pending = (frame, handles)
-    if pending is not None:
-        consume(*pending)
+            depth_vid.release()
 
-    elapsed = time.perf_counter() - t_start
-    if writer is not None:
-        writer.release()
-    vid.release()
-    csv_path = output_dir / f"{name}_tracked.csv"
-    np.savetxt(csv_path, tracker.rows, delimiter=",")
-    lmiss, rmiss = tracker.missing_rates
-    if logger:
-        logger.info(f"Saved tracked results to {csv_path}")
-        logger.info(
-            f"Missing centroids — left: {lmiss:.3f}, right: {rmiss:.3f}; "
-            f"{frames_done / max(elapsed, 1e-9):.1f} frames/s"
+
+def track_on_frames(
+    frames,
+    model,
+    variables,
+    cfg: TrackerConfig,
+    output_dir,
+    name: str = "frames",
+    depth_frames=None,
+    logger=None,
+    flow_model=None,
+    flow_variables=None,
+    engine: Optional["InferenceEngine"] = None,
+):
+    """Track a sequence of already-decoded RGB frames (each (H, W, 3)
+    uint8, host numpy or device-resident arrays) — the product pipeline
+    without the video-decode stage: device inference -> keypoint decode ->
+    CSV/MP4. Frames must already be at (cfg.input_height,
+    cfg.input_width).
+
+    Passing device-resident frames (pre-``jax.device_put``) removes the
+    per-frame H2D transfer from the measured path as well — the bench's
+    ``--source device`` configuration. ``engine`` can be supplied to reuse
+    compiled executables across calls."""
+    if engine is None:
+        engine = InferenceEngine(
+            model, variables, cfg, flow_model=flow_model,
+            flow_variables=flow_variables,
         )
-    return tracker.rows, frames_done / max(elapsed, 1e-9)
+
+    def stream():
+        for i, frame in enumerate(frames):
+            yield frame, (
+                depth_frames[i] if depth_frames is not None else None
+            )
+
+    return _track_stream(
+        stream(), len(frames), name, engine, cfg, output_dir, logger
+    )

@@ -1,0 +1,51 @@
+"""Self-test for tools/parity_check.py (VERDICT r2 item 4): the harness
+that discharges the BASELINE accuracy gate the day real checkpoints are
+available must itself be proven on an oracle-generated ``.pth``.
+
+Saves a reference-format checkpoint blob ({model, optimizer, epoch} with
+DataParallel 'module.' prefixes, utils/model_utils.py:6-12) from the
+full-width reference-naming oracle, then runs the tool end to end:
+auto-detect -> convert -> dual forward -> heatmap diff + tip decode
+comparison -> gates."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_parity_check_tool_multiframe_roundtrip(tmp_path):
+    from tests.torch_ref import TernausNetMultiBasicTorch
+
+    torch.manual_seed(41)
+    m = TernausNetMultiBasicTorch(5, 3).eval()
+    # reference blob format incl. DataParallel prefixes
+    sd = {f"module.{k}": v for k, v in m.state_dict().items()}
+    ckpt = tmp_path / "model_003.pth"
+    torch.save({"model": sd, "optimizer": {}, "epoch": 3}, ckpt)
+
+    out = tmp_path / "report.json"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "parity_check.py"),
+         str(ckpt), "--height", "64", "--width", "64",
+         "--max_frames", "4", "--json", str(out)],
+        capture_output=True, text=True, timeout=560,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(out.read_text())
+    assert rep["arch"] == "TernausNetMulti-Basic"
+    assert rep["classes"] == 5 and rep["num_frames_window"] == 3
+    assert rep["epoch"] == 3
+    assert rep["max_abs_diff"] <= 1e-3
+    assert rep["identical_detection_pattern"] is True
+    assert rep["tip_rmse_px"] <= 0.5
+    assert rep["within_gates"] is True

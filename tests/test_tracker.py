@@ -45,6 +45,62 @@ def test_track_on_video_end_to_end(tmp_path):
     assert loaded.shape == (10, 12)
 
 
+def test_track_on_frames_ram_and_device_sources(tmp_path):
+    """track_on_frames (bench --mode e2e --source ram|device): identical
+    CSV rows from host-numpy frames and pre-device_put frames, engine
+    reuse across calls, and agreement with track_on_video when the video
+    frames are bit-identical (lossless writer not guaranteed by mp4, so
+    video agreement is checked structurally via the RAM path only)."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import (
+        InferenceEngine,
+        TrackerConfig,
+        track_on_frames,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    frames = make_synthetic_frames(num_frames=8, height=H, width=W, seed=9)
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(3), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", mode="incremental", overlay=False,
+    )
+    rows_ram, fps = track_on_frames(
+        frames, model, variables, cfg, tmp_path / "ram", name="ram"
+    )
+    assert rows_ram.shape == (8, 12) and fps > 0
+    assert (tmp_path / "ram" / "ram_tracked.csv").exists()
+    assert np.all(np.isnan(rows_ram[: T - 1]))
+
+    # device-resident source through a reused engine: identical rows
+    engine = InferenceEngine(model, variables, cfg)
+    dev_frames = [jax.device_put(f) for f in frames]
+    rows_dev, _ = track_on_frames(
+        dev_frames, model, variables, cfg, tmp_path / "dev", name="dev",
+        engine=engine,
+    )
+    np.testing.assert_allclose(rows_ram, rows_dev, equal_nan=True)
+    rows_dev2, _ = track_on_frames(
+        dev_frames, model, variables, cfg, tmp_path / "dev2", name="dev2",
+        engine=engine,
+    )
+    np.testing.assert_allclose(rows_dev, rows_dev2, equal_nan=True)
+
+
 def test_incremental_and_full_modes_agree(tmp_path):
     """The ring-buffer tracker must produce the same CSV as full recompute."""
     import jax
