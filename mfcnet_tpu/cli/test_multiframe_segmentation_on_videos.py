@@ -138,6 +138,15 @@ def main(argv=None):
         add_depth_inputs=args.add_depth_inputs,
         add_optflow_inputs=args.add_optflow_inputs,
     )
+    if args.decode == "device":
+        logger.warning(
+            "--decode device: base centroids use the on-device polygon-"
+            "moment approximation (<~2 px vs the host cv2 decode on "
+            "adversarial masks, well under 1 px on compact blobs); "
+            "near-ties between the two largest components auto-fall back "
+            "to the exact host decode. Use --decode host for bit-exact "
+            "reference parity."
+        )
 
     flow_model = flow_variables = None
     if args.add_optflow_inputs:

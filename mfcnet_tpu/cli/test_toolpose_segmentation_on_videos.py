@@ -191,6 +191,14 @@ def main(argv=None):
         dtype=args.compute_dtype,
         decode=args.decode,
     )
+    if args.decode == "device":
+        logger.warning(
+            "--decode device: base centroids use the on-device polygon-"
+            "moment approximation (<~2 px vs the host cv2 decode on "
+            "adversarial masks); near-ties between the two largest "
+            "components auto-fall back to the exact host decode. Use "
+            "--decode host for bit-exact reference parity."
+        )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:
         videos = videos[: args.num_videos]

@@ -21,6 +21,7 @@ tip2_valid, base_x, base_y, base_valid].
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -46,46 +47,91 @@ def decode_tips_device(heatmap, blob, max_peaks: int = 2):
     return jnp.stack([xs, ys, valid], axis=-1)
 
 
-def connected_components(mask, connectivity: int = 8):
-    """Connected-component labels by iterative min-label propagation with
-    pointer jumping (O(log diameter) sweeps, all elementwise/gather —
-    TPU-friendly, no data-dependent shapes).
+@functools.partial(jax.jit, static_argnames=("connectivity", "impl"))
+def connected_components(mask, connectivity: int = 8, impl: str = "auto"):
+    """Connected-component labels.
 
-    mask: (H, W) bool. Returns (H, W) int32: each foreground pixel gets its
-    component's minimum flat index; background pixels get H*W.
+    ``impl='auto'`` picks the Pallas TPU kernel
+    (:mod:`mfcnet_tpu.ops.cc_pallas`, same algorithm fully VMEM-resident,
+    ~10x faster) whenever the default backend is a TPU, and the XLA
+    formulation below on CPU; 'xla'/'pallas' force a path (tests pin
+    cross-implementation parity).
     """
-    H, W = mask.shape
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from mfcnet_tpu.ops.cc_pallas import connected_components_pallas
+
+        return connected_components_pallas(mask, connectivity)
+    return _connected_components_xla(mask, connectivity)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def _connected_components_xla(mask, connectivity: int = 8):
+    """XLA connected components: per-iteration a SEGMENTED
+    MIN-SCAN along rows then columns (``lax.associative_scan`` with
+    background pixels as segment resets) propagates the minimum label
+    across entire runs in one sweep, a 3x3 neighborhood min hands labels
+    across diagonal touches (8-connectivity), and one pointer-jumping hop
+    (gather) collapses label chains. Long straight structures resolve in
+    O(1) iterations instead of O(length) neighbor sweeps — the
+    vectorized-scan formulation keeps the while_loop trip count tiny,
+    which is what makes per-frame on-device decode viable (a pure
+    neighbor-propagation + double-hop variant measured ~330 ms/frame at
+    480x640 on v5e; this one ~1-2 ms on realistic masks).
+
+    mask: (..., H, W) bool (leading batch dims allowed — sides/frames are
+    labeled in one lockstep loop). Returns int32 of the same shape: each
+    foreground pixel gets its component's minimum flat index within its
+    own (H, W) image; background pixels get H*W.
+    """
+    H, W = mask.shape[-2:]
     n = H * W
     big = jnp.int32(n)
     idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
-    lab = jnp.where(mask, idx, big)
+    lab = jnp.where(mask, jnp.broadcast_to(idx, mask.shape), big)
+    reset = ~mask
+
+    def comb(a, b):
+        # standard segmented-min operator: a reset on the right element
+        # truncates propagation from the left
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, jnp.minimum(va, vb))
+
+    def seg_min(l, axis):
+        axis = axis % l.ndim  # reverse=True requires a nonnegative axis
+        _, fwd = jax.lax.associative_scan(comb, (reset, l), axis=axis)
+        _, bwd = jax.lax.associative_scan(
+            comb, (reset, l), axis=axis, reverse=True
+        )
+        return jnp.where(mask, jnp.minimum(fwd, bwd), big)
+
+    pad_cfg = [(0, 0)] * (mask.ndim - 2) + [(1, 1), (1, 1)]
 
     def neighbor_min(l):
-        p = jnp.pad(l, 1, constant_values=n)
+        # diagonal hand-off for 8-connectivity (orthogonal propagation is
+        # covered by the scans)
+        p = jnp.pad(l, pad_cfg, constant_values=n)
         m = jnp.minimum(
-            jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
-            jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]),
+            jnp.minimum(p[..., :-2, :-2], p[..., :-2, 2:]),
+            jnp.minimum(p[..., 2:, :-2], p[..., 2:, 2:]),
         )
-        if connectivity == 8:
-            m = jnp.minimum(
-                m,
-                jnp.minimum(
-                    jnp.minimum(p[:-2, :-2], p[:-2, 2:]),
-                    jnp.minimum(p[2:, :-2], p[2:, 2:]),
-                ),
-            )
         return jnp.where(mask, jnp.minimum(l, m), big)
 
     def hop(l):
         # pointer jumping: follow each pixel's label to that pixel's label
-        flat = jnp.concatenate(
-            [l.reshape(-1), jnp.array([big], jnp.int32)]
+        flat = l.reshape(l.shape[:-2] + (n,))
+        padded = jnp.concatenate(
+            [flat, jnp.full(flat.shape[:-1] + (1,), n, jnp.int32)],
+            axis=-1,
         )
-        return jnp.where(mask, flat[l], big)
+        return jnp.take_along_axis(padded, flat, axis=-1).reshape(l.shape)
 
     def body(state):
         l, _ = state
-        l2 = hop(hop(neighbor_min(l)))
+        l2 = l if connectivity == 4 else neighbor_min(l)
+        l2 = hop(seg_min(seg_min(l2, -1), -2))
         return l2, jnp.any(l2 != l)
 
     def cond(state):
@@ -95,73 +141,112 @@ def connected_components(mask, connectivity: int = 8):
     return lab
 
 
+@jax.jit
 def fill_holes(mask):
     """Fill interior holes: background pixels (4-connected, matching the
     duality of 8-connected foreground) not reachable from the image border
     become foreground. This makes per-component pixel counts track
     cv2.contourArea of the OUTER contour (RETR_EXTERNAL), which is the
-    filled polygon area the host ranks blobs by."""
-    H, W = mask.shape
+    filled polygon area the host ranks blobs by.
+
+    mask: (..., H, W) bool (batched)."""
+    H, W = mask.shape[-2:]
     n = H * W
     bg = ~mask
     lab_bg = connected_components(bg, connectivity=4)
     border = jnp.concatenate(
-        [lab_bg[0], lab_bg[-1], lab_bg[:, 0], lab_bg[:, -1]]
+        [lab_bg[..., 0, :], lab_bg[..., -1, :],
+         lab_bg[..., :, 0], lab_bg[..., :, -1]],
+        axis=-1,
     )
-    border_reach = jnp.zeros(n + 1, bool).at[border].set(True)
-    holes = bg & ~border_reach[lab_bg]
+    # per-image scatter of border-reachable bg labels
+    B = math.prod(mask.shape[:-2])
+    reach = (
+        jnp.zeros((B, n + 1), bool)
+        .at[jnp.arange(B)[:, None], border.reshape(B, -1)]
+        .set(True)
+    )
+    holes = bg & ~jnp.take_along_axis(
+        reach, lab_bg.reshape(B, n), axis=-1
+    ).reshape(mask.shape)
     return mask | holes
 
 
-def decode_base_device(class_mask, area_threshold: float = 10.0):
+@functools.partial(
+    jax.jit, static_argnames=("area_threshold", "tie_rel", "tie_abs")
+)
+def decode_base_device(class_mask, area_threshold: float = 10.0,
+                       tie_rel: float = 0.02, tie_abs: float = 2.0):
     """LARGEST-component centroid gated by area — the host semantics
     (track/decode.py calc_base_centroid; reference
     test_multiframe_segmentation_on_videos_v3.py:45-59), on device.
 
     Matching the OpenCV path: cv2 ranks RETR_EXTERNAL contours by polygon
     area of the OUTER boundary (holes filled) and takes the polygon-moment
-    centroid. Here: holes are filled on device, components ranked by
-    filled pixel count, centroid over the filled component. Residual
-    envelope vs cv2: pixel count vs polygon area differ by ~perimeter/2
-    (can flip selection only between near-equal-area blobs) and the
-    centroid by <~1 px (cv2 also truncates to int). Pinned by
-    tests/test_decode_device.py multi-blob and ragged-mask cases.
+    centroid. Here: holes are filled on device and components are ranked
+    by the EXACT cv2.contourArea for simple outer polygons —
+    Pick's theorem on the traced boundary (unit/sqrt2 edges carry no
+    interior lattice points) gives  area = pixels - boundary/2 - 1,
+    where boundary pixels are those with a 4-connected (filled-)background
+    neighbor, exactly the pixels cv2's border following visits. The
+    residual approximation is twofold and documented:
 
-    Returns (3,) = (x, y, valid).
+      * 1-px spurs self-overlap in the traced polygon (shoelace cancels
+        them, Pick counts +1/2 per spur pixel) — can flip selection only
+        between near-equal-area blobs, so a TIE flag is emitted whenever
+        the top-2 areas are within ``tie_abs + tie_rel * area1`` and the
+        caller (tracker) falls back to the exact host decode;
+      * the centroid is the Green's-theorem-discretized weighted pixel
+        centroid (interior 1, boundary 1/2), within ~2 px of cv2's
+        truncated polygon-moment centroid on adversarial ragged masks
+        (tests/test_decode_device.py statistical envelope) and well under
+        1 px on compact instrument blobs.
+
+    class_mask: (..., H, W) bool (leading dims batched in one lockstep
+    label pass). Returns (..., 4) = (x, y, valid, tie).
     """
-    H, W = class_mask.shape
+    H, W = class_mask.shape[-2:]
+    lead = class_mask.shape[:-2]
     n = H * W
-    filled = fill_holes(class_mask)
-    lab = connected_components(filled).reshape(-1)
-    ones = filled.reshape(-1).astype(jnp.float32)
-    # per-component pixel counts, indexed by the component's root pixel
-    counts = jax.ops.segment_sum(ones, lab, num_segments=n + 1)
-    counts = counts.at[n].set(0.0)  # background bucket
-    # rank by cv2.contourArea's polygon area: Pick's theorem gives
-    # area ~= pixels - boundary/2, where boundary pixels have a 4-neighbor
-    # outside the (filled) component
-    fp = jnp.pad(filled, 1)
+    B = math.prod(lead)
+    m = class_mask.reshape(B, H, W)
+    filled = fill_holes(m)
+    lab = connected_components(filled).reshape(B, n)
+    ones = filled.reshape(B, n).astype(jnp.float32)
+    seg = jax.vmap(
+        lambda v, l: jax.ops.segment_sum(v, l, num_segments=n + 1)
+    )
+    counts = seg(ones, lab)
+    fp = jnp.pad(filled, ((0, 0), (1, 1), (1, 1)))
     interior4 = (
-        fp[:-2, 1:-1] & fp[2:, 1:-1] & fp[1:-1, :-2] & fp[1:-1, 2:]
+        fp[:, :-2, 1:-1] & fp[:, 2:, 1:-1]
+        & fp[:, 1:-1, :-2] & fp[:, 1:-1, 2:]
     ) & filled
-    bnd = (filled & ~interior4).reshape(-1).astype(jnp.float32)
-    bnd_counts = jax.ops.segment_sum(bnd, lab, num_segments=n + 1)
-    scores = counts - 0.5 * bnd_counts
-    scores = scores.at[n].set(0.0)
-    root = jnp.argmax(scores)
+    bnd = (filled & ~interior4).reshape(B, n).astype(jnp.float32)
+    bnd_counts = seg(bnd, lab)
+    # exact outer-polygon area (Pick), indexed by component root pixel
+    area = counts - 0.5 * bnd_counts - 1.0
+    area = area.at[:, n].set(0.0)  # background bucket
+    top2, top2_idx = jax.lax.top_k(area, 2)
+    s1, s2 = top2[:, 0], top2[:, 1]
+    root = top2_idx[:, 0]
+    tie = (s2 > 0) & (s1 - s2 <= tie_abs + tie_rel * s1)
     # centroid approximates cv2's polygon moments: interior pixels weight
-    # 1, boundary pixels 1/2 (Green's-theorem discretization) — halves the
-    # worst-case divergence on ragged blobs vs the plain pixel centroid
-    w = jnp.where(interior4, 1.0, 0.5).reshape(-1) * ones
-    sel_w = jnp.where(lab == root, w, 0.0)
-    wsum = jnp.sum(sel_w)
+    # 1, boundary pixels 1/2 (Green's-theorem discretization)
+    w = jnp.where(interior4, 1.0, 0.5).reshape(B, n) * ones
+    sel_w = jnp.where(lab == root[:, None], w, 0.0)
+    wsum = jnp.maximum(sel_w.sum(-1), 1.0)
     xs = jnp.arange(n, dtype=jnp.float32) % W
     ys = jnp.floor(jnp.arange(n, dtype=jnp.float32) / W)
-    cx = jnp.sum(sel_w * xs) / jnp.maximum(wsum, 1.0)
-    cy = jnp.sum(sel_w * ys) / jnp.maximum(wsum, 1.0)
-    # gate on the polygon-area estimate (host gates on cv2.contourArea)
-    valid = (scores[root] >= area_threshold).astype(jnp.float32)
-    return jnp.stack([cx, cy, valid])
+    cx = (sel_w * xs).sum(-1) / wsum
+    cy = (sel_w * ys).sum(-1) / wsum
+    # gate on the exact polygon area (host: cv2.contourArea < thresh or
+    # m00 == 0 -> no detection)
+    valid = ((s1 >= area_threshold) & (s1 > 0)).astype(jnp.float32)
+    out = jnp.stack(
+        [cx, cy, valid, tie.astype(jnp.float32) * valid], axis=-1
+    )
+    return out.reshape(lead + (4,)) if lead else out[0]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -177,13 +262,22 @@ def decode_keypoints_device(probs, area_threshold_x10: int = 100,
     test_multiframe_segmentation_on_videos_v3.py:282-289).
 
     Returns (2, 3, 3): [side (left, right)][tip1, tip2, base][x, y, valid].
-    """
+    The base row's valid field is 0 (no detection), 1 (detection), or
+    2 (detection with a NEAR-TIE between the two largest components —
+    the caller should fall back to the exact host decode for this side;
+    see decode_base_device)."""
     area_threshold = area_threshold_x10 / 10.0
     if pred is None:
         pred = jnp.argmax(probs, axis=-1)
-    out = []
-    for base_cls, tip_cls in ((3, 4), (1, 2)):  # left, right
-        tips = decode_tips_device(probs[..., tip_cls], pred == tip_cls)
-        base = decode_base_device(pred == base_cls, area_threshold)
-        out.append(jnp.concatenate([tips, base[None]], axis=0))
-    return jnp.stack(out)
+    # both sides' base components labeled in one lockstep batch
+    base = decode_base_device(
+        jnp.stack([pred == 3, pred == 1]), area_threshold
+    )  # (2, 4): left, right
+    base_rows = jnp.stack(
+        [base[:, 0], base[:, 1], base[:, 2] + base[:, 3]], axis=-1
+    )  # valid 0/1/2
+    tips = jax.vmap(decode_tips_device)(
+        jnp.stack([probs[..., 4], probs[..., 2]]),
+        jnp.stack([pred == 4, pred == 2]),
+    )  # (2, 2, 3)
+    return jnp.concatenate([tips, base_rows[:, None]], axis=1)

@@ -200,10 +200,19 @@ class KeypointTracker:
         self.count += 1
         return row
 
-    def update_device(self, kps, mask_array=None, disp_image=None):
+    def update_device(self, kps, mask_array=None, disp_image=None,
+                      mask_provider=None):
         """Update from on-device decoded keypoints (2, 3, 3):
         [side l/r][tip1, tip2, base][x, y, valid]. Applies the same
-        distance gate and 2-tip temporal assignment as the host path."""
+        distance gate and 2-tip temporal assignment as the host path.
+
+        A base valid field of 2 flags a NEAR-TIE between the two largest
+        components (decode_base_device): the device Pick-area ranking
+        could disagree with cv2's there, so the base is recomputed with
+        the exact host contour decode from the class mask —
+        ``mask_array`` directly, or fetched lazily via ``mask_provider``
+        (a zero-arg callable; lets the fast path skip the mask transfer
+        on the overwhelming majority of frames with no tie)."""
         row = self.rows[self.count]
         for side, state, arr in (
             ("left", self.left, kps[0]),
@@ -215,6 +224,21 @@ class KeypointTracker:
             if bvalid <= 0:
                 state.detected_tips = 0
                 continue
+            if bvalid >= 2:  # near-tie -> exact host fallback
+                m = mask_array
+                if m is None and mask_provider is not None:
+                    m = np.asarray(mask_provider())
+                if m is not None:
+                    from mfcnet_tpu.track.decode import calc_base_centroid
+
+                    hx, hy = calc_base_centroid(
+                        255 * (m == info["base_cls"]).astype(np.uint8),
+                        self.cfg.area_threshold,
+                    )
+                    if not hx:
+                        state.detected_tips = 0
+                        continue
+                    bx, by = float(hx[0]), float(hy[0])
             row[bcol], row[bcol + 1] = bx, by
             tips = [
                 (x, y) for x, y, v in arr[:2]
@@ -548,14 +572,15 @@ def _track_stream(
     cur = []       # (frame, handles) dispatched, not yet stacked
     staged = None  # (frames, mask_stack|None, aux_stack) device handles
 
-    def consume_row(frame, mask_array, aux):
+    def consume_row(frame, mask_array, aux, mask_provider=None):
         nonlocal frames_done
         disp = (
             render_overlay(np.asarray(frame), mask_array)
             if cfg.overlay else None
         )
         if cfg.decode == "device":
-            tracker.update_device(aux, mask_array, disp)
+            tracker.update_device(aux, mask_array, disp,
+                                  mask_provider=mask_provider)
         else:
             heats = aux.astype(np.float32)
             tracker.update(mask_array, heats[..., 1], heats[..., 0], disp)
@@ -565,23 +590,24 @@ def _track_stream(
 
     def stage():
         """Stack the current batch's outputs on device (async) — turns K
-        per-frame fetches into one transfer each for masks and aux."""
+        per-frame fetches into one transfer each for masks and aux. The
+        per-frame mask handles stay alive (device-side) so the rare
+        near-tie host fallback can fetch one lazily."""
         nonlocal staged, cur
         if not cur:
             return
         frames = [f for f, _ in cur]
-        masks = (
-            jnp.stack([h[0] for _, h in cur]) if need_mask else None
-        )
+        mask_handles = [h[0] for _, h in cur]
+        masks = jnp.stack(mask_handles) if need_mask else None
         auxs = jnp.stack([h[1] for _, h in cur])
         cur = []
-        staged = (frames, masks, auxs)
+        staged = (frames, masks, auxs, mask_handles)
 
     def fetch_staged():
         nonlocal staged
         if staged is None:
             return
-        frames, masks, auxs = staged
+        frames, masks, auxs, mask_handles = staged
         staged = None
         masks_np = np.asarray(masks) if masks is not None else None
         auxs_np = np.asarray(auxs)
@@ -589,6 +615,7 @@ def _track_stream(
             consume_row(
                 frame, masks_np[i] if masks_np is not None else None,
                 auxs_np[i],
+                mask_provider=(lambda h=mask_handles[i]: h),
             )
 
     for frame, dframe in frame_iter:
