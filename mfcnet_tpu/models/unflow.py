@@ -16,6 +16,7 @@ The correlation uses :func:`mfcnet_tpu.ops.correlation.correlation_cost_volume`
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from mfcnet_tpu.models.common import TorchConvTranspose
@@ -25,8 +26,10 @@ from mfcnet_tpu.ops.warp import grid_sample_bilinear
 _lrelu = lambda x: nn.leaky_relu(x, 0.1)  # noqa: E731
 
 # UnFlow BGR channel means / 255 (reference: models/unflow_model.py:253-259)
-_MEANS_BGR = jnp.asarray(
-    [104.920005, 110.175300, 114.785955], jnp.float32
+# (numpy, not jnp: module-level jnp constants initialize the XLA backend
+# at import, breaking jax.distributed.initialize on multi-host launches)
+_MEANS_BGR = np.asarray(
+    [104.920005, 110.175300, 114.785955], np.float32
 ) / 255.0
 
 

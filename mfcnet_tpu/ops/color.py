@@ -12,9 +12,13 @@ their output to [0, 1] exactly like the torchvision tensor backend.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # ITU-R 601-2 luma weights used by torchvision rgb_to_grayscale.
-_LUMA = jnp.asarray([0.2989, 0.587, 0.114], dtype=jnp.float32)
+# (numpy, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize on
+# multi-host launches that import this transitively before bootstrap)
+_LUMA = np.asarray([0.2989, 0.587, 0.114], dtype=np.float32)
 
 
 def _blend(img1, img2, ratio):
