@@ -364,6 +364,8 @@ def main():
         results = [headline]
         for extra in (
             ["--mode", "full", "--frames", "60", "--trials", "2"],
+            ["--mode", "full", "--frames", "64", "--trials", "2",
+             "--batch", "16"],
             ["--mode", "e2e", "--frames", "60", "--trials", "1"],
             ["--mode", "e2e", "--source", "device", "--frames", "120",
              "--trials", "2"],

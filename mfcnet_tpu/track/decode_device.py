@@ -172,11 +172,33 @@ def fill_holes(mask):
     return mask | holes
 
 
+def _base_rows_from_stats(counts, bndc, sw, swx, swy, area_threshold,
+                          tie_rel, tie_abs):
+    """Shared ranking/centroid tail: per-component sums -> (..., 4) rows
+    (x, y, valid, tie). Works on any trailing component axis."""
+    area = counts - 0.5 * bndc - 1.0
+    top2, top2_idx = jax.lax.top_k(area, 2)
+    s1, s2 = top2[..., 0], top2[..., 1]
+    tie = (s2 > 0) & (s1 - s2 <= tie_abs + tie_rel * s1)
+    sel = top2_idx[..., :1]
+    wsum = jnp.maximum(
+        jnp.take_along_axis(sw, sel, axis=-1)[..., 0], 1.0
+    )
+    cx = jnp.take_along_axis(swx, sel, axis=-1)[..., 0] / wsum
+    cy = jnp.take_along_axis(swy, sel, axis=-1)[..., 0] / wsum
+    valid = ((s1 >= area_threshold) & (s1 > 0)).astype(jnp.float32)
+    return jnp.stack(
+        [cx, cy, valid, tie.astype(jnp.float32) * valid], axis=-1
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("area_threshold", "tie_rel", "tie_abs")
+    jax.jit,
+    static_argnames=("area_threshold", "tie_rel", "tie_abs", "impl"),
 )
 def decode_base_device(class_mask, area_threshold: float = 10.0,
-                       tie_rel: float = 0.02, tie_abs: float = 2.0):
+                       tie_rel: float = 0.02, tie_abs: float = 2.0,
+                       impl: str = "auto"):
     """LARGEST-component centroid gated by area — the host semantics
     (track/decode.py calc_base_centroid; reference
     test_multiframe_segmentation_on_videos_v3.py:45-59), on device.
@@ -204,14 +226,50 @@ def decode_base_device(class_mask, area_threshold: float = 10.0,
 
     class_mask: (..., H, W) bool (leading dims batched in one lockstep
     label pass). Returns (..., 4) = (x, y, valid, tie).
+
+    ``impl='auto'`` -> on TPU backends the per-component sums come from
+    the all-VMEM Pallas stats kernel
+    (:func:`mfcnet_tpu.ops.cc_pallas.base_stats_pallas` — flood fill,
+    labels, dense ids and an MXU one-hot matmul, zero scatters; ~4 ms
+    vs ~23 ms for the XLA formulation at (2, 480, 640) on v5e), with a
+    ``lax.cond`` fallback to the XLA path if a pathological mask has
+    more components than the kernel's K slots. On CPU (tests) the XLA
+    path runs directly. Both paths share the ranking/centroid tail and
+    are parity-pinned in tests/test_decode_device.py.
     """
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from mfcnet_tpu.ops.cc_pallas import base_stats_pallas
+
+        K = 256
+        stats, ncomp = base_stats_pallas(class_mask, K=K)
+        rows = _base_rows_from_stats(
+            stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
+            stats[..., 3, :], stats[..., 4, :],
+            area_threshold, tie_rel, tie_abs,
+        )
+        # > K components would alias stats slots: exact (rare) fallback
+        return jax.lax.cond(
+            jnp.any(ncomp > K),
+            lambda: _decode_base_xla(
+                class_mask, area_threshold, tie_rel, tie_abs
+            ),
+            lambda: rows,
+        )
+    return _decode_base_xla(class_mask, area_threshold, tie_rel, tie_abs)
+
+
+def _decode_base_xla(class_mask, area_threshold, tie_rel, tie_abs):
+    """XLA formulation (CPU path + overflow fallback): explicit labels +
+    vmapped segment_sum keyed by component root pixel."""
     H, W = class_mask.shape[-2:]
     lead = class_mask.shape[:-2]
     n = H * W
     B = math.prod(lead)
     m = class_mask.reshape(B, H, W)
     filled = fill_holes(m)
-    lab = connected_components(filled).reshape(B, n)
+    lab = _connected_components_xla(filled).reshape(B, n)
     ones = filled.reshape(B, n).astype(jnp.float32)
     seg = jax.vmap(
         lambda v, l: jax.ops.segment_sum(v, l, num_segments=n + 1)
@@ -224,27 +282,19 @@ def decode_base_device(class_mask, area_threshold: float = 10.0,
     ) & filled
     bnd = (filled & ~interior4).reshape(B, n).astype(jnp.float32)
     bnd_counts = seg(bnd, lab)
-    # exact outer-polygon area (Pick), indexed by component root pixel
-    area = counts - 0.5 * bnd_counts - 1.0
-    area = area.at[:, n].set(0.0)  # background bucket
-    top2, top2_idx = jax.lax.top_k(area, 2)
-    s1, s2 = top2[:, 0], top2[:, 1]
-    root = top2_idx[:, 0]
-    tie = (s2 > 0) & (s1 - s2 <= tie_abs + tie_rel * s1)
-    # centroid approximates cv2's polygon moments: interior pixels weight
-    # 1, boundary pixels 1/2 (Green's-theorem discretization)
+    # zero the background bucket (label n); empty buckets are zero and
+    # the shared tail's area formula maps them to -1 (never selected)
+    counts = counts.at[:, n].set(0.0)
+    bnd_counts = bnd_counts.at[:, n].set(0.0)
     w = jnp.where(interior4, 1.0, 0.5).reshape(B, n) * ones
-    sel_w = jnp.where(lab == root[:, None], w, 0.0)
-    wsum = jnp.maximum(sel_w.sum(-1), 1.0)
     xs = jnp.arange(n, dtype=jnp.float32) % W
     ys = jnp.floor(jnp.arange(n, dtype=jnp.float32) / W)
-    cx = (sel_w * xs).sum(-1) / wsum
-    cy = (sel_w * ys).sum(-1) / wsum
-    # gate on the exact polygon area (host: cv2.contourArea < thresh or
-    # m00 == 0 -> no detection)
-    valid = ((s1 >= area_threshold) & (s1 > 0)).astype(jnp.float32)
-    out = jnp.stack(
-        [cx, cy, valid, tie.astype(jnp.float32) * valid], axis=-1
+    sw = seg(w, lab)
+    swx = seg(w * xs, lab)
+    swy = seg(w * ys, lab)
+    out = _base_rows_from_stats(
+        counts, bnd_counts, sw, swx, swy,
+        area_threshold, tie_rel, tie_abs,
     )
     return out.reshape(lead + (4,)) if lead else out[0]
 

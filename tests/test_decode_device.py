@@ -244,6 +244,48 @@ def test_connected_components_pallas_matches_xla():
         np.testing.assert_array_equal(got, want)
 
 
+def test_base_stats_pallas_matches_xla_decode():
+    """The all-VMEM Pallas base-stats kernel (flood fill -> labels ->
+    dense ids -> one-hot-matmul sums; interpret mode on CPU) must produce
+    the SAME final rows (x, y, valid, tie) as the XLA segment_sum path
+    through the shared ranking tail — on holes, multi-blob, ragged and
+    border-touching masks."""
+    import cv2
+
+    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas
+    from mfcnet_tpu.track.decode_device import (
+        _base_rows_from_stats,
+        _decode_base_xla,
+    )
+
+    H, W = 48, 64
+    rng = np.random.default_rng(11)
+    masks = []
+    m = np.zeros((H, W), bool)
+    m[10:30, 10:40] = True
+    m[15:25, 20:30] = False  # hole -> must be filled
+    masks.append(m)
+    m = np.zeros((H, W), bool)
+    m[0:10, 0:12] = True     # border-touching blob
+    m[30:44, 30:60] = True
+    masks.append(m)
+    m = rng.random((H, W)) < 0.04
+    masks.append(
+        cv2.dilate(m.astype(np.uint8), np.ones((3, 3), np.uint8))
+        .astype(bool)
+    )
+    batch = jnp.asarray(np.stack(masks))
+
+    stats, ncomp = base_stats_pallas(batch, K=64, interpret=True)
+    assert int(np.asarray(ncomp).max()) <= 64
+    got = np.asarray(_base_rows_from_stats(
+        stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
+        stats[..., 3, :], stats[..., 4, :], 10.0, 0.02, 2.0,
+    ))
+    want = np.asarray(_decode_base_xla(batch, 10.0, 0.02, 2.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 def test_decode_keypoints_device_respects_thresholded_pred():
     """decode_keypoints_device(pred=...) decodes blobs from the supplied
     class map (the CLIs pass the score-thresholded mask), not from
