@@ -367,7 +367,9 @@ def main():
             ["--mode", "full", "--frames", "64", "--trials", "2",
              "--batch", "16"],
             ["--mode", "e2e", "--frames", "60", "--trials", "1"],
-            ["--mode", "e2e", "--source", "device", "--frames", "120",
+            ["--mode", "e2e", "--source", "ram", "--frames", "60",
+             "--trials", "1"],
+            ["--mode", "e2e", "--source", "device", "--frames", "200",
              "--trials", "2"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "float32"],

@@ -229,6 +229,44 @@ def convert(arch, base, sd):
     }[arch](sd)
 
 
+def _single_torch_oracle(arch, C):
+    """(module, output_kind) for a single-frame backbone; output_kind is
+    the reference wrapper's per-frame adapter: 'exp' (TernausNet emits
+    log-probs, wrappers .exp() them — multiframe_model.py:227), 'dict'
+    (torchvision seg models return {'out': ...}), or 'raw'."""
+    if arch in ("TernausNet16",):
+        from tests.torch_ref import TernausNet16Torch
+
+        return TernausNet16Torch(C), "exp"
+    if arch in ("TAPNet16",):
+        from tests.torch_tapnet_ref import TAPNet16Torch
+
+        return TAPNet16Torch(C), "exp"
+    if arch in ("DeepLab_v3", "FCN"):
+        from tests.torch_resnet_ref import SegModelTorch
+
+        return SegModelTorch(
+            "fcn" if arch == "FCN" else "deeplab", C,
+            layers=(3, 4, 23, 3), width=64,
+        ), "dict"
+    if arch == "HRNet":
+        from tests.torch_hrnet_ref import HRNetTorch
+
+        return HRNetTorch(
+            C, channels=(48, 96, 192, 384), stage_modules=(1, 4, 3),
+            num_blocks=4, stage1_width=64,
+        ), "raw"
+    if arch == "SegFormer":
+        from tests.torch_segformer_ref import SegformerTorch
+
+        return SegformerTorch(C), "raw"
+    if arch == "ResUNet":
+        from tests.torch_resunet_ref import ResUnetVBTorch
+
+        return ResUnetVBTorch(out_dim=C), "raw"
+    raise KeyError(arch)
+
+
 def build_torch_oracle(arch, base, sd, C, T, flow, depth):
     """Reference-naming oracle module loaded with the real weights
     (strict) — the stand-in for the reference implementation. Returns
@@ -236,40 +274,41 @@ def build_torch_oracle(arch, base, sd, C, T, flow, depth):
     import torch
 
     try:
-        if arch == "TernausNetMulti-Basic" and not flow:
-            from tests.torch_ref import TernausNetMultiBasicTorch
+        if arch.endswith(("-Basic", "-Large")) and not flow:
+            import torch.nn as nn
 
-            m = TernausNetMultiBasicTorch(C, T, with_depth=depth)
-        elif arch in ("TernausNet16",):
-            from tests.torch_ref import TernausNet16Torch
+            from tests.torch_ref import MultiFrameNetBasicTorch
 
-            m = TernausNet16Torch(C)
-        elif arch in ("TAPNet16",):
-            from tests.torch_tapnet_ref import TAPNet16Torch
+            base_m, out_kind = _single_torch_oracle(base, C)
 
-            m = TAPNet16Torch(C)
-        elif arch in ("DeepLab_v3", "FCN"):
-            from tests.torch_resnet_ref import SegModelTorch
+            class GenericMultiTorch(nn.Module):
+                """Reference Multi wrapper composition
+                (multiframe_model.py:207-540): per-frame base forwards
+                with the family adapter, channel-concat (+depth), fusion
+                head; state_dict naming matches the real checkpoints
+                (base_model.*, multiframe_net.multiframe_net.*)."""
 
-            m = SegModelTorch(
-                "fcn" if arch == "FCN" else "deeplab", C,
-                layers=(3, 4, 23, 3), width=64,
-            )
-        elif arch == "HRNet":
-            from tests.torch_hrnet_ref import HRNetTorch
+                def __init__(self):
+                    super().__init__()
+                    self.base_model = base_m
+                    self.multiframe_net = MultiFrameNetBasicTorch(
+                        C, T, with_depth=depth
+                    )
 
-            m = HRNetTorch(
-                C, channels=(48, 96, 192, 384), stage_modules=(1, 4, 3),
-                num_blocks=4, stage1_width=64,
-            )
-        elif arch == "SegFormer":
-            from tests.torch_segformer_ref import SegformerTorch
+                def forward(self, frames, depth=None):
+                    ys = []
+                    for f in frames:
+                        y = self.base_model(f)
+                        if isinstance(y, dict):
+                            y = y["out"]
+                        if out_kind == "exp":
+                            y = y.exp()
+                        ys.append(y)
+                    if depth is not None:
+                        ys += list(depth)
+                    return self.multiframe_net(torch.cat(ys, 1))
 
-            m = SegformerTorch(C)
-        elif arch == "ResUNet":
-            from tests.torch_resunet_ref import ResUnetVBTorch
-
-            m = ResUnetVBTorch(out_dim=C)
+            m = GenericMultiTorch()
         elif arch == "UnFlow":
             from tests.torch_unflow_ref import UnFlowTorch
 
@@ -283,12 +322,14 @@ def build_torch_oracle(arch, base, sd, C, T, flow, depth):
 
             m = FlowFormerTorch()
         else:
-            return None, f"no torch oracle wired for {arch}"
+            m, _ = _single_torch_oracle(arch, C)
         m.load_state_dict(
             {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
             strict=True,
         )
         return m.eval(), None
+    except KeyError:
+        return None, f"no torch oracle wired for {arch}"
     except Exception as e:  # degrade to flax-only smoke check
         return None, f"{type(e).__name__}: {e}"
 
