@@ -67,6 +67,11 @@ def build_parser():
                         "fully on-device fixed-shape decode (largest-"
                         "component base via on-device connected "
                         "components)")
+    p.add_argument("--fetch_batch", type=int, default=8,
+                   help="frames per device->host result fetch (1 = "
+                        "per-frame sync; larger amortizes transfer "
+                        "round-trips on high-latency links; keypoint "
+                        "rows are identical for any value)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_scale", type=float, default=1.0)
@@ -137,6 +142,7 @@ def main(argv=None):
         dtype=args.compute_dtype,
         add_depth_inputs=args.add_depth_inputs,
         add_optflow_inputs=args.add_optflow_inputs,
+        fetch_batch=args.fetch_batch,
     )
     if args.decode == "device":
         logger.warning(
