@@ -298,3 +298,35 @@ def test_vgg_stage1_pallas_parity():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
             )
+
+
+def test_conv3x3_pallas_direct_parity():
+    """experimental/conv3x3_pallas (windowed-DMA direct conv, tap-pair
+    lane packing — the VERDICT r2 item-9 experiment, kept with its
+    documented negative result): bit-parity with lax.conv_general_dilated
+    incl. fused bias+ReLU, odd widths, and multi-batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.experimental.conv3x3_pallas import conv3x3_pallas
+
+    rng = np.random.default_rng(5)
+    for B, H, W, cin, cout, relu in (
+        (1, 24, 30, 64, 32, False),
+        (2, 16, 17, 8, 8, True),
+    ):
+        x = jnp.asarray(rng.standard_normal((B, H, W, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.05
+        )
+        b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+        got = conv3x3_pallas(x, w, bias=b, relu=relu, interpret=True)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        if relu:
+            want = jax.nn.relu(want)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
