@@ -64,14 +64,11 @@ def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640)):
 
 def main(argv=None):
     args = multiframe_train_parser().parse_args(argv)
-    writer, logger, expt_dir = init_logging(
-        args.expt_savedir, args.expt_name, args.debug
-    )
-    logger.info(f"args: {vars(args)}")
-    np.random.seed(args.seed)
 
-    # multi-host bootstrap (no-op single-process); must run before any
-    # other jax API so jax.devices() spans the whole pod
+    # multi-host bootstrap FIRST (no-op single-process): it must run
+    # before any other jax API so jax.devices() spans the whole pod,
+    # and before init_logging so each rank gets its own log files in
+    # the shared experiment dir
     from mfcnet_tpu.parallel import (
         init_distributed,
         make_mesh,
@@ -82,6 +79,13 @@ def main(argv=None):
     proc_idx, proc_count = init_distributed(
         auto=getattr(args, "multihost", False)
     )
+    writer, logger, expt_dir = init_logging(
+        args.expt_savedir, args.expt_name, args.debug,
+        rank=proc_idx if proc_count > 1 else None,
+    )
+    logger.info(f"args: {vars(args)}")
+    np.random.seed(args.seed)
+
     if proc_count > 1:
         logger.info(f"distributed: process {proc_idx}/{proc_count}")
     key = jax.random.PRNGKey(args.seed)

@@ -20,10 +20,10 @@ from pathlib import Path
 class ScalarWriter:
     """JSONL scalar writer with optional TensorBoard mirroring."""
 
-    def __init__(self, logdir: Path):
+    def __init__(self, logdir: Path, suffix: str = ""):
         self.logdir = Path(logdir)
         self.logdir.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.logdir / "scalars.jsonl", "a")
+        self._f = open(self.logdir / f"scalars{suffix}.jsonl", "a")
         self._tb = None
         try:  # pragma: no cover - optional dep
             from torch.utils.tensorboard import SummaryWriter
@@ -51,21 +51,28 @@ class ScalarWriter:
 
 
 def init_logging(expt_savedir, expt_name, debug: bool = False,
-                 to_stdout: bool = True):
+                 to_stdout: bool = True, rank=None):
     """Create experiment dirs + logger + scalar writer.
 
     Returns (writer, logger, expt_dir) — mirroring ``init_logging``
     (utils/log_utils.py:16-60).
+
+    ``rank``: multi-host runs share one experiment dir (pod shared
+    filesystem); pass the process index so each rank writes its own
+    ``run.rank{r}.log`` / ``scalars.rank{r}.jsonl`` instead of
+    interleaving into one file. Rank 0 (or single-process ``None``)
+    keeps the reference filenames.
     """
     expt_dir = Path(expt_savedir) / expt_name
     logs = expt_dir / "logs"
     for sub in ("logs", "outputs", "ckpts"):
         (expt_dir / sub).mkdir(parents=True, exist_ok=True)
 
+    suffix = f".rank{rank}" if rank else ""
     logger = logging.getLogger(expt_name)
     logger.setLevel(logging.DEBUG if debug else logging.INFO)
     logger.handlers.clear()
-    fh = logging.FileHandler(logs / "run.log")
+    fh = logging.FileHandler(logs / f"run{suffix}.log")
     fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
     logger.addHandler(fh)
     if to_stdout:
@@ -73,7 +80,7 @@ def init_logging(expt_savedir, expt_name, debug: bool = False,
         sh.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(sh)
 
-    writer = ScalarWriter(logs)
+    writer = ScalarWriter(logs, suffix=suffix)
     return writer, logger, expt_dir
 
 

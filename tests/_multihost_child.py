@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--port", default="")
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--ckpt_backend", default="msgpack")
+    ap.add_argument("--shared_expt", action="store_true",
+                    help="all ranks share one expt dir (models a pod's "
+                         "shared filesystem — required for orbax, whose "
+                         "collective save must see one path)")
     a = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -104,7 +109,10 @@ def main():
         "--dataset", "JIGSAWS",
         "--prediction_task", "toolpose_segmentation",
         "--num_input_frames", "3",
-        "--expt_savedir", os.path.join(a.out_dir, f"runs_{a.role}{a.rank}"),
+        "--expt_savedir", os.path.join(
+            a.out_dir,
+            "runs_shared" if a.shared_expt else f"runs_{a.role}{a.rank}",
+        ),
         "--expt_name", "mh",
         # worker: per-PROCESS batch; ref: the equal global batch
         "--batch_size", "2" if a.role == "worker" else "4",
@@ -123,6 +131,7 @@ def main():
         "--model_scale", "0.1",
         "--train_base_model", "true",
         "--seed", "42",
+        "--ckpt_backend", a.ckpt_backend,
     ]
     if a.role == "worker":
         args += ["--multihost", "true"]

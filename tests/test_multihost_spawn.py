@@ -129,3 +129,56 @@ def test_two_process_distributed_train_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5
         )
+
+
+def test_two_process_orbax_checkpointing_does_not_hang(tmp_path):
+    """The ADVICE r2 (medium) scenario, actually executed: --multihost
+    with --ckpt_backend orbax. Orbax saves use global process barriers,
+    so EVERY process must call save()/wait() (the old process-0 gate
+    hung the pod on the first checkpoint — this test would time out).
+    Asserts both ranks complete, the .orbax directory + its epoch
+    sidecar exist, and the restored payload carries the trained step."""
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=2, frames_per_video=4,
+        height=64, width=64,
+    )
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    port = _free_port()
+    env = _clean_env()
+
+    workers = [
+        subprocess.Popen(
+            [sys.executable, str(CHILD), "--role", "worker",
+             "--rank", str(r), "--nproc", "2", "--port", str(port),
+             "--data_dir", str(data_root), "--out_dir", str(out_dir),
+             "--ckpt_backend", "orbax", "--shared_expt"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for w in workers:
+        try:
+            out, _ = w.communicate(timeout=720)
+        except subprocess.TimeoutExpired:
+            for ww in workers:
+                ww.kill()
+            pytest.fail(
+                "orbax multihost checkpoint hung the pod (global save "
+                "barrier not entered by every process)"
+            )
+        outs.append(out)
+    for w, out in zip(workers, outs):
+        assert w.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    ck = out_dir / "runs_shared" / "mh" / "ckpts" / "model_001.orbax"
+    assert ck.is_dir()
+    assert ck.with_suffix(".json").exists()  # commit-callback sidecar
+    from mfcnet_tpu.utils.checkpoint import load_checkpoint
+
+    payload, epoch = load_checkpoint(ck)
+    assert epoch == 1 and int(payload["step"]) > 0
