@@ -14,10 +14,10 @@ operation is an elementwise min/select over statically-shifted copies
   * convergence: in-kernel ``lax.while_loop`` on the VMEM-resident
     labels until a fixpoint.
 
-Measured at (2, 480, 640) int32 on v5e: ~0.6 ms vs ~30 ms for the XLA
-associative_scan + gather formulation (see decode_device) — the XLA
-version pays ~10 ms/iteration in relayouts and a 7.8 ms gather; here an
-iteration is ~60 elementwise VMEM passes at ~1 us each.
+Measured at (2, 480, 640) int32 on v5e: ~3 ms (incl. dispatch) vs
+~30 ms for the XLA associative_scan + gather formulation (see
+decode_device) — the XLA version pays ~10 ms/iteration in relayouts and
+a 7.8 ms gather; here an iteration is ~60 elementwise VMEM passes.
 
 Labels follow the XLA reference exactly: each foreground pixel ends with
 its component's minimum flat index (row-major), background pixels get
