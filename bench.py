@@ -55,6 +55,12 @@ def main():
                          "CSV only — the compute-bound product number, "
                          "free of this harness's ~5 MB/s tunnel H2D "
                          "artifact)")
+    ap.add_argument("--flow", default="none", choices=["none", "RAFT"],
+                    help="e2e mode: enable the reference's optical-flow "
+                         "input channels with a frozen RAFT provider "
+                         "(flow at 0.5x, x2 bilinear rescale — "
+                         "test_multiframe_segmentation_on_videos_v3.py:"
+                         "264-271); T-1 RAFT forwards per frame")
     ap.add_argument("--batch", type=int, default=None,
                     help="inference: concurrent video streams (frames/sec "
                          "counts batch*frames; default 1). train: the "
@@ -109,17 +115,30 @@ def main():
         )
 
         T, C, H, W = 3, 5, args.height, args.width
+        use_flow = args.flow != "none"
         model = get_multiframe_segmentation_model(
-            "TernausNetMulti-Basic", num_classes=C, num_input_frames=T
+            "TernausNetMulti-Basic", num_classes=C, num_input_frames=T,
+            add_optflow_inputs=use_flow,
         )
         variables = jit_init(
             model, jax.random.PRNGKey(0),
             np.zeros((1, T, H, W, 3), np.float32),
         )
+        flow_model = flow_variables = None
+        if use_flow:
+            # frozen RAFT at half resolution, the reference's default
+            # provider (scripts/test_..._on_videos_v3.py:343-349)
+            from mfcnet_tpu.models.raft import RAFT
+
+            flow_model = RAFT(iters=12)
+            half = np.zeros((1, H // 2, W // 2, 3), np.float32)
+            flow_variables = jit_init(
+                flow_model, jax.random.PRNGKey(1), half, half
+            )
         cfg = TrackerConfig(
             num_input_frames=T, num_classes=C, input_height=H,
             input_width=W, dtype=args.dtype, overlay=False,
-            decode=args.decode,
+            decode=args.decode, add_optflow_inputs=use_flow,
         )
         with tempfile.TemporaryDirectory() as td:
             if args.source == "video":
@@ -128,7 +147,8 @@ def main():
                     height=H, width=W,
                 )
                 run_once = lambda: track_on_video(
-                    video, model, variables, cfg, td
+                    video, model, variables, cfg, td,
+                    flow_model=flow_model, flow_variables=flow_variables,
                 )
             else:
                 frames = make_synthetic_frames(
@@ -138,7 +158,10 @@ def main():
                     frames = [jax.device_put(f) for f in frames]
                     jax.block_until_ready(frames[-1])
                 # one engine across trials: reuse compiled executables
-                engine = InferenceEngine(model, variables, cfg)
+                engine = InferenceEngine(
+                    model, variables, cfg,
+                    flow_model=flow_model, flow_variables=flow_variables,
+                )
                 run_once = lambda: track_on_frames(
                     frames, model, variables, cfg, td, engine=engine
                 )
@@ -162,6 +185,7 @@ def main():
             "metric": (
                 f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}_{args.decode}"
                 + (f"_{args.source}" if args.source != "video" else "")
+                + (f"_flow{args.flow}" if use_flow else "")
             ),
             "value": round(best, 2),
             "unit": "frames/sec/chip",
@@ -371,6 +395,8 @@ def main():
              "--trials", "1"],
             ["--mode", "e2e", "--source", "device", "--frames", "200",
              "--trials", "2"],
+            ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
+             "--frames", "100", "--trials", "2"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "float32"],
             ["--mode", "train", "--frames", "100", "--trials", "2",

@@ -524,19 +524,21 @@ def sample_local_cost(cost_maps, coords, r: int = 4):
     """decoder.py encode_flow_token: (2r+1)^2 bilinear samples of each
     pixel's cost map around its current flow target. Window channel order
     matches the reference: the x offset varies along the FIRST window axis
-    (meshgrid(dy, dx) added to (x, y) coords — decoder.py:270-276).
+    (meshgrid(dy, dx) added to (x, y) coords — decoder.py:270-276), which
+    is ``onehot_window_sample``'s layout; the reference's normalized
+    grid_sample(align_corners=True) maps back to these exact pixel coords
+    with zeros padding, also matching. (The one-hot-matmul sampler
+    replaces the per-pixel gather that dominated decoder time — see
+    ops/warp.py.)
     cost_maps: (N, H2, W2, 1); coords: (B, H1, W1, 2) -> (B, H1, W1, 81)."""
-    from mfcnet_tpu.ops.warp import grid_sample_bilinear
+    from mfcnet_tpu.ops.warp import onehot_window_sample
 
     B, H1, W1, _ = coords.shape
     N, H2, W2, _ = cost_maps.shape
-    d = jnp.linspace(-r, r, 2 * r + 1)
-    dxy = jnp.stack(jnp.meshgrid(d, d, indexing="ij"), axis=-1)  # (9,9,2)
-    centers = coords.reshape(N, 1, 1, 2)
-    pos = centers + dxy[None]
-    gx = 2.0 * pos[..., 0] / (W2 - 1) - 1.0
-    gy = 2.0 * pos[..., 1] / (H2 - 1) - 1.0
-    out = grid_sample_bilinear(cost_maps, gx, gy, align_corners=True)
+    c = coords.reshape(N, 2)
+    out = onehot_window_sample(
+        cost_maps.reshape(N, H2, W2), c[:, 0], c[:, 1], r
+    )
     return out.reshape(B, H1, W1, (2 * r + 1) ** 2)
 
 

@@ -123,48 +123,30 @@ def lookup_corr(pyramid, coords, radius: int = 4):
 
     coords: (B, H, W, 2) flow-displaced pixel coords at 1/8 res (x, y).
     Returns (B, H, W, num_levels*(2r+1)^2).
+
+    torchvision channel ordering: delta = meshgrid(di, dj, indexing='ij')
+    added to (x, y) coords -> channel k = a*(2r+1)+b samples offset
+    (dx=di[a], dy=dj[b]): the x offset varies SLOW, y FAST — which is
+    exactly ``onehot_window_sample``'s layout, so pretrained convc1
+    weights convert without permutation. The one-hot-matmul sampler
+    replaces a take_along_axis gather that cost ~13.5 ms/lookup at
+    240x320 (98% of RAFT's runtime; 12 lookups 164 ms -> 4 ms, values
+    within ~8e-6, zeros padding identical).
     """
+    from mfcnet_tpu.ops.warp import onehot_window_sample
+
     B, H, W, _ = coords.shape
-    r = radius
-    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    # torchvision channel ordering: delta = meshgrid(di, dj, indexing='ij')
-    # added to (x, y) coords -> channel k = a*(2r+1)+b samples offset
-    # (dx=di[a], dy=dj[b]): the x offset varies SLOW, y FAST. Keeping this
-    # layout makes pretrained convc1 weights convert without permutation.
-    offs = jnp.stack(
-        jnp.meshgrid(dx, dx, indexing="ij"), axis=-1
-    ).reshape(-1, 2)  # (81, 2) (x, y)
+    K = 2 * radius + 1
+    n = B * H * W
+    flat = coords.reshape(n, 2)
     out = []
     for lvl, corr in enumerate(pyramid):
         Hl, Wl = corr.shape[-2], corr.shape[-1]
-        c = coords / (2.0**lvl)
-        # sample positions: (B, H, W, 81, 2)
-        pos = c[:, :, :, None, :] + offs[None, None, None, :, :]
-        x, y = pos[..., 0], pos[..., 1]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        tx, ty = x - x0, y - y0
-        vol = corr.reshape(B, H * W, Hl * Wl)
-
-        def gather(ix, iy):
-            # zeros padding outside (torchvision grid_sample zeros)
-            valid = (ix >= 0) & (ix <= Wl - 1) & (iy >= 0) & (iy <= Hl - 1)
-            ii = (
-                jnp.clip(iy, 0, Hl - 1).astype(jnp.int32) * Wl
-                + jnp.clip(ix, 0, Wl - 1).astype(jnp.int32)
-            )  # (B, H, W, 81)
-            v = jnp.take_along_axis(
-                vol, ii.reshape(B, H * W, -1), axis=2
-            )
-            return v.reshape(B, H, W, -1) * valid.astype(vol.dtype)
-
-        v00 = gather(x0, y0)
-        v01 = gather(x0 + 1, y0)
-        v10 = gather(x0, y0 + 1)
-        v11 = gather(x0 + 1, y0 + 1)
-        top = v00 * (1 - tx) + v01 * tx
-        bot = v10 * (1 - tx) + v11 * tx
-        out.append(top * (1 - ty) + bot * ty)
+        c = flat / (2.0**lvl)
+        o = onehot_window_sample(
+            corr.reshape(n, Hl, Wl), c[:, 0], c[:, 1], radius
+        )
+        out.append(o.reshape(B, H, W, K * K))
     return jnp.concatenate(out, axis=-1)
 
 

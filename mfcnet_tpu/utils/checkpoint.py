@@ -238,15 +238,23 @@ def load_checkpoint(path, state=None) -> Tuple[dict, int]:
     if meta_path.exists():
         epoch = json.loads(meta_path.read_text()).get("epoch", 0)
     if state is not None:
+        # Weights-only interchange checkpoints (e.g. tools/parity_check.py
+        # --save) carry empty batch_stats/opt_state; keep the live state's
+        # structures for anything absent instead of failing from_state_dict
+        # against an empty dict.
+        stats = payload.get("batch_stats")
+        opt = payload.get("opt_state")
         payload = {
             "params": serialization.from_state_dict(
                 state.params, payload["params"]
             ),
-            "batch_stats": serialization.from_state_dict(
-                state.batch_stats, payload["batch_stats"]
+            "batch_stats": (
+                serialization.from_state_dict(state.batch_stats, stats)
+                if stats else state.batch_stats
             ),
-            "opt_state": serialization.from_state_dict(
-                state.opt_state, payload["opt_state"]
+            "opt_state": (
+                serialization.from_state_dict(state.opt_state, opt)
+                if opt else state.opt_state
             ),
             "step": payload.get("step", 0),
         }

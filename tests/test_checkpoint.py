@@ -72,6 +72,34 @@ def test_orbax_sidecar_written_at_commit(tmp_path):
         ckptr.close()
 
 
+def test_load_weights_only_payload_keeps_live_opt_state(tmp_path):
+    """Interchange checkpoints (tools/parity_check.py --save) carry only
+    params (+batch_stats); restoring them against a TrainState must keep
+    the live optimizer state/batch_stats instead of failing
+    from_state_dict against an empty dict (reference strict=False
+    analogue, utils/model_utils.py:26-36)."""
+    from flax import serialization
+
+    path = tmp_path / "converted.msgpack"
+    path.write_bytes(serialization.msgpack_serialize({
+        "params": {"w": np.full(4, 2.0, np.float32)},
+        "batch_stats": {}, "opt_state": {}, "step": 0,
+    }))
+    (tmp_path / "converted.json").write_text(json.dumps({"epoch": 9}))
+
+    state = _tiny_state(step=3)
+    payload, epoch = load_checkpoint(path, state)
+    assert epoch == 9
+    np.testing.assert_array_equal(
+        payload["params"]["w"], np.full(4, 2.0, np.float32)
+    )
+    # live structures preserved where the payload is empty
+    np.testing.assert_array_equal(
+        payload["opt_state"]["m"], state.opt_state["m"]
+    )
+    assert payload["batch_stats"] == {}
+
+
 def test_collective_flags():
     """Multi-host save gating contract (cli/train_multiframe_detection):
     Orbax saves are global collectives (every process must call save);

@@ -33,10 +33,11 @@ def test_parity_check_tool_multiframe_roundtrip(tmp_path):
     torch.save({"model": sd, "optimizer": {}, "epoch": 3}, ckpt)
 
     out = tmp_path / "report.json"
+    saved = tmp_path / "converted.msgpack"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "parity_check.py"),
          str(ckpt), "--height", "64", "--width", "64",
-         "--max_frames", "4", "--json", str(out)],
+         "--max_frames", "4", "--json", str(out), "--save", str(saved)],
         capture_output=True, text=True, timeout=560,
         env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=REPO,
     )
@@ -49,3 +50,12 @@ def test_parity_check_tool_multiframe_roundtrip(tmp_path):
     assert rep["identical_detection_pattern"] is True
     assert rep["tip_rmse_px"] <= 0.5
     assert rep["within_gates"] is True
+
+    # --save wrote a CLI-loadable flax msgpack checkpoint + epoch sidecar
+    from mfcnet_tpu.utils.checkpoint import load_checkpoint
+
+    payload, epoch = load_checkpoint(saved)
+    assert epoch == 3
+    assert "base" in payload["params"]
+    assert "multiframe_net" in payload["params"]
+    assert "batch_stats" in payload

@@ -471,6 +471,11 @@ def main(argv=None):
     ap.add_argument("--max_frames", type=int, default=8)
     ap.add_argument("--num_classes", type=int, default=None)
     ap.add_argument("--json", default=None, help="write report here")
+    ap.add_argument("--save", default=None,
+                    help="write the converted checkpoint here as a flax "
+                         "msgpack file loadable by the CLIs' "
+                         "--load_wts_model / --load_wts_base_model "
+                         "(epoch sidecar .json written alongside)")
     ap.add_argument("--skip_torch", action="store_true",
                     help="conversion + flax forward only")
     args = ap.parse_args(argv)
@@ -498,6 +503,18 @@ def main(argv=None):
               "harness compares the no-flow forward path only")
 
     variables = convert(arch, base, sd)
+    if args.save:
+        from flax import serialization
+
+        out = Path(args.save)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(serialization.msgpack_serialize({
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": {}, "step": 0,
+        }))
+        out.with_suffix(".json").write_text(json.dumps({"epoch": epoch}))
+        print(f"[parity] converted checkpoint -> {out}")
     model = build_flax(arch, base, C, T, flow, depth)
     frames_u8 = load_frames(args.frames, args.height, args.width,
                             args.max_frames)
