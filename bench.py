@@ -60,7 +60,10 @@ def main():
                          "input channels with a frozen RAFT provider "
                          "(flow at 0.5x, x2 bilinear rescale — "
                          "test_multiframe_segmentation_on_videos_v3.py:"
-                         "264-271); T-1 RAFT forwards per frame")
+                         "264-271); T-1 RAFT forwards per frame. "
+                         "train mode: frozen full-resolution RAFT inside "
+                         "the jitted step (src/engine.py:39-53), the "
+                         "reference config_multiframe.py default")
     ap.add_argument("--batch", type=int, default=None,
                     help="inference: concurrent video streams (frames/sec "
                          "counts batch*frames; default 1). train: the "
@@ -203,11 +206,12 @@ def main():
 
         T, C, H, W = 3, 5, args.height, args.width
         B = args.batch
+        use_flow = args.flow != "none"
         # remat: full-scale batch-4 training does not fit 16 GB HBM
         # without encoder/decoder-block rematerialization
         model = get_multiframe_segmentation_model(
             "TernausNetMulti-Basic", num_classes=C, num_input_frames=T,
-            remat=True,
+            remat=True, add_optflow_inputs=use_flow,
         )
         variables = jit_init(
             model, jax.random.PRNGKey(0),
@@ -221,12 +225,24 @@ def main():
             model.apply, variables["params"], tx,
             variables.get("batch_stats", {}),
         )
+        flow_fn = None
+        if use_flow:
+            # frozen full-res RAFT inside the step, reference default
+            # (configs/config_multiframe.py:75, src/engine.py:39-53)
+            from mfcnet_tpu.cli.train_multiframe_detection import (
+                build_flow_fn,
+            )
+
+            flow_fn = build_flow_fn(
+                "RAFT", "TernausNetMulti-Basic", (H, W)
+            )
         step = make_multiframe_train_step(
             model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
             class_weights=[1, 1000, 1000, 1000, 1000],
             train_base_model=True,
             # bf16 = mixed precision (f32 master params/opt/BN stats)
             compute_dtype=args.dtype,
+            flow_fn=flow_fn,
         )
         rng = np.random.RandomState(0)
         batch = {
@@ -257,6 +273,7 @@ def main():
         print(json.dumps({
             "metric": (
                 f"mfcnet_train_step_{H}x{W}_b{B}_{args.dtype}"
+                + (f"_flow{args.flow}" if use_flow else "")
             ),
             "value": round(best * B * T, 2),
             "unit": "frames/sec/chip",
@@ -401,6 +418,8 @@ def main():
              "--dtype", "float32"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "bfloat16"],
+            ["--mode", "train", "--frames", "60", "--trials", "2",
+             "--dtype", "bfloat16", "--flow", "RAFT"],
         ):
             cmd = [sys.executable, __file__, "--record_detail", "false",
                    "--dtype", args.dtype] + extra

@@ -184,6 +184,63 @@ def test_engine_probs_identical_between_modes():
             )
 
 
+@pytest.mark.parametrize("T", [2, 5])
+def test_engine_modes_agree_nondefault_window(T):
+    """Temporal-window scaling (reference --num_input_frames,
+    configs/config_multiframe.py:20-21): the incremental s2d ring buffer's
+    (t, (sy, sx, c)) channel permutation and newest-first shifting must
+    hold for any T, not just the default 3."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, C = 32, 32, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(11),
+        np.zeros((1, T, H, W, 3), np.float32),
+    )
+    engines = {
+        mode: InferenceEngine(
+            model, variables,
+            TrackerConfig(num_input_frames=T, num_classes=C,
+                          input_height=H, input_width=W, dtype="float32",
+                          mode=mode),
+        )
+        for mode in ("incremental", "full")
+    }
+    assert engines["incremental"]._use_s2d  # the fast path is under test
+    rng = np.random.default_rng(T)
+    frames = rng.integers(0, 255, (T + 4, H, W, 3), dtype=np.uint8)
+    compared = 0
+    for t in range(T + 4):
+        outs = {m: e.step(frames[t]) for m, e in engines.items()}
+        assert (outs["incremental"] is None) == (outs["full"] is None)
+        if outs["incremental"] is not None:
+            np.testing.assert_array_equal(
+                outs["incremental"][0], outs["full"][0],
+                err_msg=f"T={T} frame {t} class mask",
+            )
+            # heats ship as f16; the two modes' f32 values differ only at
+            # reassociation level (~3e-7, measured), but that can straddle
+            # an f16 rounding boundary -> one-ulp (~1e-4 at p~0.2) steps
+            np.testing.assert_allclose(
+                outs["incremental"][1], outs["full"][1], atol=1.5e-4,
+                err_msg=f"T={T} frame {t}",
+            )
+            compared += 1
+    assert compared == 5  # warmup is T-1 frames
+
+
 def test_tracker_with_optical_flow(tmp_path):
     """Flow-enabled tracking (reference v3 flow path: half-res RAFT,
     x2 upscale): runs end to end, modes agree."""
