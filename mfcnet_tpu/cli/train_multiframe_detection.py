@@ -74,6 +74,7 @@ def main(argv=None):
         make_mesh,
         shard_batch,
         shard_host_local_batch,
+        shard_multiframe_batch,
     )
 
     proc_idx, proc_count = init_distributed(
@@ -91,10 +92,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     n_dev = len(jax.devices())
+    spatial = getattr(args, "spatial_shards", 1)
     if proc_count > 1:
         # multi-host: --batch_size is PER PROCESS; the global batch must
         # divide the global device count and the mesh must span ALL
         # devices (a truncated mesh would exclude other hosts' chips)
+        if spatial > 1:
+            raise SystemExit(
+                "--spatial_shards > 1 with --multihost is not supported: "
+                "per-host batch assembly shards axis 0 only"
+            )
         global_batch = args.batch_size * proc_count
         if global_batch % n_dev != 0:
             raise SystemExit(
@@ -105,6 +112,25 @@ def main(argv=None):
         logger.info(
             f"data-parallel over {n_dev} devices on {proc_count} hosts "
             f"(global batch {global_batch})"
+        )
+    elif spatial > 1:
+        # data x spatial mesh: batch over 'data', image height over
+        # 'spatial' (GSPMD splits every conv and inserts ICI halo
+        # exchanges; numerically transparent — tests/test_parallel.py)
+        if n_dev % spatial != 0:
+            raise SystemExit(
+                f"--spatial_shards {spatial} must divide the device "
+                f"count {n_dev}"
+            )
+        data_dev = n_dev // spatial
+        while data_dev > 1 and args.batch_size % data_dev != 0:
+            data_dev -= 1
+        mesh = make_mesh(
+            data_dev * spatial, ("data", "spatial"),
+            shape=(data_dev, spatial),
+        )
+        logger.info(
+            f"data x spatial parallel over {data_dev} x {spatial} devices"
         )
     else:
         # shard over the largest device count that divides the batch
@@ -246,7 +272,9 @@ def main(argv=None):
             batch = shard_host_local_batch(mesh, batch)
             return augment_train_batch(batch, k, tcfg)
         out = augment_train_batch(batch, k, tcfg)
-        return shard_batch(mesh, out) if mesh is not None else out
+        # shard_multiframe_batch == shard_batch on a 1-D data mesh; on a
+        # data x spatial mesh it additionally splits the height axis
+        return shard_multiframe_batch(mesh, out) if mesh is not None else out
 
     import contextlib
 

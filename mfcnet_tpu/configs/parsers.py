@@ -166,6 +166,15 @@ def _add_common(parser, multiframe: bool, train: bool):
     # TPU-specific extras
     g.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    g.add_argument("--spatial_shards", type=int, default=1,
+                   help="Shard the image HEIGHT dimension over this many "
+                        "devices (a data x spatial GSPMD mesh). The "
+                        "TPU-native model-parallel axis for dense "
+                        "prediction: GSPMD splits every conv spatially "
+                        "and inserts halo exchanges over ICI. Scales "
+                        "single-stream latency and fits >HBM images; "
+                        "numerically transparent. Device count must be "
+                        "divisible by this.")
     g.add_argument("--parity_grid", type=_str2bool, default=True)
     g.add_argument("--model_scale", type=float, default=1.0,
                    help="Uniform channel-width scale (<1 for smoke tests)")

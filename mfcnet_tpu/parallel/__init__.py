@@ -7,6 +7,8 @@ from mfcnet_tpu.parallel.mesh import (
     shard_batch,
     init_distributed,
     shard_host_local_batch,
+    spatial_sharding,
+    shard_multiframe_batch,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "shard_batch",
     "init_distributed",
     "shard_host_local_batch",
+    "spatial_sharding",
+    "shard_multiframe_batch",
 ]

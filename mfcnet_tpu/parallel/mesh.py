@@ -58,6 +58,53 @@ def shard_batch(mesh: Mesh, batch):
     )
 
 
+# Height-dimension index per multi-frame batch key, for spatial partitioning.
+# frames (B,T,H,W,3) / depth (B,T,H,W,1) -> axis 2; mask (B,H,W) -> axis 1.
+_MULTIFRAME_H_AXES = {"frames": 2, "depth": 2, "mask": 1, "image": 1}
+
+
+def spatial_sharding(
+    mesh: Mesh, ndim: int, h_axis: int,
+    data_axis: Optional[str] = "data", spatial_axis: str = "spatial",
+) -> NamedSharding:
+    """Shard axis 0 over ``data`` and the height axis over ``spatial``.
+
+    The reference has no model-parallel axis at all (SURVEY.md §2.5:
+    single-process DataParallel only). Spatial partitioning is the
+    TPU-native model-parallel dimension for dense-prediction CNNs: the
+    480x640 activations dominate memory and FLOPs, so sharding H over a
+    mesh axis lets GSPMD split every conv spatially and insert the halo
+    exchanges over ICI automatically — no manual ghost-cell code. This is
+    what gives single-stream latency scaling (a batch-1 video tracker
+    cannot use the data axis) and >HBM image sizes.
+    """
+    spec = [None] * ndim
+    if data_axis is not None and data_axis in mesh.axis_names:
+        spec[0] = data_axis
+    if h_axis >= ndim:
+        raise ValueError(f"h_axis {h_axis} out of range for ndim {ndim}")
+    spec[h_axis] = spatial_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_multiframe_batch(mesh: Mesh, batch: dict):
+    """device_put a multi-frame batch dict with data x spatial sharding.
+
+    Keys with a known height axis (frames/depth/mask) are sharded over
+    both mesh axes; unknown keys fall back to axis-0 data sharding. With
+    a 1-D data mesh this degenerates to :func:`shard_batch` exactly.
+    """
+    has_spatial = "spatial" in mesh.axis_names
+    out = {}
+    for key, value in batch.items():
+        if has_spatial and key in _MULTIFRAME_H_AXES:
+            sh = spatial_sharding(mesh, value.ndim, _MULTIFRAME_H_AXES[key])
+        else:
+            sh = data_sharding(mesh, value.ndim)
+        out[key] = jax.device_put(value, sh)
+    return out
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,

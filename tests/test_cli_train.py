@@ -152,3 +152,35 @@ def test_train_cli_multidevice_sharded(tmp_path):
         "--class_weights", "1", "1", "1", "1", "1",
     ])
     assert int(state.step) >= 2  # 16 train samples / batch 8
+
+
+def test_train_cli_spatial_sharded(tmp_path):
+    """--spatial_shards 4: the CLI trains on a (2, 4) data x spatial mesh —
+    image height split over 'spatial', batch over 'data'."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+
+    assert len(jax.devices()) == 8
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=2, frames_per_video=5,
+        height=64, width=64,
+    )
+    state = main([
+        "--data_dir", str(data_root),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path / "runs"),
+        "--expt_name", "sp4",
+        "--batch_size", "2",
+        "--num_workers", "2",
+        "--num_epochs", "1",
+        "--save_freq", "1",
+        "--print_freq", "5",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+        "--spatial_shards", "4",
+    ])
+    assert int(state.step) >= 1

@@ -87,3 +87,125 @@ def test_dataloader_process_sharding_equal_steps_disjoint():
             assert len(got) == len(dl) * bs
             lens.append(len(dl))
         assert len(set(lens)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Spatial partitioning (data x spatial mesh)
+# ---------------------------------------------------------------------------
+
+def _tiny_mf_model(h=64, w=32, c=5, t=3):
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    base = TernausNet16(
+        num_classes=c, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=c, num_frames=t,
+        variant="basic", base_output="exp",
+    )
+    frames = jnp.zeros((1, t, h, w, 3), jnp.float32)
+    variables = jit_init(model, jax.random.PRNGKey(0), frames)
+    return model, variables
+
+
+def test_spatial_sharded_forward_matches_single_device():
+    """Forward pass with H sharded 4-way (and batch 2-way) over a (2, 4)
+    data x spatial mesh equals the single-device forward: GSPMD splits
+    every conv spatially and inserts the halo exchanges, changing only
+    the compute layout. This is the batch-1 latency-scaling path the
+    reference cannot express at all (its only parallelism is
+    DataParallel batch scatter, scripts/train_multiframe_detection.py:
+    107-110)."""
+    from mfcnet_tpu.parallel import shard_multiframe_batch, spatial_sharding
+
+    h, w, c, t = 64, 32, 5, 3
+    model, variables = _tiny_mf_model(h, w, c, t)
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal((2, t, h, w, 3)).astype(np.float32)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    ref = np.asarray(fwd(variables, frames))
+
+    mesh = make_mesh(8, ("data", "spatial"), shape=(2, 4))
+    batch = shard_multiframe_batch(mesh, {"frames": frames})
+    sharded_in = batch["frames"]
+    assert sharded_in.sharding == spatial_sharding(mesh, 5, 2)
+    # really split: each device holds a (1, t, h/4, w, 3) block
+    assert sharded_in.addressable_shards[0].data.shape == (1, t, h // 4, w, 3)
+    with jax.set_mesh(mesh):
+        out = np.asarray(fwd(variables, sharded_in))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_sharded_train_step_matches_single_device():
+    """One SGD train step on a (2, 4) data x spatial mesh yields the same
+    loss/params/BN stats as the unsharded step — spatial partitioning is
+    numerically transparent end-to-end (loss reductions and BN statistics
+    become cross-axis collectives)."""
+    import optax
+
+    from mfcnet_tpu.parallel import shard_multiframe_batch
+    from mfcnet_tpu.train.state import TrainState
+    from mfcnet_tpu.train.steps import make_multiframe_train_step
+
+    h, w, c, t = 64, 32, 5, 3
+    model, variables = _tiny_mf_model(h, w, c, t)
+
+    def fresh_state():
+        return TrainState.create(
+            model.apply, variables["params"], optax.sgd(1e-2),
+            variables.get("batch_stats", {}),
+        )
+
+    step = make_multiframe_train_step(
+        model, ["nll", "soft_jaccard"], [0.7, 0.3], c,
+        class_weights=[1.0, 1000.0, 1000.0, 1000.0, 1000.0],
+        train_base_model=True, donate=False,
+    )
+    rng = np.random.default_rng(11)
+    batch = {
+        "frames": rng.standard_normal((4, t, h, w, 3)).astype(np.float32),
+        "mask": rng.integers(0, c, (4, h, w)).astype(np.int32),
+    }
+
+    s_single, logs_single = step(fresh_state(), batch)
+
+    mesh = make_mesh(8, ("data", "spatial"), shape=(2, 4))
+    with jax.set_mesh(mesh):
+        s_shard, logs_shard = step(
+            fresh_state(), shard_multiframe_batch(mesh, batch)
+        )
+
+    np.testing.assert_allclose(
+        float(logs_single["loss_total"]), float(logs_shard["loss_total"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_single.params)),
+        jax.tree.leaves(jax.device_get(s_shard.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_single.batch_stats)),
+        jax.tree.leaves(jax.device_get(s_shard.batch_stats)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+def test_shard_multiframe_batch_degenerates_on_data_mesh():
+    """With a 1-D data mesh shard_multiframe_batch == shard_batch."""
+    from mfcnet_tpu.parallel import shard_multiframe_batch
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": rng.standard_normal((8, 3, 16, 16, 3)).astype(np.float32),
+        "mask": rng.integers(0, 5, (8, 16, 16)).astype(np.int32),
+    }
+    a = shard_batch(mesh, batch)
+    b = shard_multiframe_batch(mesh, batch)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding
