@@ -55,6 +55,10 @@ def main():
                          "CSV only — the compute-bound product number, "
                          "free of this harness's ~5 MB/s tunnel H2D "
                          "artifact)")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="e2e mode: track this many videos CONCURRENTLY "
+                         "with one batched engine (aggregate serving "
+                         "throughput; requires --source ram|device)")
     ap.add_argument("--flow", default="none", choices=["none", "RAFT"],
                     help="e2e mode: enable the reference's optical-flow "
                          "input channels with a frozen RAFT provider "
@@ -143,6 +147,9 @@ def main():
             input_width=W, dtype=args.dtype, overlay=False,
             decode=args.decode, add_optflow_inputs=use_flow,
         )
+        S = max(1, args.streams)
+        if S > 1 and args.source == "video":
+            raise SystemExit("--streams needs --source ram|device")
         with tempfile.TemporaryDirectory() as td:
             if args.source == "video":
                 video = make_synthetic_video(
@@ -152,6 +159,35 @@ def main():
                 run_once = lambda: track_on_video(
                     video, model, variables, cfg, td,
                     flow_model=flow_model, flow_variables=flow_variables,
+                )
+            elif S > 1:
+                # S videos tracked concurrently by ONE batched engine:
+                # lockstep (S, H, W, 3) batches, per-stream tracker state
+                # and CSVs — the aggregate serving-throughput number
+                from mfcnet_tpu.track.tracker import track_on_frame_streams
+
+                per_stream = [
+                    make_synthetic_frames(
+                        num_frames=args.frames, height=H, width=W,
+                        seed=100 + b,
+                    )
+                    for b in range(S)
+                ]
+                stacked = [
+                    np.stack([per_stream[b][i] for b in range(S)])
+                    for i in range(args.frames)
+                ]
+                if args.source == "device":
+                    stacked = [jax.device_put(x) for x in stacked]
+                    jax.block_until_ready(stacked[-1])
+                engine = InferenceEngine(
+                    model, variables, cfg,
+                    flow_model=flow_model, flow_variables=flow_variables,
+                    num_streams=S,
+                )
+                run_once = lambda: track_on_frame_streams(
+                    stacked, model, variables, cfg, td, engine=engine,
+                    prestacked=True,
                 )
             else:
                 frames = make_synthetic_frames(
@@ -189,6 +225,7 @@ def main():
                 f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}_{args.decode}"
                 + (f"_{args.source}" if args.source != "video" else "")
                 + (f"_flow{args.flow}" if use_flow else "")
+                + (f"_streams{S}" if S > 1 else "")
             ),
             "value": round(best, 2),
             "unit": "frames/sec/chip",
@@ -413,6 +450,8 @@ def main():
             ["--mode", "e2e", "--source", "device", "--frames", "200",
              "--trials", "2"],
             ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
+             "--frames", "100", "--trials", "2"],
+            ["--mode", "e2e", "--source", "device", "--streams", "4",
              "--frames", "100", "--trials", "2"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "float32"],

@@ -143,6 +143,7 @@ def main(argv=None):
         add_depth_inputs=args.add_depth_inputs,
         add_optflow_inputs=args.add_optflow_inputs,
         fetch_batch=args.fetch_batch,
+        spatial_shards=getattr(args, 'spatial_shards', 1),
     )
     if args.decode == "device":
         logger.warning(

@@ -190,6 +190,7 @@ def main(argv=None):
         dist_threshold=args.dist_threshold,
         dtype=args.compute_dtype,
         decode=args.decode,
+        spatial_shards=getattr(args, 'spatial_shards', 1),
     )
     if args.decode == "device":
         logger.warning(

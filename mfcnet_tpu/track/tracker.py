@@ -66,6 +66,10 @@ class TrackerConfig:
     replicate_left_prev_bug: bool = True
     output_fps: int = 30
     overlay: bool = True
+    #: shard the image height over this many devices (1-D 'spatial' mesh):
+    #: single-stream latency scaling — GSPMD splits every conv across
+    #: chips with ICI halo exchanges. Outputs identical to unsharded.
+    spatial_shards: int = 1
 
 
 @dataclasses.dataclass
@@ -318,23 +322,62 @@ class InferenceEngine:
     """
 
     def __init__(self, model, variables, cfg: TrackerConfig,
-                 flow_model=None, flow_variables=None):
+                 flow_model=None, flow_variables=None,
+                 spatial_shards: int = 0, num_streams: int = 1):
         """``flow_model``/``flow_variables``: optional frozen flow provider
         (a RAFT module) used when cfg.add_optflow_inputs — the reference
         computes flow between the newest frame and each previous frame at
         0.5x resolution, then rescales the flow x2 with bilinear
         align_corners=True (test_multiframe_segmentation_on_videos_v3.py:
-        264-271)."""
+        264-271).
+
+        ``spatial_shards``: shard the image HEIGHT over this many devices
+        (1-D 'spatial' mesh). Tracking is batch-1, so the data axis is
+        useless for latency; height sharding lets GSPMD split every conv
+        across chips with ICI halo exchanges — the single-stream latency
+        scaling path. Outputs are identical to the unsharded engine
+        (pinned by test); the keypoint decode input is gathered to
+        replicated first (the Pallas decode is a whole-image kernel).
+        0 (default) means 'use cfg.spatial_shards'.
+
+        ``num_streams``: track B videos CONCURRENTLY as one batched
+        engine — ring buffers, base forwards, fusion, and keypoint
+        decode all carry a leading stream axis, so B videos cost one
+        batched dispatch per frame instead of B (production serving:
+        aggregate throughput; the reference processes videos strictly
+        sequentially). ``step_async`` then takes (B, H, W, 3) frame
+        stacks and returns per-stream outputs; results are identical to
+        B independent engines (pinned by test). With num_streams == 1
+        the compiled programs are unchanged."""
         import jax
         import jax.numpy as jnp
 
         self.cfg = cfg
+        if spatial_shards == 0:
+            spatial_shards = getattr(cfg, "spatial_shards", 1)
+        B = self.num_streams = max(1, int(num_streams))
         H, W, T, C = (
             cfg.input_height, cfg.input_width,
             cfg.num_input_frames, cfg.num_classes,
         )
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self._jnp = jnp
+
+        self._spatial = None
+        if spatial_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from mfcnet_tpu.parallel import make_mesh
+
+            mesh = make_mesh(spatial_shards, ("spatial",))
+
+            def _h_sharding(ndim, h_axis):
+                spec = [None] * ndim
+                spec[h_axis] = "spatial"
+                return NamedSharding(mesh, PartitionSpec(*spec))
+
+            self._spatial = (mesh, _h_sharding)
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         cvars = jax.tree_util.tree_map(
             lambda x: x.astype(dtype)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
@@ -347,24 +390,26 @@ class InferenceEngine:
         H2, W2 = H // 2, W // 2
 
         def compute_flow(frames_norm):
-            """(1, T, H, W, 3) normalized frames -> (1, T-1, H, W, 2) flow
+            """(B, T, H, W, 3) normalized frames -> (B, T-1, H, W, 2) flow
             (reference v3: flow(newest_half, frame_i_half), upscaled x2
             bilinear align_corners=True, values /0.5).
 
-            The T-1 pairs run as ONE batched forward — every op in the
-            provider is per-sample at eval (convs, instance norm, BN with
-            running stats), so this is numerically identical to the
-            reference's per-pair loop at a third of the dispatches."""
+            All B·(T-1) pairs run as ONE batched forward — every op in
+            the provider is per-sample at eval (convs, instance norm, BN
+            with running stats), so this is numerically identical to the
+            reference's per-pair loop at a fraction of the dispatches."""
             from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
 
             Tn = cfg.num_input_frames
-            assert frames_norm.shape[0] == 1  # engine streams one video
+            Bn = frames_norm.shape[0]
             half = resize_nearest(frames_norm, H2, W2)
-            a = jnp.repeat(half[:, 0], Tn - 1, axis=0)
-            b = half[0, 1:Tn]
-            fl = flow_model.apply(flow_variables, a, b)  # (T-1, H2, W2, 2)
+            a = jnp.repeat(half[:, :1], Tn - 1, axis=1).reshape(
+                (Bn * (Tn - 1), H2, W2, 3)
+            )
+            b = half[:, 1:Tn].reshape((Bn * (Tn - 1), H2, W2, 3))
+            fl = flow_model.apply(flow_variables, a, b)
             fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
-            return fl[None]
+            return fl.reshape((Bn, Tn - 1, H, W, 2))
 
         # streaming fast path: with no flow/depth inputs the per-frame seg
         # ring buffer lives in the space-to-depth domain (zero layout
@@ -377,8 +422,11 @@ class InferenceEngine:
 
         @jax.jit
         def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
+            # frame_u8: (H, W, 3) single-stream or (B, H, W, 3) batched
             x = frame_u8.astype(dtype) / 255.0
-            x = ((x - mean) / std)[None]
+            x = (x - mean) / std
+            if x.ndim == 3:
+                x = x[None]
             if use_s2d:
                 seg_new = model.apply(cvars, x, method="base_forward_s2d")
                 seg_buf = jnp.concatenate(
@@ -389,7 +437,9 @@ class InferenceEngine:
                 seg_buf = jnp.concatenate(
                     [seg_new[:, None], seg_buf[:, :-1]], axis=1
                 )
-            d = (depth_u8.astype(dtype) / 255.0)[None, ..., None]
+            d = (depth_u8.astype(dtype) / 255.0)[..., None]
+            if d.ndim == 3:
+                d = d[None]
             depth_buf = jnp.concatenate(
                 [d[:, None], depth_buf[:, :-1]], axis=1
             )
@@ -408,10 +458,19 @@ class InferenceEngine:
             'device' decode runs fully on device and ships 18 floats
             (+ the mask when score-thresholding or overlays need it).
             """
+            if self._spatial is not None:
+                # gather the height shards: the decode is a whole-image
+                # computation (Pallas kernels see one block) and the host
+                # fetches these outputs anyway
+                import jax as _jax
+
+                probs = _jax.lax.with_sharding_constraint(
+                    probs, self._replicated
+                )
             if cfg.score_detection_threshold > 0:
                 # per-class score threshold, higher classes overwrite
                 # (reference :282-289), computed on device
-                mask = jnp.zeros(probs.shape[:2], jnp.uint8)
+                mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
                 for cls in range(1, probs.shape[-1]):
                     mask = jnp.where(
                         probs[..., cls] > cfg.score_detection_threshold,
@@ -420,14 +479,22 @@ class InferenceEngine:
             else:
                 mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
             if cfg.decode == "device":
+                import functools as _ft
+
                 from mfcnet_tpu.track.decode_device import (
                     decode_keypoints_device,
                 )
 
-                kps = decode_keypoints_device(
-                    probs, int(cfg.area_threshold * 10),
-                    pred=mask.astype(jnp.int32),
+                dec = _ft.partial(
+                    decode_keypoints_device,
+                    area_threshold_x10=int(cfg.area_threshold * 10),
                 )
+                if probs.ndim == 4:  # batched streams: vmap over B
+                    kps = jax.vmap(lambda p, m: dec(p, pred=m))(
+                        probs, mask.astype(jnp.int32)
+                    )
+                else:
+                    kps = dec(probs, pred=mask.astype(jnp.int32))
                 return mask, kps
             heats = jnp.stack(
                 [probs[..., 2], probs[..., 4]], axis=-1
@@ -454,28 +521,42 @@ class InferenceEngine:
                 logits = model.apply(
                     cvars, seg_buf, method="fuse_precomputed", **kwargs
                 )
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            return _outputs(probs)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return _outputs(probs[0] if B == 1 else probs)
 
         @jax.jit
         def full(frames_u8, depth_u8):
+            # frames_u8: (T, H, W, 3) single-stream or (B, T, H, W, 3)
             x = frames_u8.astype(dtype) / 255.0
-            x = ((x - mean) / std)[None]
+            x = (x - mean) / std
+            if x.ndim == 4:
+                x = x[None]
             kwargs = {}
             if cfg.add_depth_inputs:
-                kwargs["depth"] = (
-                    depth_u8.astype(dtype) / 255.0
-                )[None, ..., None]
+                d = (depth_u8.astype(dtype) / 255.0)[..., None]
+                kwargs["depth"] = d[None] if d.ndim == 4 else d
             if cfg.add_optflow_inputs:
                 kwargs["optflow"] = compute_flow(x)
             logits = model.apply(cvars, x, **kwargs)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0]
-            return _outputs(probs)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return _outputs(probs[0] if B == 1 else probs)
 
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self._shapes = (H, W, T, C, dtype)
-        self._zero_depth = jnp.zeros((H, W), jnp.uint8)  # uploaded once
+        self._zero_depth = self._put(  # uploaded once
+            jnp.zeros((H, W) if B == 1 else (B, H, W), jnp.uint8),
+            0 if B == 1 else 1,
+        )
         self.reset()
+
+    def _put(self, x, h_axis):
+        """Commit an array; with a spatial mesh, shard its height axis."""
+        import jax
+
+        if self._spatial is None:
+            return jax.numpy.asarray(x)
+        _, h_sharding = self._spatial
+        return jax.device_put(x, h_sharding(x.ndim, h_axis))
 
     def reset(self):
         """Zero the ring buffers and warmup queue — start of a new video.
@@ -483,32 +564,42 @@ class InferenceEngine:
         videos/trials without recompiling."""
         jnp = self._jnp
         H, W, T, C, dtype = self._shapes
+        B = self.num_streams
         if self._use_s2d:
-            self.seg_buf = jnp.zeros(
-                (1, H // 4, W // 4, T * 16 * C), dtype
+            self.seg_buf = self._put(
+                jnp.zeros((B, H // 4, W // 4, T * 16 * C), dtype), 1
             )
         else:
-            self.seg_buf = jnp.zeros((1, T, H, W, C), dtype)
-        self.depth_buf = jnp.zeros((1, T, H, W, 1), dtype)
-        self.frame_buf = jnp.zeros(
-            (1, T if self.cfg.add_optflow_inputs else 1, H, W, 3), dtype
+            self.seg_buf = self._put(jnp.zeros((B, T, H, W, C), dtype), 2)
+        self.depth_buf = self._put(jnp.zeros((B, T, H, W, 1), dtype), 2)
+        self.frame_buf = self._put(
+            jnp.zeros(
+                (B, T if self.cfg.add_optflow_inputs else 1, H, W, 3), dtype
+            ),
+            2,
         )
         self._frame_q = []
         self._depth_q = []
 
     def step_async(self, frame_u8, depth_u8=None):
         """Dispatch one frame; returns device handles (mask, aux) or None
-        during warmup. No host synchronization — fetch with np.asarray."""
-        jnp = self._jnp
+        during warmup. No host synchronization — fetch with np.asarray.
+
+        Single-stream engines take one (H, W, 3) frame; multi-stream
+        engines (num_streams=B) take a lockstep (B, H, W, 3) stack and
+        return (B, ...) outputs."""
         T = self.cfg.num_input_frames
+        batched = self.num_streams > 1
+        # height axis of an incoming frame/depth array
+        hax = 1 if batched else 0
         if self.cfg.mode == "incremental":
             d = (
                 self._zero_depth if depth_u8 is None
-                else jnp.asarray(depth_u8)
+                else self._put(np.asarray(depth_u8), hax)
             )
             self.seg_buf, self.depth_buf, self.frame_buf = self._ingest(
                 self.seg_buf, self.depth_buf, self.frame_buf,
-                jnp.asarray(frame_u8), d,
+                self._put(np.asarray(frame_u8), hax), d,
             )
             self._frame_q.append(True)
             if len(self._frame_q) < T:
@@ -516,7 +607,10 @@ class InferenceEngine:
             return self._fuse(self.seg_buf, self.depth_buf, self.frame_buf)
         # full mode: keep raw frames, newest-first stacking (reference :251)
         if depth_u8 is None:
-            depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
+            depth_u8 = np.zeros(
+                frame_u8.shape[:-1] if batched else frame_u8.shape[:2],
+                np.uint8,
+            )
         self._frame_q.append(frame_u8)
         self._depth_q.append(depth_u8)
         if len(self._frame_q) > T:
@@ -524,9 +618,13 @@ class InferenceEngine:
             self._depth_q.pop(0)
         if len(self._frame_q) < T:
             return None
-        stack = np.stack(self._frame_q[::-1])
-        dstack = np.stack(self._depth_q[::-1])
-        return self._full(jnp.asarray(stack), jnp.asarray(dstack))
+        # (T, H, W, 3) single-stream; (B, T, H, W, 3) batched
+        stack = np.stack(self._frame_q[::-1], axis=1 if batched else 0)
+        dstack = np.stack(self._depth_q[::-1], axis=1 if batched else 0)
+        return self._full(
+            self._put(stack, 2 if batched else 1),
+            self._put(dstack, 2 if batched else 1),
+        )
 
     def step(self, frame_u8, depth_u8=None):
         """Synchronous step: (mask, aux) numpy arrays, or None in warmup."""
@@ -753,3 +851,187 @@ def track_on_frames(
     return _track_stream(
         stream(), len(frames), name, engine, cfg, output_dir, logger
     )
+
+
+def track_on_frame_streams(
+    streams,
+    model,
+    variables,
+    cfg: TrackerConfig,
+    output_dir,
+    names=None,
+    depth_streams=None,
+    logger=None,
+    flow_model=None,
+    flow_variables=None,
+    engine: Optional["InferenceEngine"] = None,
+    prestacked: bool = False,
+):
+    """Track B videos CONCURRENTLY with one batched engine (production
+    serving: aggregate throughput). The reference processes videos
+    strictly sequentially (test_multiframe_segmentation_on_videos_v3.py:
+    373-399, one track_on_video per file); here all B streams advance in
+    lockstep — one batched dispatch per frame step instead of B — and
+    each stream gets its own tracker state and ``{name}_tracked.csv``
+    (+ overlay MP4 when cfg.overlay). Keypoint rows are identical to B
+    independent single-stream engines (pinned by test).
+
+    ``streams``: either a list of B equal-length frame sequences (each
+    item (H, W, 3) uint8), or — with ``prestacked=True`` — a sequence of
+    N lockstep (B, H, W, 3) batches (host numpy or device-resident, the
+    bench's zero-H2D configuration). ``depth_streams`` mirrors the
+    chosen layout ((H, W) items, or (B, H, W) batches).
+
+    Returns (list of B per-stream row arrays, aggregate frames/s).
+    """
+    if prestacked:
+        N = len(streams)
+        B = int(np.asarray(streams[0]).shape[0]) if N else 0
+
+        def get_batch(i):
+            return streams[i]
+
+        def get_depth(i):
+            return depth_streams[i] if depth_streams is not None else None
+    else:
+        B = len(streams)
+        N = len(streams[0]) if B else 0
+        assert all(len(s) == N for s in streams), (
+            "streams must be lockstep (equal length); pad or group by "
+            "length upstream"
+        )
+
+        def get_batch(i):
+            return np.stack([np.asarray(s[i]) for s in streams])
+
+        def get_depth(i):
+            if depth_streams is None:
+                return None
+            return np.stack([np.asarray(s[i]) for s in depth_streams])
+
+    names = list(names) if names is not None else [
+        f"stream{b}" for b in range(B)
+    ]
+    assert len(names) == B
+    if engine is None:
+        engine = InferenceEngine(
+            model, variables, cfg, flow_model=flow_model,
+            flow_variables=flow_variables, num_streams=B,
+        )
+    assert engine.num_streams == B, (
+        f"engine has num_streams={engine.num_streams}, need {B}"
+    )
+    engine.reset()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    H, W = cfg.input_height, cfg.input_width
+    writers = None
+    if cfg.overlay:
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        writers = [
+            cv2.VideoWriter(
+                str(output_dir / f"{name}_tracked.mp4"), fourcc,
+                cfg.output_fps, (W, H),
+            )
+            for name in names
+        ]
+
+    trackers = [KeypointTracker(N, cfg) for _ in range(B)]
+    t_start = time.perf_counter()
+    frames_done = 0
+    need_mask = cfg.overlay or cfg.decode != "device"
+    K = max(1, cfg.fetch_batch)
+    jnp = engine._jnp
+    cur = []       # (frame_batch, handles) dispatched, not yet stacked
+    staged = None  # (frame_batches, masks|None, auxs, mask_handles)
+
+    def consume_step(frame_batch, masks_np, aux_np, mask_handle=None):
+        """One lockstep frame across all B streams (host side)."""
+        nonlocal frames_done
+        for b in range(B):
+            disp = (
+                render_overlay(
+                    np.asarray(frame_batch[b]), masks_np[b]
+                )
+                if cfg.overlay else None
+            )
+            if cfg.decode == "device":
+                trackers[b].update_device(
+                    aux_np[b],
+                    masks_np[b] if masks_np is not None else None,
+                    disp,
+                    mask_provider=(
+                        None if mask_handle is None
+                        else (lambda h=mask_handle, bb=b: h[bb])
+                    ),
+                )
+            else:
+                heats = aux_np[b].astype(np.float32)
+                trackers[b].update(
+                    masks_np[b], heats[..., 1], heats[..., 0], disp
+                )
+            if writers is not None:
+                writers[b].write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+        frames_done += B
+
+    def stage():
+        nonlocal staged, cur
+        if not cur:
+            return
+        frame_batches = [f for f, _ in cur]
+        mask_handles = [h[0] for _, h in cur]
+        masks = jnp.stack(mask_handles) if need_mask else None
+        auxs = jnp.stack([h[1] for _, h in cur])
+        cur = []
+        staged = (frame_batches, masks, auxs, mask_handles)
+
+    def fetch_staged():
+        nonlocal staged
+        if staged is None:
+            return
+        frame_batches, masks, auxs, mask_handles = staged
+        staged = None
+        masks_np = np.asarray(masks) if masks is not None else None
+        auxs_np = np.asarray(auxs)
+        for i, fb in enumerate(frame_batches):
+            consume_step(
+                fb,
+                masks_np[i] if masks_np is not None else None,
+                auxs_np[i],
+                mask_handle=mask_handles[i],
+            )
+
+    for i in range(N):
+        batch = get_batch(i)
+        handles = engine.step_async(batch, get_depth(i))
+        if handles is None:  # warmup frame — keep row order
+            stage()
+            fetch_staged()
+            for tr in trackers:
+                tr.skip()
+            continue
+        cur.append((batch, handles))
+        if len(cur) >= K:
+            fetch_staged()
+            stage()
+    fetch_staged()
+    stage()
+    fetch_staged()
+
+    elapsed = time.perf_counter() - t_start
+    if writers is not None:
+        for w in writers:
+            w.release()
+    all_rows = []
+    for b, name in enumerate(names):
+        csv_path = output_dir / f"{name}_tracked.csv"
+        np.savetxt(csv_path, trackers[b].rows, delimiter=",")
+        all_rows.append(trackers[b].rows)
+    agg_fps = frames_done / max(elapsed, 1e-9)
+    if logger:
+        logger.info(
+            f"Tracked {B} streams x {N} frames concurrently: "
+            f"{agg_fps:.1f} frames/s aggregate "
+            f"({agg_fps / max(B, 1):.1f} per stream)"
+        )
+    return all_rows, agg_fps

@@ -292,3 +292,127 @@ def test_tracker_with_optical_flow(tmp_path):
                 outs["incremental"][1], outs["full"][1], atol=5e-4,
                 err_msg=f"frame {t}",
             )
+
+
+@pytest.mark.parametrize("mode,decode", [
+    ("incremental", "host"),
+    ("full", "host"),
+    ("incremental", "device"),
+])
+def test_engine_spatial_sharded_matches_unsharded(mode, decode):
+    """InferenceEngine(spatial_shards=4): the batch-1 latency-scaling path
+    — image height sharded over a 1-D 'spatial' mesh, GSPMD splitting
+    every conv with halo exchanges — produces the same masks/heatmaps as
+    the unsharded engine (covers both the s2d incremental ring buffer,
+    whose H/4 axis is the sharded one, and the full recompute path)."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", mode=mode, decode=decode,
+    )
+    ref = InferenceEngine(model, variables, cfg)
+    shd = InferenceEngine(model, variables, cfg, spatial_shards=4)
+    for t in range(6):
+        a = ref.step(frames[t])
+        b = shd.step(frames[t])
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"mask frame {t}")
+        np.testing.assert_allclose(
+            np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
+            atol=1e-3, err_msg=f"aux frame {t}",
+        )
+
+
+@pytest.mark.parametrize("mode,decode", [
+    ("incremental", "host"),
+    ("incremental", "device"),
+    ("full", "host"),
+])
+def test_multistream_matches_single_stream(tmp_path, mode, decode):
+    """track_on_frame_streams: B videos tracked concurrently by one
+    batched engine produce exactly the per-stream CSV rows of B
+    independent single-stream engines — in both decode paths and both
+    engine modes, and identically through the prestacked (lockstep
+    (B,H,W,3) batches) input layout."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import (
+        TrackerConfig,
+        track_on_frame_streams,
+        track_on_frames,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C, B, N = 64, 32, 3, 5, 2, 7
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(9)
+    streams = [
+        rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8) for _ in range(B)
+    ]
+
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", mode=mode, decode=decode, overlay=False,
+    )
+    ref_rows = [
+        track_on_frames(
+            s, model, variables, cfg, tmp_path / f"ref{b}", name=f"s{b}"
+        )[0]
+        for b, s in enumerate(streams)
+    ]
+
+    got_rows, agg_fps = track_on_frame_streams(
+        streams, model, variables, cfg, tmp_path / "multi",
+        names=[f"s{b}" for b in range(B)],
+    )
+    assert agg_fps > 0
+    for b in range(B):
+        np.testing.assert_array_equal(
+            got_rows[b], ref_rows[b], err_msg=f"stream {b}"
+        )
+        csv = tmp_path / "multi" / f"s{b}_tracked.csv"
+        assert csv.exists()
+
+    # prestacked lockstep layout: same rows
+    stacked = [
+        np.stack([streams[b][i] for b in range(B)]) for i in range(N)
+    ]
+    got2, _ = track_on_frame_streams(
+        stacked, model, variables, cfg, tmp_path / "multi2",
+        names=[f"s{b}" for b in range(B)], prestacked=True,
+    )
+    for b in range(B):
+        np.testing.assert_array_equal(got2[b], got_rows[b])
