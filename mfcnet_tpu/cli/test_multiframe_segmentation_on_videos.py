@@ -75,6 +75,16 @@ def build_parser():
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--model_scale", type=float, default=1.0)
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard the image HEIGHT over this many devices "
+                        "(single-stream latency scaling; outputs "
+                        "identical to unsharded)")
+    p.add_argument("--parallel_videos", type=int, default=1,
+                   help="track this many videos CONCURRENTLY with one "
+                        "batched engine (aggregate throughput; videos "
+                        "are grouped by frame count and each group's "
+                        "frames are pre-decoded to RAM). Keypoint rows "
+                        "are identical to sequential tracking")
     return p
 
 
@@ -185,14 +195,86 @@ def main(argv=None):
         else [None] * len(videos)
     )
     fps_all = []
-    for video, dvideo in zip(videos, depth_videos):
-        logger.info(f"Processing video: {video}")
-        _, fps = track_on_video(
-            video, model, variables, cfg, out_dir,
-            depth_video_path=dvideo, logger=logger,
-            flow_model=flow_model, flow_variables=flow_variables,
+    P = max(1, getattr(args, "parallel_videos", 1))
+    if P > 1:
+        # batched serving: groups of up to P same-length videos advance
+        # in lockstep through ONE batched engine (per-video CSVs/overlays
+        # unchanged; rows identical to sequential tracking). Group frames
+        # are pre-decoded to RAM (~H*W*3*N bytes per video).
+        from collections import defaultdict
+
+        import cv2
+
+        from mfcnet_tpu.track.tracker import (
+            InferenceEngine,
+            track_on_frame_streams,
         )
-        fps_all.append(fps)
+
+        def read_all(path, gray=False):
+            cap = cv2.VideoCapture(str(path))
+            out = []
+            while True:
+                ret, f = cap.read()
+                if not ret:
+                    break
+                f = cv2.cvtColor(
+                    f, cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
+                )
+                out.append(cv2.resize(f, (W, H)))
+            cap.release()
+            return out
+
+        groups = defaultdict(list)
+        for video, dvideo in zip(videos, depth_videos):
+            cap = cv2.VideoCapture(str(video))
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            groups[n].append((video, dvideo))
+        engine_cache = {}
+        for n, items in sorted(groups.items()):
+            for i in range(0, len(items), P):
+                chunk = items[i : i + P]
+                streams = [read_all(v) for v, _ in chunk]
+                # metadata frame counts can lie: enforce lockstep on the
+                # actually-decoded lengths
+                n_min = min(len(s) for s in streams)
+                if any(len(s) != n_min for s in streams):
+                    logger.warning(
+                        f"truncating group to {n_min} frames "
+                        "(decoded lengths differ)"
+                    )
+                    streams = [s[:n_min] for s in streams]
+                dstreams = None
+                if args.add_depth_inputs:
+                    dstreams = [
+                        read_all(d, gray=True)[:n_min] for _, d in chunk
+                    ]
+                names = [Path(v).stem for v, _ in chunk]
+                logger.info(
+                    f"Tracking {len(chunk)} videos concurrently: {names}"
+                )
+                B = len(chunk)
+                engine = engine_cache.get(B)
+                if engine is None:
+                    engine = InferenceEngine(
+                        model, variables, cfg, flow_model=flow_model,
+                        flow_variables=flow_variables, num_streams=B,
+                    )
+                    engine_cache[B] = engine
+                _, fps = track_on_frame_streams(
+                    streams, model, variables, cfg, out_dir, names=names,
+                    depth_streams=dstreams, logger=logger, engine=engine,
+                )
+                fps_all.append(fps)
+    else:
+        for video, dvideo in zip(videos, depth_videos):
+            logger.info(f"Processing video: {video}")
+            _, fps = track_on_video(
+                video, model, variables, cfg, out_dir,
+                depth_video_path=dvideo, logger=logger,
+                flow_model=flow_model, flow_variables=flow_variables,
+            )
+            fps_all.append(fps)
     if fps_all:
         logger.info(f"mean throughput: {np.mean(fps_all):.1f} frames/s")
     return fps_all

@@ -54,6 +54,10 @@ def build_parser():
                    help="host = exact OpenCV-parity decode; device = "
                         "fully on-device fixed-shape decode (largest-"
                         "component base, ships 18 floats/frame)")
+    p.add_argument("--spatial_shards", type=int, default=1,
+                   help="shard the image HEIGHT over this many devices "
+                        "(single-stream latency scaling; outputs "
+                        "identical to unsharded)")
     return p
 
 
@@ -145,6 +149,26 @@ def main(argv=None):
     mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
     std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 
+    # --spatial_shards: height-sharded input -> GSPMD splits every conv
+    # over a 1-D 'spatial' mesh (single-stream latency scaling); the
+    # probability map is gathered back before decode/transfer
+    spatial = getattr(args, "spatial_shards", 1)
+    _replicated = None
+    if spatial > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from mfcnet_tpu.parallel import make_mesh
+
+        _mesh = make_mesh(spatial, ("spatial",))
+        _h_shard = NamedSharding(_mesh, PartitionSpec("spatial"))
+        _replicated = NamedSharding(_mesh, PartitionSpec())
+
+        def put(x):
+            return jax.device_put(x, _h_shard)
+    else:
+        def put(x):
+            return jnp.asarray(x)
+
     @jax.jit
     def dev_step(frame_u8):
         x = frame_u8.astype(dtype) / 255.0
@@ -153,6 +177,9 @@ def main(argv=None):
         if output_mode == "logits":
             out = jax.nn.log_softmax(out, axis=-1)
         probs = jnp.exp(out.astype(jnp.float32))[0]
+        if _replicated is not None:
+            # gather height shards before decode/transfer
+            probs = jax.lax.with_sharding_constraint(probs, _replicated)
         # mask + minimized aux outputs (multiframe _outputs semantics:
         # track/tracker.py) — full probs never leave the device
         if args.score_detection_threshold > 0:
@@ -179,7 +206,7 @@ def main(argv=None):
         return mask, aux
 
     def step_fn(frame):
-        mask, aux = dev_step(jnp.asarray(frame))
+        mask, aux = dev_step(put(np.asarray(frame)))
         return np.asarray(mask), np.asarray(aux).astype(np.float32)
 
     cfg = TrackerConfig(

@@ -203,3 +203,116 @@ def test_singleframe_video_cli(tmp_path):
         delimiter=",",
     )
     assert rows_dev.shape == (5, 12)
+
+
+def test_video_cli_parallel_videos(tmp_path):
+    """--parallel_videos 2: two same-length videos tracked concurrently by
+    one batched engine produce byte-identical CSVs to the sequential
+    run."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+
+    for i, seed in enumerate((3, 4)):
+        make_synthetic_video(
+            tmp_path / "vids" / f"v{i}.mp4", num_frames=6,
+            height=64, width=64, seed=seed,
+        )
+
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, 3, 32, 32, 3), np.float32)
+    )
+    tx = multiframe_optimizer(make_schedule("Constant", 1e-4, 1, 1), 3,
+                              False, False)
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--model_type", "TernausNetMulti-Basic",
+        "--load_wts_model", str(ck),
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+    ]
+    fps_seq = main(common + ["--expt_name", "seq"])
+    assert len(fps_seq) == 2
+    fps_par = main(common + ["--expt_name", "par", "--parallel_videos", "2"])
+    assert len(fps_par) == 1  # one group of 2
+
+    for name in ("v0", "v1"):
+        a = np.loadtxt(
+            tmp_path / "seq" / "video_tracking_results"
+            / f"{name}_tracked.csv", delimiter=",",
+        )
+        b = np.loadtxt(
+            tmp_path / "par" / "video_tracking_results"
+            / f"{name}_tracked.csv", delimiter=",",
+        )
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_singleframe_video_cli_spatial(tmp_path):
+    """--spatial_shards 4 on the single-frame video CLI: identical CSV to
+    the unsharded run (height-sharded input, GSPMD-split convs, gather
+    before decode)."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_tooltip_segmentation_model
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, singleframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    make_synthetic_video(tmp_path / "vids" / "c.mp4", num_frames=5,
+                         height=64, width=64, seed=8)
+    model = get_tooltip_segmentation_model("TernausNet16", 5, scale=0.1)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    tx = singleframe_optimizer(make_schedule("Constant", 1e-4, 1, 1))
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.test_toolpose_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--model_type", "TernausNet16",
+        "--load_wts_model", str(ck),
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+    ]
+    main(common + ["--expt_name", "sf_ref"])
+    main(common + ["--expt_name", "sf_sp", "--spatial_shards", "4"])
+    a = np.loadtxt(
+        tmp_path / "sf_ref" / "video_tracking_results" / "c_tracked.csv",
+        delimiter=",",
+    )
+    b = np.loadtxt(
+        tmp_path / "sf_sp" / "video_tracking_results" / "c_tracked.csv",
+        delimiter=",",
+    )
+    np.testing.assert_array_equal(a, b)

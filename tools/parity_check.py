@@ -461,6 +461,18 @@ def compare_tips(pa, pb):
 
 # ---------------------------------------------------------------------------
 def main(argv=None):
+    # Honor an explicit JAX_PLATFORMS request: the environment's axon TPU
+    # plugin force-appends itself to jax_platforms, so a caller exporting
+    # JAX_PLATFORMS=cpu would otherwise still initialize (and, with the
+    # tunnel down, hang on) the TPU backend. Same workaround as
+    # tests/conftest.py.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("checkpoint", help="reference .pth")
     ap.add_argument("--frames", default=None,
