@@ -913,6 +913,22 @@ def track_on_frame_streams(
         f"stream{b}" for b in range(B)
     ]
     assert len(names) == B
+    if B == 1:
+        # a 1-stream engine squeezes its outputs (single-stream layout);
+        # delegate to the single-stream driver for identical behavior
+        frames = [x[0] for x in streams] if prestacked else streams[0]
+        dframes = None
+        if depth_streams is not None:
+            dframes = (
+                [x[0] for x in depth_streams] if prestacked
+                else depth_streams[0]
+            )
+        rows, fps = track_on_frames(
+            frames, model, variables, cfg, output_dir, name=names[0],
+            depth_frames=dframes, logger=logger, flow_model=flow_model,
+            flow_variables=flow_variables, engine=engine,
+        )
+        return [rows], fps
     if engine is None:
         engine = InferenceEngine(
             model, variables, cfg, flow_model=flow_model,

@@ -416,3 +416,48 @@ def test_multistream_matches_single_stream(tmp_path, mode, decode):
     )
     for b in range(B):
         np.testing.assert_array_equal(got2[b], got_rows[b])
+
+
+def test_multistream_single_stream_delegation(tmp_path):
+    """track_on_frame_streams with B=1 (both input layouts) delegates to
+    the single-stream driver and matches track_on_frames."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import (
+        TrackerConfig,
+        track_on_frame_streams,
+        track_on_frames,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C, N = 64, 32, 3, 5, 6
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8)
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", overlay=False,
+    )
+    ref, _ = track_on_frames(
+        frames, model, variables, cfg, tmp_path / "ref", name="s0"
+    )
+    got, _ = track_on_frame_streams(
+        [frames], model, variables, cfg, tmp_path / "a", names=["s0"]
+    )
+    np.testing.assert_array_equal(got[0], ref)
+    got2, _ = track_on_frame_streams(
+        [frames[i][None] for i in range(N)], model, variables, cfg,
+        tmp_path / "b", names=["s0"], prestacked=True,
+    )
+    np.testing.assert_array_equal(got2[0], ref)
