@@ -197,12 +197,11 @@ def main(argv=None):
     fps_all = []
     P = max(1, getattr(args, "parallel_videos", 1))
     if P > 1:
-        # batched serving: groups of up to P same-length videos advance
-        # in lockstep through ONE batched engine (per-video CSVs/overlays
-        # unchanged; rows identical to sequential tracking). Group frames
-        # are pre-decoded to RAM (~H*W*3*N bytes per video).
-        from collections import defaultdict
-
+        # batched serving: groups of up to P videos advance in lockstep
+        # through ONE batched engine (per-video CSVs/overlays unchanged;
+        # rows identical to sequential tracking; unequal lengths are
+        # padded device-side and the padded results discarded). Group
+        # frames are pre-decoded to RAM (~H*W*3*N bytes per video).
         import cv2
 
         from mfcnet_tpu.track.tracker import (
@@ -224,48 +223,34 @@ def main(argv=None):
             cap.release()
             return out
 
-        groups = defaultdict(list)
-        for video, dvideo in zip(videos, depth_videos):
-            cap = cv2.VideoCapture(str(video))
-            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            cap.release()
-            groups[n].append((video, dvideo))
+        items = list(zip(videos, depth_videos))
         engine_cache = {}
-        for n, items in sorted(groups.items()):
-            for i in range(0, len(items), P):
-                chunk = items[i : i + P]
-                streams = [read_all(v) for v, _ in chunk]
-                # metadata frame counts can lie: enforce lockstep on the
-                # actually-decoded lengths
-                n_min = min(len(s) for s in streams)
-                if any(len(s) != n_min for s in streams):
-                    logger.warning(
-                        f"truncating group to {n_min} frames "
-                        "(decoded lengths differ)"
-                    )
-                    streams = [s[:n_min] for s in streams]
-                dstreams = None
-                if args.add_depth_inputs:
-                    dstreams = [
-                        read_all(d, gray=True)[:n_min] for _, d in chunk
-                    ]
-                names = [Path(v).stem for v, _ in chunk]
-                logger.info(
-                    f"Tracking {len(chunk)} videos concurrently: {names}"
+        for i in range(0, len(items), P):
+            chunk = items[i : i + P]
+            streams = [read_all(v) for v, _ in chunk]
+            dstreams = None
+            if args.add_depth_inputs:
+                dstreams = [
+                    read_all(d, gray=True)[: len(streams[j])]
+                    for j, (_, d) in enumerate(chunk)
+                ]
+            names = [Path(v).stem for v, _ in chunk]
+            logger.info(
+                f"Tracking {len(chunk)} videos concurrently: {names}"
+            )
+            B = len(chunk)
+            engine = engine_cache.get(B)
+            if engine is None:
+                engine = InferenceEngine(
+                    model, variables, cfg, flow_model=flow_model,
+                    flow_variables=flow_variables, num_streams=B,
                 )
-                B = len(chunk)
-                engine = engine_cache.get(B)
-                if engine is None:
-                    engine = InferenceEngine(
-                        model, variables, cfg, flow_model=flow_model,
-                        flow_variables=flow_variables, num_streams=B,
-                    )
-                    engine_cache[B] = engine
-                _, fps = track_on_frame_streams(
-                    streams, model, variables, cfg, out_dir, names=names,
-                    depth_streams=dstreams, logger=logger, engine=engine,
-                )
-                fps_all.append(fps)
+                engine_cache[B] = engine
+            _, fps = track_on_frame_streams(
+                streams, model, variables, cfg, out_dir, names=names,
+                depth_streams=dstreams, logger=logger, engine=engine,
+            )
+            fps_all.append(fps)
     else:
         for video, dvideo in zip(videos, depth_videos):
             logger.info(f"Processing video: {video}")

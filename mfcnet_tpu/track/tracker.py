@@ -876,17 +876,21 @@ def track_on_frame_streams(
     (+ overlay MP4 when cfg.overlay). Keypoint rows are identical to B
     independent single-stream engines (pinned by test).
 
-    ``streams``: either a list of B equal-length frame sequences (each
-    item (H, W, 3) uint8), or — with ``prestacked=True`` — a sequence of
-    N lockstep (B, H, W, 3) batches (host numpy or device-resident, the
-    bench's zero-H2D configuration). ``depth_streams`` mirrors the
-    chosen layout ((H, W) items, or (B, H, W) batches).
+    ``streams``: either a list of B frame sequences (each item (H, W, 3)
+    uint8; lengths may DIFFER — shorter streams are padded device-side by
+    repeating their last frame, with the padded steps' results discarded,
+    so each stream's rows equal its own independent run), or — with
+    ``prestacked=True`` — a sequence of N lockstep (B, H, W, 3) batches
+    (host numpy or device-resident, the bench's zero-H2D configuration;
+    necessarily equal-length). ``depth_streams`` mirrors the chosen
+    layout ((H, W) items, or (B, H, W) batches).
 
     Returns (list of B per-stream row arrays, aggregate frames/s).
     """
     if prestacked:
         N = len(streams)
         B = int(np.asarray(streams[0]).shape[0]) if N else 0
+        Ns = [N] * B
 
         def get_batch(i):
             return streams[i]
@@ -895,19 +899,21 @@ def track_on_frame_streams(
             return depth_streams[i] if depth_streams is not None else None
     else:
         B = len(streams)
-        N = len(streams[0]) if B else 0
-        assert all(len(s) == N for s in streams), (
-            "streams must be lockstep (equal length); pad or group by "
-            "length upstream"
-        )
+        Ns = [len(s) for s in streams]
+        N = max(Ns) if B else 0
 
         def get_batch(i):
-            return np.stack([np.asarray(s[i]) for s in streams])
+            # repeat-last-frame padding for exhausted streams
+            return np.stack(
+                [np.asarray(s[min(i, len(s) - 1)]) for s in streams]
+            )
 
         def get_depth(i):
             if depth_streams is None:
                 return None
-            return np.stack([np.asarray(s[i]) for s in depth_streams])
+            return np.stack(
+                [np.asarray(s[min(i, len(s) - 1)]) for s in depth_streams]
+            )
 
     names = list(names) if names is not None else [
         f"stream{b}" for b in range(B)
@@ -952,19 +958,21 @@ def track_on_frame_streams(
             for name in names
         ]
 
-    trackers = [KeypointTracker(N, cfg) for _ in range(B)]
+    trackers = [KeypointTracker(Ns[b], cfg) for b in range(B)]
     t_start = time.perf_counter()
     frames_done = 0
     need_mask = cfg.overlay or cfg.decode != "device"
     K = max(1, cfg.fetch_batch)
     jnp = engine._jnp
-    cur = []       # (frame_batch, handles) dispatched, not yet stacked
-    staged = None  # (frame_batches, masks|None, auxs, mask_handles)
+    cur = []       # (idx, frame_batch, handles) dispatched, not staged
+    staged = None  # (idxs, frame_batches, masks|None, auxs, mask_handles)
 
-    def consume_step(frame_batch, masks_np, aux_np, mask_handle=None):
-        """One lockstep frame across all B streams (host side)."""
+    def consume_step(idx, frame_batch, masks_np, aux_np, mask_handle=None):
+        """One lockstep frame across all streams still active at idx."""
         nonlocal frames_done
         for b in range(B):
+            if idx >= Ns[b]:  # padded step of an exhausted stream
+                continue
             disp = (
                 render_overlay(
                     np.asarray(frame_batch[b]), masks_np[b]
@@ -988,33 +996,35 @@ def track_on_frame_streams(
                 )
             if writers is not None:
                 writers[b].write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
-        frames_done += B
+            frames_done += 1
 
     def stage():
         nonlocal staged, cur
         if not cur:
             return
-        frame_batches = [f for f, _ in cur]
-        mask_handles = [h[0] for _, h in cur]
+        idxs = [i for i, _, _ in cur]
+        frame_batches = [f for _, f, _ in cur]
+        mask_handles = [h[0] for _, _, h in cur]
         masks = jnp.stack(mask_handles) if need_mask else None
-        auxs = jnp.stack([h[1] for _, h in cur])
+        auxs = jnp.stack([h[1] for _, _, h in cur])
         cur = []
-        staged = (frame_batches, masks, auxs, mask_handles)
+        staged = (idxs, frame_batches, masks, auxs, mask_handles)
 
     def fetch_staged():
         nonlocal staged
         if staged is None:
             return
-        frame_batches, masks, auxs, mask_handles = staged
+        idxs, frame_batches, masks, auxs, mask_handles = staged
         staged = None
         masks_np = np.asarray(masks) if masks is not None else None
         auxs_np = np.asarray(auxs)
-        for i, fb in enumerate(frame_batches):
+        for k, (idx, fb) in enumerate(zip(idxs, frame_batches)):
             consume_step(
+                idx,
                 fb,
-                masks_np[i] if masks_np is not None else None,
-                auxs_np[i],
-                mask_handle=mask_handles[i],
+                masks_np[k] if masks_np is not None else None,
+                auxs_np[k],
+                mask_handle=mask_handles[k],
             )
 
     for i in range(N):
@@ -1023,10 +1033,11 @@ def track_on_frame_streams(
         if handles is None:  # warmup frame — keep row order
             stage()
             fetch_staged()
-            for tr in trackers:
-                tr.skip()
+            for b, tr in enumerate(trackers):
+                if i < Ns[b]:
+                    tr.skip()
             continue
-        cur.append((batch, handles))
+        cur.append((i, batch, handles))
         if len(cur) >= K:
             fetch_staged()
             stage()

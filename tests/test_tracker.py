@@ -461,3 +461,53 @@ def test_multistream_single_stream_delegation(tmp_path):
         tmp_path / "b", names=["s0"], prestacked=True,
     )
     np.testing.assert_array_equal(got2[0], ref)
+
+
+def test_multistream_unequal_lengths(tmp_path):
+    """Streams of different lengths: shorter streams are padded
+    device-side (repeat-last-frame) and the padded steps discarded, so
+    every stream's rows equal its own independent single-stream run."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import (
+        TrackerConfig,
+        track_on_frame_streams,
+        track_on_frames,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(13)
+    lengths = (7, 4, 2)  # incl. one shorter than the warmup window
+    streams = [
+        rng.integers(0, 255, (n, H, W, 3), dtype=np.uint8) for n in lengths
+    ]
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", overlay=False,
+    )
+    refs = [
+        track_on_frames(
+            s, model, variables, cfg, tmp_path / f"r{b}", name=f"s{b}"
+        )[0]
+        for b, s in enumerate(streams)
+    ]
+    got, _ = track_on_frame_streams(
+        streams, model, variables, cfg, tmp_path / "m",
+        names=[f"s{b}" for b in range(len(streams))],
+    )
+    for b, (n, ref) in enumerate(zip(lengths, refs)):
+        assert got[b].shape == (n, 12)
+        np.testing.assert_array_equal(got[b], ref, err_msg=f"stream {b}")
