@@ -323,7 +323,8 @@ class InferenceEngine:
 
     def __init__(self, model, variables, cfg: TrackerConfig,
                  flow_model=None, flow_variables=None,
-                 spatial_shards: int = 0, num_streams: int = 1):
+                 spatial_shards: int = 0, num_streams: int = 1,
+                 stream_shards: int = 1):
         """``flow_model``/``flow_variables``: optional frozen flow provider
         (a RAFT module) used when cfg.add_optflow_inputs — the reference
         computes flow between the newest frame and each previous frame at
@@ -348,7 +349,13 @@ class InferenceEngine:
         sequentially). ``step_async`` then takes (B, H, W, 3) frame
         stacks and returns per-stream outputs; results are identical to
         B independent engines (pinned by test). With num_streams == 1
-        the compiled programs are unchanged."""
+        the compiled programs are unchanged.
+
+        ``stream_shards``: additionally shard the STREAM axis over a
+        'data' mesh axis (requires num_streams % stream_shards == 0) —
+        the pod-serving layout: independent streams on independent
+        chips, composable with ``spatial_shards`` as a (data, spatial)
+        mesh. Outputs identical (pinned by test)."""
         import jax
         import jax.numpy as jnp
 
@@ -356,6 +363,12 @@ class InferenceEngine:
         if spatial_shards == 0:
             spatial_shards = getattr(cfg, "spatial_shards", 1)
         B = self.num_streams = max(1, int(num_streams))
+        stream_shards = max(1, int(stream_shards))
+        if stream_shards > 1 and B % stream_shards != 0:
+            raise ValueError(
+                f"num_streams {B} must be divisible by stream_shards "
+                f"{stream_shards}"
+            )
         H, W, T, C = (
             cfg.input_height, cfg.input_width,
             cfg.num_input_frames, cfg.num_classes,
@@ -364,16 +377,25 @@ class InferenceEngine:
         self._jnp = jnp
 
         self._spatial = None
-        if spatial_shards > 1:
+        if spatial_shards > 1 or stream_shards > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
             from mfcnet_tpu.parallel import make_mesh
 
-            mesh = make_mesh(spatial_shards, ("spatial",))
+            mesh = make_mesh(
+                stream_shards * spatial_shards, ("data", "spatial"),
+                shape=(stream_shards, spatial_shards),
+            )
+            shard_streams = stream_shards > 1
 
             def _h_sharding(ndim, h_axis):
                 spec = [None] * ndim
-                spec[h_axis] = "spatial"
+                # in a batched engine every committed array carries the
+                # stream axis at position 0 (frames, buffers, zero depth)
+                if shard_streams and h_axis > 0:
+                    spec[0] = "data"
+                if spatial_shards > 1:
+                    spec[h_axis] = "spatial"
                 return NamedSharding(mesh, PartitionSpec(*spec))
 
             self._spatial = (mesh, _h_sharding)
@@ -866,6 +888,7 @@ def track_on_frame_streams(
     flow_variables=None,
     engine: Optional["InferenceEngine"] = None,
     prestacked: bool = False,
+    stream_shards: int = 1,
 ):
     """Track B videos CONCURRENTLY with one batched engine (production
     serving: aggregate throughput). The reference processes videos
@@ -939,6 +962,7 @@ def track_on_frame_streams(
         engine = InferenceEngine(
             model, variables, cfg, flow_model=flow_model,
             flow_variables=flow_variables, num_streams=B,
+            stream_shards=stream_shards,
         )
     assert engine.num_streams == B, (
         f"engine has num_streams={engine.num_streams}, need {B}"

@@ -511,3 +511,66 @@ def test_multistream_unequal_lengths(tmp_path):
     for b, (n, ref) in enumerate(zip(lengths, refs)):
         assert got[b].shape == (n, 12)
         np.testing.assert_array_equal(got[b], ref, err_msg=f"stream {b}")
+
+
+@pytest.mark.parametrize("B,streams_sh,spatial_sh", [
+    (4, 4, 1),   # pure stream sharding: one stream per device group
+    (2, 2, 4),   # pod-serving layout: streams x height on a (2,4) mesh
+])
+def test_engine_stream_sharded_matches_unsharded(B, streams_sh, spatial_sh):
+    """InferenceEngine(num_streams=B, stream_shards=S[, spatial_shards]):
+    the stream axis rides a 'data' mesh axis (composable with height
+    sharding) and outputs equal the unsharded batched engine.
+
+    Pure stream sharding is bitwise identical (per-stream compute is
+    untouched). The combined streams x height mesh changes conv split
+    boundaries, so reductions reassociate at ~1e-6 — rare argmax TIES can
+    flip on isolated pixels (measured: 1 pixel in 6 x 2 x 64 x 32 on this
+    fixture); the mask assertion therefore allows a <=0.1% tie budget."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 255, (6, B, H, W, 3), dtype=np.uint8)
+
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32",
+    )
+    ref = InferenceEngine(model, variables, cfg, num_streams=B)
+    shd = InferenceEngine(
+        model, variables, cfg, num_streams=B,
+        stream_shards=streams_sh, spatial_shards=spatial_sh,
+    )
+    for t in range(6):
+        a = ref.step(frames[t])
+        b = shd.step(frames[t])
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        mismatch = float((a[0] != b[0]).mean())
+        if spatial_sh == 1:
+            assert mismatch == 0.0, f"mask frame {t}: {mismatch}"
+        else:
+            # combined streams x height mesh: conv splits reassociate
+            # reductions (~1e-6), so isolated argmax TIES may flip
+            assert mismatch <= 1e-3, f"mask frame {t}: {mismatch}"
+        np.testing.assert_allclose(
+            np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
+            atol=2e-3, err_msg=f"aux frame {t}",
+        )
