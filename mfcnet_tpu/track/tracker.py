@@ -657,6 +657,57 @@ class InferenceEngine:
         return np.asarray(mask), np.asarray(aux)
 
 
+class _ThreadedIter:
+    """Background-thread iterator prefetch (bounded queue).
+
+    Video decode (cv2/ffmpeg releases the GIL in its C core) overlaps
+    device compute and host keypoint decode instead of serializing with
+    them — the tracking analogue of data/loader.py's training Prefetcher.
+    Exceptions from the producer re-raise at the consumer."""
+
+    _END = object()
+
+    def __init__(self, it, depth: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # re-raised at the consumer
+                self._err = e
+            finally:
+                self._q.put(self._END)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            self._finished = True
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        """Drain and join so producer resources (e.g. cv2 captures) can
+        be released safely even if the consumer stopped early."""
+        if not getattr(self, "_finished", False):
+            while self._q.get() is not self._END:
+                pass
+            self._finished = True
+        self._t.join()
+
+
 def _track_stream(
     frame_iter,
     num_frames_total: int,
@@ -825,11 +876,13 @@ def track_on_video(
                 )
             yield frame, dframe
 
+    it = _ThreadedIter(frames())  # decode overlaps device compute
     try:
         return _track_stream(
-            frames(), N, name, engine, cfg, output_dir, logger
+            it, N, name, engine, cfg, output_dir, logger
         )
     finally:
+        it.close()
         vid.release()
         if depth_vid is not None:
             depth_vid.release()
