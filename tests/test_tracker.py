@@ -574,3 +574,64 @@ def test_engine_stream_sharded_matches_unsharded(B, streams_sh, spatial_sh):
             np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
             atol=2e-3, err_msg=f"aux frame {t}",
         )
+
+
+def test_multistream_with_optical_flow_matches_single(tmp_path):
+    """Batched flow: the engine runs all B*(T-1) flow pairs as one
+    provider forward; per-stream outputs equal independent single-stream
+    flow engines."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C, B = 64, 64, 3, 5, 2
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(3),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (5, B, H, W, 3), dtype=np.uint8)
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", add_optflow_inputs=True,
+    )
+    singles = [
+        InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                        flow_variables=flow_vars)
+        for _ in range(B)
+    ]
+    multi = InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                            flow_variables=flow_vars, num_streams=B)
+    for t in range(5):
+        refs = [singles[b].step(frames[t, b]) for b in range(B)]
+        got = multi.step(frames[t])
+        assert (got is None) == (refs[0] is None)
+        if got is None:
+            continue
+        for b in range(B):
+            np.testing.assert_array_equal(
+                refs[b][0], got[0][b], err_msg=f"mask frame {t} stream {b}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(refs[b][1], np.float32),
+                np.asarray(got[1][b], np.float32),
+                atol=1e-3, err_msg=f"aux frame {t} stream {b}",
+            )
