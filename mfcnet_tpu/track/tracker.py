@@ -1044,36 +1044,56 @@ def track_on_frame_streams(
     cur = []       # (idx, frame_batch, handles) dispatched, not staged
     staged = None  # (idxs, frame_batches, masks|None, auxs, mask_handles)
 
+    # host-side decode of different streams at the same timestep is
+    # independent (per-stream tracker state); the exact host decode
+    # (cv2 contours + scipy smoothing, GIL-releasing C cores) is the
+    # expensive part, so fan it out across streams
+    pool = None
+    if cfg.decode != "device" and B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=min(B, 8))
+
+    def _consume_one(b, idx, frame_batch, masks_np, aux_np, mask_handle):
+        disp = (
+            render_overlay(np.asarray(frame_batch[b]), masks_np[b])
+            if cfg.overlay else None
+        )
+        if cfg.decode == "device":
+            trackers[b].update_device(
+                aux_np[b],
+                masks_np[b] if masks_np is not None else None,
+                disp,
+                mask_provider=(
+                    None if mask_handle is None
+                    else (lambda h=mask_handle, bb=b: h[bb])
+                ),
+            )
+        else:
+            heats = aux_np[b].astype(np.float32)
+            trackers[b].update(
+                masks_np[b], heats[..., 1], heats[..., 0], disp
+            )
+        if writers is not None:
+            writers[b].write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
+
     def consume_step(idx, frame_batch, masks_np, aux_np, mask_handle=None):
         """One lockstep frame across all streams still active at idx."""
         nonlocal frames_done
-        for b in range(B):
-            if idx >= Ns[b]:  # padded step of an exhausted stream
-                continue
-            disp = (
-                render_overlay(
-                    np.asarray(frame_batch[b]), masks_np[b]
+        active = [b for b in range(B) if idx < Ns[b]]
+        if pool is not None:
+            list(pool.map(
+                lambda b: _consume_one(
+                    b, idx, frame_batch, masks_np, aux_np, mask_handle
+                ),
+                active,
+            ))
+        else:
+            for b in active:
+                _consume_one(
+                    b, idx, frame_batch, masks_np, aux_np, mask_handle
                 )
-                if cfg.overlay else None
-            )
-            if cfg.decode == "device":
-                trackers[b].update_device(
-                    aux_np[b],
-                    masks_np[b] if masks_np is not None else None,
-                    disp,
-                    mask_provider=(
-                        None if mask_handle is None
-                        else (lambda h=mask_handle, bb=b: h[bb])
-                    ),
-                )
-            else:
-                heats = aux_np[b].astype(np.float32)
-                trackers[b].update(
-                    masks_np[b], heats[..., 1], heats[..., 0], disp
-                )
-            if writers is not None:
-                writers[b].write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
-            frames_done += 1
+        frames_done += len(active)
 
     def stage():
         nonlocal staged, cur
@@ -1123,6 +1143,8 @@ def track_on_frame_streams(
     fetch_staged()
 
     elapsed = time.perf_counter() - t_start
+    if pool is not None:
+        pool.shutdown(wait=True)
     if writers is not None:
         for w in writers:
             w.release()
