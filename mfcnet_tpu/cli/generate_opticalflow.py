@@ -42,6 +42,11 @@ def build_parser():
     p.add_argument("--save_viz", type=lambda v: v.lower() in ("true", "1"),
                    default=True)
     p.add_argument("--raft_iters", type=int, default=12)
+    p.add_argument("--batch", type=int, default=1,
+                   help="frame pairs per provider forward (batching "
+                        "amortizes dispatch and fills the MXU; every op "
+                        "in both providers is per-sample at eval, so "
+                        "results are identical for any batch)")
     return p
 
 
@@ -75,28 +80,19 @@ def main(argv=None):
             args.load_wts_model, template=variables["params"]
         )}
 
-    @jax.jit
-    def flow_step(prev_u8, curr_u8):
-        a = prev_u8.astype(jnp.float32)[None] / 255.0
-        b = curr_u8.astype(jnp.float32)[None] / 255.0
-        return model.apply(variables, a, b)[0]
+    BATCH = max(1, args.batch)
 
-    files, _ = get_dataset_filenames(args.dataset, args.data_dir, args.mode)
-    prev_path = None
+    @jax.jit
+    def flow_batch(prev_u8, curr_u8):  # (BATCH, H, W, 3) uint8
+        a = prev_u8.astype(jnp.float32) / 255.0
+        b = curr_u8.astype(jnp.float32) / 255.0
+        return model.apply(variables, a, b)
+
     n_written = 0
-    for path in files:
-        curr = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
-        curr = cv2.resize(curr, (W, H))
-        if prev_path is None or path.parent != prev_path.parent:
-            flow = np.zeros((H, W, 2), np.float32)  # per-video first frame
-        else:
-            prev = cv2.cvtColor(
-                cv2.imread(str(prev_path)), cv2.COLOR_BGR2RGB
-            )
-            prev = cv2.resize(prev, (W, H))
-            flow = np.asarray(
-                flow_step(jnp.asarray(prev), jnp.asarray(curr))
-            )
+    files, _ = get_dataset_filenames(args.dataset, args.data_dir, args.mode)
+
+    def emit(path, flow):
+        nonlocal n_written
         out_flo = Path(
             str(path).replace("images", out_name)
         ).with_suffix(".flo")
@@ -108,10 +104,45 @@ def main(argv=None):
                 str(out_flo.with_suffix(".png")),
                 cv2.cvtColor(viz, cv2.COLOR_RGB2BGR),
             )
-        prev_path = path
         n_written += 1
         if n_written % 100 == 0:
             print(f"[{n_written}/{len(files)}] {out_flo}")
+
+    pending = []  # (path, prev_arr, curr_arr) pairs awaiting one forward
+
+    def flush():
+        if not pending:
+            return
+        n = len(pending)
+        # pad the final partial chunk to the compiled batch shape
+        prevs = np.stack(
+            [p for _, p, _ in pending]
+            + [pending[-1][1]] * (BATCH - n)
+        )
+        currs = np.stack(
+            [c for _, _, c in pending]
+            + [pending[-1][2]] * (BATCH - n)
+        )
+        flows = np.asarray(flow_batch(prevs, currs))
+        for i in range(n):
+            emit(pending[i][0], flows[i])
+        pending.clear()
+
+    prev_path = None
+    prev_arr = None
+    for path in files:
+        curr = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
+        curr = cv2.resize(curr, (W, H))
+        if prev_path is None or path.parent != prev_path.parent:
+            # per-video first frame: zero flow (emit in file order)
+            flush()
+            emit(path, np.zeros((H, W, 2), np.float32))
+        else:
+            pending.append((path, prev_arr, curr))
+            if len(pending) == BATCH:
+                flush()
+        prev_path, prev_arr = path, curr
+    flush()
     print(f"Wrote {n_written} flow files under '{out_name}'")
     return n_written
 

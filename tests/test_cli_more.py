@@ -142,6 +142,32 @@ def test_video_cli_and_flowgen(dataset, tmp_path):
     )
     assert flo.shape == (32, 32, 2)
 
+    # batched precompute (--batch 3, incl. a padded partial final chunk):
+    # same flow values as per-pair
+    n2 = flow_main([
+        "--data_dir", str(dataset),
+        "--dataset", "JIGSAWS",
+        "--mode", "testing",
+        "--optflow_model", "RAFT",
+        "--optflow_dir", "optflow_b3",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--raft_iters", "1",
+        "--save_viz", "false",
+        "--batch", "3",
+    ])
+    assert n2 == n
+    for vid, frame in (("video_1", "frame_0001"),):
+        a = read_flo(
+            str(dataset / "annotations_val" / vid / "optflow_raft"
+                / f"{frame}.flo")
+        )
+        b = read_flo(
+            str(dataset / "annotations_val" / vid / "optflow_b3"
+                / f"{frame}.flo")
+        )
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 def test_singleframe_video_cli(tmp_path):
     import jax
