@@ -635,3 +635,60 @@ def test_multistream_with_optical_flow_matches_single(tmp_path):
                 np.asarray(got[1][b], np.float32),
                 atol=1e-3, err_msg=f"aux frame {t} stream {b}",
             )
+
+
+def test_engine_spatial_sharded_with_flow(tmp_path):
+    """spatial_shards with the flow provider in the loop: RAFT's one-hot
+    window sampling + correlation under height sharding must still match
+    the unsharded engine (the flow path is the gnarliest GSPMD consumer:
+    einsum one-hot gathers, instance norm, GRU iterations)."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(3),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 255, (5, H, W, 3), dtype=np.uint8)
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", add_optflow_inputs=True,
+    )
+    ref = InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                          flow_variables=flow_vars)
+    shd = InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                          flow_variables=flow_vars, spatial_shards=4)
+    for t in range(5):
+        a = ref.step(frames[t])
+        b = shd.step(frames[t])
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        # flow in the loop amplifies reassociation; allow a tiny tie
+        # budget on the argmax mask
+        assert float((a[0] != b[0]).mean()) <= 1e-3, f"mask frame {t}"
+        np.testing.assert_allclose(
+            np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
+            atol=2e-3, err_msg=f"aux frame {t}",
+        )
