@@ -100,31 +100,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # Device-init watchdog: with the remote-TPU tunnel unreachable,
-    # backend init blocks forever inside make_c_api_client (an
-    # uninterruptible C call — Python signal handlers never run), which
-    # would hang the whole bench harness. A watchdog thread turns that
-    # into a recorded error line instead.
-    import os
-    import threading
+    # unreachable-TPU-tunnel guard: record an error row instead of
+    # hanging the harness forever in backend init
+    from mfcnet_tpu.utils.watchdog import device_init_watchdog
 
-    init_done = threading.Event()
-
-    def _watchdog():
-        if not init_done.wait(timeout=300):
-            print(json.dumps({
-                "metric": "bench_error",
-                "value": 0,
-                "unit": "device init timed out after 300s "
-                        "(TPU tunnel unreachable?)",
-                "vs_baseline": 0,
-            }), flush=True)
-            os._exit(17)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-    n_dev = len(jax.devices())
-    init_done.set()
-    del n_dev
+    init_done = device_init_watchdog(lambda: print(json.dumps({
+        "metric": "bench_error",
+        "value": 0,
+        "unit": "device init timed out after 300s "
+                "(TPU tunnel unreachable?)",
+        "vs_baseline": 0,
+    }), flush=True))
+    jax.devices()
+    init_done()
 
     from mfcnet_tpu.models import get_multiframe_segmentation_model
     from mfcnet_tpu.utils.jitinit import jit_init

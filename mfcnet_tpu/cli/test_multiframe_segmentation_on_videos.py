@@ -81,9 +81,12 @@ def build_parser():
                         "identical to unsharded)")
     p.add_argument("--parallel_videos", type=int, default=1,
                    help="track this many videos CONCURRENTLY with one "
-                        "batched engine (aggregate throughput; videos "
-                        "are grouped by frame count and each group's "
-                        "frames are pre-decoded to RAM). Keypoint rows "
+                        "batched engine (aggregate throughput). Videos "
+                        "are chunked in listing order and each chunk's "
+                        "frames pre-decoded to RAM; unequal lengths are "
+                        "padded device-side with the padded results "
+                        "discarded (group similar-length videos "
+                        "together to minimize padding). Keypoint rows "
                         "are identical to sequential tracking")
     return p
 
@@ -230,10 +233,16 @@ def main(argv=None):
             streams = [read_all(v) for v, _ in chunk]
             dstreams = None
             if args.add_depth_inputs:
-                dstreams = [
-                    read_all(d, gray=True)[: len(streams[j])]
-                    for j, (_, d) in enumerate(chunk)
-                ]
+                dstreams = [read_all(d, gray=True) for _, d in chunk]
+                for j, ((v, d), s, ds) in enumerate(
+                    zip(chunk, streams, dstreams)
+                ):
+                    # same contract as the sequential path
+                    # (track_on_video asserts RGB/depth counts match)
+                    assert len(s) == len(ds), (
+                        f"RGB({len(s)}) vs depth({len(ds)}) frame-count "
+                        f"mismatch for {v} / {d}"
+                    )
             names = [Path(v).stem for v, _ in chunk]
             logger.info(
                 f"Tracking {len(chunk)} videos concurrently: {names}"

@@ -382,6 +382,8 @@ class InferenceEngine:
 
             from mfcnet_tpu.parallel import make_mesh
 
+            from mfcnet_tpu.parallel import spatial_sharding
+
             mesh = make_mesh(
                 stream_shards * spatial_shards, ("data", "spatial"),
                 shape=(stream_shards, spatial_shards),
@@ -389,17 +391,23 @@ class InferenceEngine:
             shard_streams = stream_shards > 1
 
             def _h_sharding(ndim, h_axis):
-                spec = [None] * ndim
                 # in a batched engine every committed array carries the
                 # stream axis at position 0 (frames, buffers, zero depth)
-                if shard_streams and h_axis > 0:
-                    spec[0] = "data"
-                if spatial_shards > 1:
-                    spec[h_axis] = "spatial"
-                return NamedSharding(mesh, PartitionSpec(*spec))
+                return spatial_sharding(
+                    mesh, ndim, h_axis,
+                    data_axis=(
+                        "data" if shard_streams and h_axis > 0 else None
+                    ),
+                )
 
             self._spatial = (mesh, _h_sharding)
             self._replicated = NamedSharding(mesh, PartitionSpec())
+            # pure stream sharding + host decode: every shard already
+            # holds its streams' complete images — no gather needed
+            # (the host fetch assembles shards without extra traffic)
+            self._skip_gather = (
+                spatial_shards == 1 and cfg.decode != "device"
+            )
         cvars = jax.tree_util.tree_map(
             lambda x: x.astype(dtype)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
@@ -480,10 +488,14 @@ class InferenceEngine:
             'device' decode runs fully on device and ships 18 floats
             (+ the mask when score-thresholding or overlays need it).
             """
-            if self._spatial is not None:
+            if self._spatial is not None and not getattr(
+                self, "_skip_gather", False
+            ):
                 # gather the height shards: the decode is a whole-image
                 # computation (Pallas kernels see one block) and the host
-                # fetches these outputs anyway
+                # fetches these outputs anyway. Skipped for pure stream
+                # sharding + host decode (shards are already complete
+                # per stream).
                 import jax as _jax
 
                 probs = _jax.lax.with_sharding_constraint(
@@ -572,13 +584,17 @@ class InferenceEngine:
         self.reset()
 
     def _put(self, x, h_axis):
-        """Commit an array; with a spatial mesh, shard its height axis."""
+        """Commit an array; with a mesh, shard its height/stream axes.
+
+        Device-resident inputs (the bench's ``--source device`` path) must
+        pass through without a host round trip: jnp.asarray is a no-op on
+        a jax.Array, and np.ndim reads the rank without copying."""
         import jax
 
         if self._spatial is None:
             return jax.numpy.asarray(x)
         _, h_sharding = self._spatial
-        return jax.device_put(x, h_sharding(x.ndim, h_axis))
+        return jax.device_put(x, h_sharding(np.ndim(x), h_axis))
 
     def reset(self):
         """Zero the ring buffers and warmup queue — start of a new video.
@@ -617,11 +633,11 @@ class InferenceEngine:
         if self.cfg.mode == "incremental":
             d = (
                 self._zero_depth if depth_u8 is None
-                else self._put(np.asarray(depth_u8), hax)
+                else self._put(depth_u8, hax)
             )
             self.seg_buf, self.depth_buf, self.frame_buf = self._ingest(
                 self.seg_buf, self.depth_buf, self.frame_buf,
-                self._put(np.asarray(frame_u8), hax), d,
+                self._put(frame_u8, hax), d,
             )
             self._frame_q.append(True)
             if len(self._frame_q) < T:
@@ -673,10 +689,13 @@ class _ThreadedIter:
 
         self._q = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = False
 
         def run():
             try:
                 for item in it:
+                    if self._stop:  # early consumer exit: stop decoding
+                        break
                     self._q.put(item)
             except BaseException as e:  # re-raised at the consumer
                 self._err = e
@@ -699,8 +718,10 @@ class _ThreadedIter:
         return item
 
     def close(self):
-        """Drain and join so producer resources (e.g. cv2 captures) can
-        be released safely even if the consumer stopped early."""
+        """Stop the producer, drain, and join so producer resources
+        (e.g. cv2 captures) can be released safely even if the consumer
+        stopped early — without decoding the rest of the video."""
+        self._stop = True  # producer checks before each put
         if not getattr(self, "_finished", False):
             while self._q.get() is not self._END:
                 pass
@@ -977,19 +998,25 @@ def track_on_frame_streams(
         B = len(streams)
         Ns = [len(s) for s in streams]
         N = max(Ns) if B else 0
+        _zf = np.zeros(
+            (cfg.input_height, cfg.input_width, 3), np.uint8
+        )  # stand-in for empty streams (their results are never consumed)
+        _zd = _zf[..., 0]
+
+        def _pad_get(seqs, i, zero):
+            return np.stack([
+                np.asarray(s[min(i, len(s) - 1)]) if len(s) else zero
+                for s in seqs
+            ])
 
         def get_batch(i):
             # repeat-last-frame padding for exhausted streams
-            return np.stack(
-                [np.asarray(s[min(i, len(s) - 1)]) for s in streams]
-            )
+            return _pad_get(streams, i, _zf)
 
         def get_depth(i):
             if depth_streams is None:
                 return None
-            return np.stack(
-                [np.asarray(s[min(i, len(s) - 1)]) for s in depth_streams]
-            )
+            return _pad_get(depth_streams, i, _zd)
 
     names = list(names) if names is not None else [
         f"stream{b}" for b in range(B)

@@ -692,3 +692,35 @@ def test_engine_spatial_sharded_with_flow(tmp_path):
             np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
             atol=2e-3, err_msg=f"aux frame {t}",
         )
+
+
+def test_engine_put_no_host_roundtrip():
+    """Device-resident frames (bench --source device) must pass through
+    step_async without a device->host->device round trip: on an
+    unsharded engine _put is jnp.asarray, a no-op returning the SAME
+    jax.Array object."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 32, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32",
+    )
+    engine = InferenceEngine(model, variables, cfg)
+    x = jax.device_put(np.zeros((H, W, 3), np.uint8))
+    assert engine._put(x, 0) is x

@@ -52,25 +52,18 @@ def _masks(rng, n, H=128, W=192, density=0.03, dilate=2):
 
 
 def main() -> int:
-    import os
-    import threading
-
     import jax
     import jax.numpy as jnp
 
-    # watchdog: an unreachable TPU tunnel blocks backend init forever in
-    # an uninterruptible C call — fail loudly instead (see bench.py)
-    init_done = threading.Event()
+    from mfcnet_tpu.utils.watchdog import device_init_watchdog
 
-    def _watchdog():
-        if not init_done.wait(timeout=300):
-            print("FAIL: device init timed out after 300s "
-                  "(TPU tunnel unreachable?)", flush=True)
-            os._exit(17)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    # unreachable-TPU-tunnel guard: fail loudly instead of hanging
+    init_done = device_init_watchdog(lambda: print(
+        "FAIL: device init timed out after 300s "
+        "(TPU tunnel unreachable?)", flush=True,
+    ))
     jax.devices()
-    init_done.set()
+    init_done()
 
     from mfcnet_tpu.ops.cc_pallas import connected_components_pallas
     from mfcnet_tpu.ops.correlation import correlation_shifts
