@@ -729,6 +729,64 @@ class _ThreadedIter:
         self._t.join()
 
 
+def _staged_fetch_loop(dispatch_seq, on_skip, consume, need_mask, K, jnp):
+    """Shared device->host fetch pipeline for the tracking drivers.
+
+    ``dispatch_seq`` yields (payload, handles_or_None) per frame step;
+    handles are the engine's (mask, aux) device arrays. Outputs are
+    STACKED on device in chunks of K and fetched in one transfer each,
+    amortizing round-trip latency K-fold; the previous chunk is fetched
+    before the current one is staged, so fetch overlaps device compute.
+    Per-frame mask handles stay alive so the rare near-tie host decode
+    fallback can fetch a single mask lazily. Keypoint rows are identical
+    for any K. ``consume(payload, mask_np|None, aux_np, mask_handle)``
+    runs host-side per frame; ``on_skip(payload)`` handles warmup frames
+    (flushed first to preserve row order)."""
+    cur = []       # (payload, handles) dispatched, not yet stacked
+    staged = None  # (payloads, masks|None, auxs, mask_handles)
+
+    def stage():
+        nonlocal staged, cur
+        if not cur:
+            return
+        payloads = [p for p, _ in cur]
+        mask_handles = [h[0] for _, h in cur]
+        masks = jnp.stack(mask_handles) if need_mask else None
+        auxs = jnp.stack([h[1] for _, h in cur])
+        cur = []
+        staged = (payloads, masks, auxs, mask_handles)
+
+    def fetch_staged():
+        nonlocal staged
+        if staged is None:
+            return
+        payloads, masks, auxs, mask_handles = staged
+        staged = None
+        masks_np = np.asarray(masks) if masks is not None else None
+        auxs_np = np.asarray(auxs)
+        for k, payload in enumerate(payloads):
+            consume(
+                payload,
+                masks_np[k] if masks_np is not None else None,
+                auxs_np[k],
+                mask_handles[k],
+            )
+
+    for payload, handles in dispatch_seq:
+        if handles is None:  # warmup frame — keep row order
+            stage()
+            fetch_staged()
+            on_skip(payload)
+            continue
+        cur.append((payload, handles))
+        if len(cur) >= K:
+            fetch_staged()
+            stage()
+    fetch_staged()
+    stage()
+    fetch_staged()
+
+
 def _track_stream(
     frame_iter,
     num_frames_total: int,
@@ -766,8 +824,6 @@ def _track_stream(
     need_mask = cfg.overlay or cfg.decode != "device"
     K = max(1, cfg.fetch_batch)
     jnp = engine._jnp
-    cur = []       # (frame, handles) dispatched, not yet stacked
-    staged = None  # (frames, mask_stack|None, aux_stack) device handles
 
     def consume_row(frame, mask_array, aux, mask_provider=None):
         nonlocal frames_done
@@ -785,52 +841,19 @@ def _track_stream(
             writer.write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
         frames_done += 1
 
-    def stage():
-        """Stack the current batch's outputs on device (async) — turns K
-        per-frame fetches into one transfer each for masks and aux. The
-        per-frame mask handles stay alive (device-side) so the rare
-        near-tie host fallback can fetch one lazily."""
-        nonlocal staged, cur
-        if not cur:
-            return
-        frames = [f for f, _ in cur]
-        mask_handles = [h[0] for _, h in cur]
-        masks = jnp.stack(mask_handles) if need_mask else None
-        auxs = jnp.stack([h[1] for _, h in cur])
-        cur = []
-        staged = (frames, masks, auxs, mask_handles)
+    def dispatch():
+        for frame, dframe in frame_iter:
+            yield frame, engine.step_async(frame, dframe)
 
-    def fetch_staged():
-        nonlocal staged
-        if staged is None:
-            return
-        frames, masks, auxs, mask_handles = staged
-        staged = None
-        masks_np = np.asarray(masks) if masks is not None else None
-        auxs_np = np.asarray(auxs)
-        for i, frame in enumerate(frames):
-            consume_row(
-                frame, masks_np[i] if masks_np is not None else None,
-                auxs_np[i],
-                mask_provider=(lambda h=mask_handles[i]: h),
-            )
-
-    for frame, dframe in frame_iter:
-        handles = engine.step_async(frame, dframe)
-        if handles is None:  # warmup frame — keep row order
-            stage()
-            fetch_staged()
-            tracker.skip()
-            continue
-        cur.append((frame, handles))
-        if len(cur) >= K:
-            # fetch the PREVIOUS batch (its device work is long done)
-            # before staging this one: one batch of fetch/compute overlap
-            fetch_staged()
-            stage()
-    fetch_staged()
-    stage()
-    fetch_staged()
+    _staged_fetch_loop(
+        dispatch(),
+        on_skip=lambda frame: tracker.skip(),
+        consume=lambda frame, mask_np, aux_np, mask_handle: consume_row(
+            frame, mask_np, aux_np,
+            mask_provider=(lambda h=mask_handle: h),
+        ),
+        need_mask=need_mask, K=K, jnp=jnp,
+    )
 
     elapsed = time.perf_counter() - t_start
     if writer is not None:
@@ -1068,8 +1091,6 @@ def track_on_frame_streams(
     need_mask = cfg.overlay or cfg.decode != "device"
     K = max(1, cfg.fetch_batch)
     jnp = engine._jnp
-    cur = []       # (idx, frame_batch, handles) dispatched, not staged
-    staged = None  # (idxs, frame_batches, masks|None, auxs, mask_handles)
 
     # host-side decode of different streams at the same timestep is
     # independent (per-stream tracker state); the exact host decode
@@ -1122,52 +1143,26 @@ def track_on_frame_streams(
                 )
         frames_done += len(active)
 
-    def stage():
-        nonlocal staged, cur
-        if not cur:
-            return
-        idxs = [i for i, _, _ in cur]
-        frame_batches = [f for _, f, _ in cur]
-        mask_handles = [h[0] for _, _, h in cur]
-        masks = jnp.stack(mask_handles) if need_mask else None
-        auxs = jnp.stack([h[1] for _, _, h in cur])
-        cur = []
-        staged = (idxs, frame_batches, masks, auxs, mask_handles)
+    def on_skip(payload):
+        idx, _ = payload
+        for b, tr in enumerate(trackers):
+            if idx < Ns[b]:
+                tr.skip()
 
-    def fetch_staged():
-        nonlocal staged
-        if staged is None:
-            return
-        idxs, frame_batches, masks, auxs, mask_handles = staged
-        staged = None
-        masks_np = np.asarray(masks) if masks is not None else None
-        auxs_np = np.asarray(auxs)
-        for k, (idx, fb) in enumerate(zip(idxs, frame_batches)):
-            consume_step(
-                idx,
-                fb,
-                masks_np[k] if masks_np is not None else None,
-                auxs_np[k],
-                mask_handle=mask_handles[k],
-            )
+    def dispatch():
+        for i in range(N):
+            batch = get_batch(i)
+            yield (i, batch), engine.step_async(batch, get_depth(i))
 
-    for i in range(N):
-        batch = get_batch(i)
-        handles = engine.step_async(batch, get_depth(i))
-        if handles is None:  # warmup frame — keep row order
-            stage()
-            fetch_staged()
-            for b, tr in enumerate(trackers):
-                if i < Ns[b]:
-                    tr.skip()
-            continue
-        cur.append((i, batch, handles))
-        if len(cur) >= K:
-            fetch_staged()
-            stage()
-    fetch_staged()
-    stage()
-    fetch_staged()
+    _staged_fetch_loop(
+        dispatch(),
+        on_skip=on_skip,
+        consume=lambda payload, mask_np, aux_np, mask_handle: consume_step(
+            payload[0], payload[1], mask_np, aux_np,
+            mask_handle=mask_handle,
+        ),
+        need_mask=need_mask, K=K, jnp=jnp,
+    )
 
     elapsed = time.perf_counter() - t_start
     if pool is not None:
