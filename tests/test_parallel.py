@@ -209,3 +209,83 @@ def test_shard_multiframe_batch_degenerates_on_data_mesh():
     for k in batch:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
         assert a[k].sharding == b[k].sharding
+
+
+def test_spatial_sharded_train_step_with_flow():
+    """Frozen flow-in-the-loop training on the data x spatial mesh: the
+    flow provider (RAFT's one-hot window sampling, instance norm, GRU)
+    runs inside the sharded jitted step and the result matches the
+    unsharded step."""
+    import optax
+
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.parallel import shard_multiframe_batch
+    from mfcnet_tpu.train.state import TrainState
+    from mfcnet_tpu.train.steps import make_multiframe_train_step
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+
+    h, w, c, t = 64, 32, 5, 3
+    base = TernausNet16(
+        num_classes=c, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=c, num_frames=t,
+        variant="basic", base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, t, h, w, 3), np.float32),
+        optflow=np.zeros((1, t - 1, h, w, 2), np.float32),
+    )
+
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(1),
+        np.zeros((1, h, w, 3), np.float32),
+        np.zeros((1, h, w, 3), np.float32),
+    )
+
+    def flow_fn(frames):
+        B, T = frames.shape[0], frames.shape[1]
+        a = jnp.repeat(frames[:, :1], T - 1, axis=1).reshape(
+            (B * (T - 1),) + frames.shape[2:]
+        )
+        b = frames[:, 1:].reshape((B * (T - 1),) + frames.shape[2:])
+        fl = flow_model.apply(flow_vars, b, a)
+        return fl.reshape((B, T - 1) + fl.shape[1:])
+
+    def fresh_state():
+        return TrainState.create(
+            model.apply, variables["params"], optax.sgd(1e-2),
+            variables.get("batch_stats", {}),
+        )
+
+    step = make_multiframe_train_step(
+        model, ["nll"], [1.0], c,
+        class_weights=[1.0] * c,
+        train_base_model=True, flow_fn=flow_fn, donate=False,
+    )
+    rng = np.random.default_rng(23)
+    batch = {
+        "frames": rng.standard_normal((4, t, h, w, 3)).astype(np.float32),
+        "mask": rng.integers(0, c, (4, h, w)).astype(np.int32),
+    }
+    s_single, logs_single = step(fresh_state(), batch)
+
+    mesh = make_mesh(8, ("data", "spatial"), shape=(2, 4))
+    with jax.set_mesh(mesh):
+        s_shard, logs_shard = step(
+            fresh_state(), shard_multiframe_batch(mesh, batch)
+        )
+    np.testing.assert_allclose(
+        float(logs_single["loss_total"]), float(logs_shard["loss_total"]),
+        rtol=1e-4,
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_single.params)),
+        jax.tree.leaves(jax.device_get(s_shard.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-3)
