@@ -724,3 +724,37 @@ def test_engine_put_no_host_roundtrip():
     engine = InferenceEngine(model, variables, cfg)
     x = jax.device_put(np.zeros((H, W, 3), np.uint8))
     assert engine._put(x, 0) is x
+
+
+def test_threaded_iter_semantics():
+    """_ThreadedIter: yields all items in order, re-raises producer
+    exceptions at the consumer, and close() stops the producer promptly
+    instead of draining a long stream."""
+    from mfcnet_tpu.track.tracker import _ThreadedIter
+
+    # order + completeness
+    assert list(_ThreadedIter(iter(range(50)), depth=4)) == list(range(50))
+
+    # producer exception surfaces at the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = _ThreadedIter(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+    # early close stops the producer after at most ~queue-depth items
+    produced = []
+
+    def long_gen():
+        for i in range(100000):
+            produced.append(i)
+            yield i
+
+    it = _ThreadedIter(long_gen(), depth=2)
+    next(it)
+    next(it)
+    it.close()
+    assert len(produced) < 100
