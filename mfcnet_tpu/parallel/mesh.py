@@ -36,6 +36,18 @@ def make_mesh(
     devs = devs[:n_devices]
     if shape is None:
         shape = (n_devices,)
+    if len(shape) > 1 and n_devices == len(jax.devices()):
+        # multi-axis mesh over ALL devices: lay axes along the physical
+        # ICI topology (halo exchanges and per-group collectives then
+        # ride neighbor links instead of arbitrary routes). Falls back
+        # to row-major order where no topology is known (CPU/subsets).
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(tuple(shape), devices=devs)
+            return Mesh(arr, axis_names=tuple(axis_names))
+        except Exception:
+            pass
     arr = np.asarray(devs).reshape(shape)
     return Mesh(arr, axis_names=tuple(axis_names))
 
