@@ -234,9 +234,7 @@ def main(argv=None):
             dstreams = None
             if args.add_depth_inputs:
                 dstreams = [read_all(d, gray=True) for _, d in chunk]
-                for j, ((v, d), s, ds) in enumerate(
-                    zip(chunk, streams, dstreams)
-                ):
+                for (v, d), s, ds in zip(chunk, streams, dstreams):
                     # same contract as the sequential path
                     # (track_on_video asserts RGB/depth counts match)
                     assert len(s) == len(ds), (
