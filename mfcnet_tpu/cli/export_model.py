@@ -1,0 +1,194 @@
+"""Export a trained model as a self-contained StableHLO serving artifact.
+
+No reference analogue (the reference deploys by running the training repo's
+Python scripts on a CUDA machine) — this is the TPU/XLA-native deployment
+path: one ``jax.export`` artifact with weights baked in, loadable on any
+machine/version in the StableHLO compatibility window via
+``mfcnet_tpu.serve.load_exported`` without the model code or checkpoint.
+
+Example:
+    python -m mfcnet_tpu.cli.export_model \
+        --model_type TernausNetMulti-Basic --num_input_frames 3 \
+        --input_height 480 --input_width 640 \
+        --load_wts_model expts/mfc/ckpts/model_020.msgpack \
+        --output expts/mfc/serve/mfcnet.stablehlo --validate true
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        description="Export a serving artifact (jax.export StableHLO)"
+    )
+    p.add_argument("--model_type", type=str,
+                   default="TernausNetMulti-Basic")
+    p.add_argument("--num_classes", type=int, default=5)
+    p.add_argument("--num_input_frames", type=int, default=3)
+    p.add_argument("--input_height", type=int, default=480)
+    p.add_argument("--input_width", type=int, default=640)
+    p.add_argument("--model_scale", type=float, default=1.0)
+    p.add_argument("--load_wts_model", type=str, required=True,
+                   help="Trained checkpoint (msgpack) to export")
+    p.add_argument("--use_ema",
+                   type=lambda v: v.lower() in ("true", "1"), default=False,
+                   help="export the checkpoint's EMA weights (training "
+                        "with --ema_decay stores them as ema_params)")
+    p.add_argument("--add_depth_inputs",
+                   type=lambda v: v.lower() in ("true", "1"), default=False)
+    p.add_argument("--add_optflow_inputs",
+                   type=lambda v: v.lower() in ("true", "1"), default=False,
+                   help="Bake the frozen RAFT flow provider into the "
+                        "exported graph (reference v3:264-271 semantics)")
+    p.add_argument("--load_wts_flow_model", type=str, default=None)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--batch", type=str, default="dynamic",
+                   help="'dynamic' (symbolic batch dim — one artifact, any "
+                        "batch size) or a fixed integer")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="Comma list, e.g. 'tpu,cpu' (default: try both, "
+                        "fall back to the current platform)")
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--validate",
+                   type=lambda v: v.lower() in ("true", "1"), default=True,
+                   help="Reload the artifact and cross-check numerics "
+                        "against the live model on random frames")
+    return p
+
+
+def main(argv=None):
+    import jax
+
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.serve import (
+        export_serving, load_exported, make_serving_fn, save_exported,
+    )
+    from mfcnet_tpu.utils.checkpoint import load_checkpoint, load_params
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+    log = logging.getLogger("export_model")
+
+    T, H, W = args.num_input_frames, args.input_height, args.input_width
+    model = get_multiframe_segmentation_model(
+        args.model_type,
+        num_classes=args.num_classes,
+        num_input_frames=T,
+        add_depth_inputs=args.add_depth_inputs,
+        scale=args.model_scale,
+    )
+    init_kwargs = {}
+    if args.add_depth_inputs:
+        init_kwargs["depth"] = np.zeros((1, T, H, W, 1), np.float32)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, T, H, W, 3), np.float32), **init_kwargs,
+    )
+    payload, epoch = load_checkpoint(args.load_wts_model)
+    from flax import serialization
+
+    params_src = payload["params"]
+    if args.use_ema:
+        if "ema_params" not in payload:
+            raise SystemExit(
+                f"{args.load_wts_model} has no ema_params (train with "
+                "--ema_decay to produce them)"
+            )
+        params_src = payload["ema_params"]
+    variables = {
+        "params": serialization.from_state_dict(
+            variables["params"], params_src
+        ),
+        "batch_stats": serialization.from_state_dict(
+            variables.get("batch_stats", {}), payload["batch_stats"]
+        ),
+    }
+    log.info(
+        "Loaded %s (epoch %s%s)", args.load_wts_model, epoch,
+        ", EMA weights" if args.use_ema else "",
+    )
+
+    flow_model = flow_variables = None
+    if args.add_optflow_inputs:
+        from mfcnet_tpu.models.raft import RAFT
+
+        flow_model = RAFT(iters=12)
+        flow_variables = jit_init(
+            flow_model, jax.random.PRNGKey(1),
+            np.zeros((1, H // 2, W // 2, 3), np.float32),
+            np.zeros((1, H // 2, W // 2, 3), np.float32),
+        )
+        if args.load_wts_flow_model:
+            flow_variables = {"params": load_params(
+                args.load_wts_flow_model,
+                template=flow_variables["params"],
+            )}
+
+    batch = None if args.batch == "dynamic" else int(args.batch)
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported = export_serving(
+        model, variables,
+        height=H, width=W, num_frames=T, dtype=args.compute_dtype,
+        add_depth_inputs=args.add_depth_inputs,
+        flow_model=flow_model, flow_variables=flow_variables,
+        batch=batch, platforms=platforms,
+    )
+    header = save_exported(
+        args.output, exported,
+        meta={
+            "model_type": args.model_type,
+            "num_classes": args.num_classes,
+            "num_input_frames": T,
+            "input_height": H,
+            "input_width": W,
+            "compute_dtype": args.compute_dtype,
+            "add_depth_inputs": args.add_depth_inputs,
+            "add_optflow_inputs": args.add_optflow_inputs,
+            "checkpoint": str(args.load_wts_model),
+            "epoch": int(epoch),
+            "ema": bool(args.use_ema),
+        },
+    )
+    size = Path(args.output).stat().st_size
+    log.info(
+        "Wrote %s (%.1f MB, platforms=%s, in=%s)",
+        args.output, size / 1e6, header["platforms"], header["in_avals"],
+    )
+
+    if args.validate:
+        loaded = load_exported(args.output)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (1, T, H, W, 3), dtype=np.uint8)
+        inputs = [frames]
+        if args.add_depth_inputs:
+            inputs.append(
+                rng.integers(0, 256, (1, T, H, W), dtype=np.uint8)
+            )
+        live_fn = jax.jit(make_serving_fn(
+            model, variables, dtype=args.compute_dtype,
+            add_depth_inputs=args.add_depth_inputs,
+            flow_model=flow_model, flow_variables=flow_variables,
+        ))
+        got = np.asarray(loaded(*inputs))
+        want = np.asarray(live_fn(*inputs))
+        diff = float(np.max(np.abs(got - want)))
+        log.info("validate: max |artifact - live| = %.3e", diff)
+        if diff > 1e-5:
+            raise SystemExit(
+                f"validation failed: artifact diverges from live model "
+                f"by {diff:.3e}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

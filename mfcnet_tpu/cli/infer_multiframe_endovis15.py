@@ -42,6 +42,7 @@ def main(argv=None):
         1,
         num_workers=args.num_workers,
         add_depth_inputs=args.add_depth_inputs,
+        packed_dir=getattr(args, "packed_dir", None),
     )
 
     model = get_multiframe_segmentation_model(

@@ -154,6 +154,7 @@ def main(argv=None):
         # multi-host: disjoint per-process training shards (identical
         # global shuffle on every host, strided slice per rank)
         shard=(proc_idx, proc_count) if proc_count > 1 else None,
+        packed_dir=getattr(args, "packed_dir", None),
     )
     if mesh is not None:
         # fixed batch shapes so axis-0 sharding always divides
@@ -195,7 +196,11 @@ def main(argv=None):
         base_loaded = True
         logger.info(f"Loaded base weights from {args.load_wts_base_model}")
 
-    steps_per_epoch = max(1, len(train_loader))
+    accum = max(1, getattr(args, "grad_accum", 1))
+    # the schedule (and Adam moments) inside MultiSteps advance once per
+    # REAL update, so per-epoch decay boundaries count updates not
+    # micro-batches
+    steps_per_epoch = max(1, len(train_loader) // accum)
     sched = make_schedule(
         args.scheduler, args.lr, args.num_epochs, steps_per_epoch
     )
@@ -204,8 +209,17 @@ def main(argv=None):
         args.num_input_frames,
         train_base_model=args.train_base_model,
         base_pretrained_loaded=base_loaded,
+        grad_accum=accum,
     )
-    state = TrainState.create(model.apply, params, tx, batch_stats)
+    state = TrainState.create(
+        model.apply, params, tx, batch_stats,
+        ema_decay=getattr(args, "ema_decay", 0.0),
+    )
+    if accum > 1:
+        logger.info(
+            f"gradient accumulation: {accum} micro-batches per update "
+            f"(effective batch {args.batch_size * accum})"
+        )
 
     start_epoch = args.starting_epoch
     if args.resume:
@@ -221,6 +235,8 @@ def main(argv=None):
                 opt_state=payload["opt_state"],
                 step=payload["step"],
             )
+            if "ema_params" in payload and state.ema_params is not None:
+                state = state.replace(ema_params=payload["ema_params"])
             start_epoch = max(start_epoch, epoch)
             logger.info(f"Resumed from {ck} at epoch {epoch}")
     elif args.load_wts_model:

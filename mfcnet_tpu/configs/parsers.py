@@ -103,6 +103,10 @@ def _add_common(parser, multiframe: bool, train: bool):
                    default=225 if train else 75)
     if multiframe:
         g.add_argument("--num_input_frames", type=int, default=3)
+        g.add_argument("--packed_dir", type=str, default=None,
+                       help="read zero-decode memmap shards written by "
+                            "tools/pack_dataset.py instead of decoding "
+                            "the --data_dir image tree (same samples)")
 
     g = parser.add_argument_group("io")
     g.add_argument("--expt_savedir", type=str, default="./")
@@ -140,6 +144,16 @@ def _add_common(parser, multiframe: bool, train: bool):
         g.add_argument("--num_epochs", type=int, default=10)
         g.add_argument("--class_weights", type=float, nargs="+",
                        default=[1, 100, 100, 100, 100])
+        g.add_argument("--grad_accum", type=int, default=1,
+                       help="accumulate gradients over N micro-batches "
+                            "per optimizer update (optax.MultiSteps) — "
+                            "train at N x the per-device-memory batch "
+                            "size; the LR schedule counts real updates")
+        g.add_argument("--ema_decay", type=float, default=0.0,
+                       help="keep an exponential moving average of the "
+                            "params (e.g. 0.999); stored in checkpoints "
+                            "as ema_params, servable via export_model "
+                            "--use_ema. 0 disables")
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--resume", type=_str2bool, default=False)
     if train:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -154,12 +155,40 @@ def get_data_loader(
     add_depth_inputs: bool = False,
     seed: int = 0,
     shard: Optional[tuple] = None,
+    packed_dir=None,
 ):
     """Multi-frame loader factory (reference:
     src/dataloader_multiframe.py:225-317): train loader shuffled at
     batch_size, val/test at batch 1 unshuffled. ``shard=(rank, count)``
     partitions the TRAIN samples across processes (multi-host; validation
-    stays unsharded — every process evaluates the full set)."""
+    stays unsharded — every process evaluates the full set).
+
+    ``packed_dir``: read memory-mapped zero-decode packs written by
+    ``tools/pack_dataset.py`` (train/ + val/ or test/ subdirs) instead of
+    decoding the image tree — samples are identical (data/packed.py)."""
+    if packed_dir is not None:
+        from mfcnet_tpu.data.packed import PackedMultiFrameDataset
+
+        packed_dir = Path(packed_dir)
+        if mode == "training":
+            train_ds = PackedMultiFrameDataset(
+                packed_dir / "train", num_input_frames, add_depth_inputs
+            )
+            val_ds = PackedMultiFrameDataset(
+                packed_dir / "val", num_input_frames, add_depth_inputs
+            )
+            return (
+                DataLoader(train_ds, batch_size, shuffle=True,
+                           num_workers=num_workers, seed=seed, shard=shard),
+                DataLoader(val_ds, 1, shuffle=False,
+                           num_workers=num_workers),
+            )
+        test_ds = PackedMultiFrameDataset(
+            packed_dir / "test", num_input_frames, add_depth_inputs
+        )
+        return None, DataLoader(test_ds, 1, shuffle=False,
+                                num_workers=num_workers)
+
     from mfcnet_tpu.data.dataset import MultiFrameDataset
     from mfcnet_tpu.data.files import get_dataset_filenames
 

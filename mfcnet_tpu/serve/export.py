@@ -1,0 +1,235 @@
+"""AOT model export for serving — ``jax.export`` StableHLO artifacts.
+
+The reference has no deployment story beyond "run the Python scripts on a
+CUDA box" (scripts/test_multiframe_segmentation_on_videos_v3.py). On TPU
+the XLA-native equivalent is ahead-of-time export: lower the full
+inference function (uint8 frames -> class probabilities, weights baked in
+as StableHLO constants) once, serialize it, and serve the artifact from
+any process — no Flax model code, no checkpoint plumbing, no Python-side
+retracing. ``jax.export`` guarantees cross-version loading (the StableHLO
+forward-compatibility window) and cross-platform lowering, so one file
+produced on a CPU dev box runs on the TPU fleet.
+
+Artifact = one file: magic, JSON meta header (shapes, dtype, platforms,
+producer versions), then the serialized ``jax.export.Exported`` bytes.
+
+Exported semantics match the reference's full per-window forward
+(scripts/test_multiframe_segmentation_on_videos_v3.py:251-281): frames
+stacked NEWEST-first, /255, ImageNet normalize, optional depth channels,
+optional in-graph optical flow (provider at 0.5x resolution, flow
+upscaled 2x bilinear align_corners=True, values /0.5 — v3:264-271),
+softmax class probabilities in float32. The batch dimension is exported
+SYMBOLIC by default, so one artifact serves any batch size.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Optional, Sequence
+
+_MAGIC = b"MFCNETX1"
+
+
+def make_serving_fn(
+    model,
+    variables,
+    *,
+    dtype: str = "bfloat16",
+    add_depth_inputs: bool = False,
+    flow_model=None,
+    flow_variables=None,
+):
+    """Build the pure serving function ``fn(frames_u8[, depth_u8]) -> probs``.
+
+    ``frames_u8``: (B, T, H, W, 3) uint8 RGB, newest frame first (the
+    reference stacks the rolling window newest-first,
+    test_multiframe_segmentation_on_videos_v3.py:251-259).
+    ``depth_u8`` (only when ``add_depth_inputs``): (B, T, H, W) uint8.
+    Returns (B, H, W, C) float32 softmax probabilities.
+
+    Weights are captured by closure — ``jax.export`` bakes them into the
+    artifact as constants (a self-contained frozen model). Floating-point
+    weights are cast to ``dtype`` first, matching the live
+    ``InferenceEngine`` (track/tracker.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    cvars = jax.tree_util.tree_map(
+        lambda x: x.astype(cdtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        variables,
+    )
+    if flow_model is not None and flow_variables is not None:
+        flow_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(cdtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            flow_variables,
+        )
+    mean = jnp.asarray([0.485, 0.456, 0.406], cdtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
+
+    def compute_flow(frames_norm):
+        # reference v3:264-271 — provider on half-res frames, flow
+        # rescaled x2 bilinear align_corners=True and divided by the 0.5
+        # resize factor; all B*(T-1) pairs as one batched forward.
+        from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
+
+        B, T, H, W = frames_norm.shape[:4]
+        H2, W2 = H // 2, W // 2
+        half = resize_nearest(frames_norm, H2, W2)
+        a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
+            (B * (T - 1), H2, W2, 3)
+        )
+        b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
+        fl = flow_model.apply(flow_vars, a, b)
+        fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
+        return fl.reshape((B, T - 1, H, W, 2))
+
+    if add_depth_inputs:
+
+        def serving_fn(frames_u8, depth_u8):
+            x = frames_u8.astype(cdtype) / 255.0
+            x = (x - mean) / std
+            kwargs = {"depth": (depth_u8.astype(cdtype) / 255.0)[..., None]}
+            if flow_model is not None:
+                kwargs["optflow"] = compute_flow(x)
+            logits = model.apply(cvars, x, **kwargs)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    else:
+
+        def serving_fn(frames_u8):
+            x = frames_u8.astype(cdtype) / 255.0
+            x = (x - mean) / std
+            kwargs = {}
+            if flow_model is not None:
+                kwargs["optflow"] = compute_flow(x)
+            logits = model.apply(cvars, x, **kwargs)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return serving_fn
+
+
+def export_serving(
+    model,
+    variables,
+    *,
+    height: int,
+    width: int,
+    num_frames: int,
+    dtype: str = "bfloat16",
+    add_depth_inputs: bool = False,
+    flow_model=None,
+    flow_variables=None,
+    batch: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Lower + export the serving function. Returns ``jax.export.Exported``.
+
+    ``batch=None`` exports a SYMBOLIC batch dimension (one artifact, any
+    batch size); an int pins it. ``platforms=None`` tries
+    ``("tpu", "cpu")`` cross-platform lowering and falls back to the
+    current default platform if some op refuses to lower for an absent
+    backend.
+    """
+    import jax
+    from jax import export as jexport
+
+    fn = make_serving_fn(
+        model, variables, dtype=dtype, add_depth_inputs=add_depth_inputs,
+        flow_model=flow_model, flow_variables=flow_variables,
+    )
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    specs = [
+        jax.ShapeDtypeStruct(
+            (b, num_frames, height, width, 3), jax.numpy.uint8
+        )
+    ]
+    if add_depth_inputs:
+        specs.append(
+            jax.ShapeDtypeStruct(
+                (b, num_frames, height, width), jax.numpy.uint8
+            )
+        )
+
+    def _export(plats):
+        return jexport.export(jax.jit(fn), platforms=plats)(*specs)
+
+    if platforms is not None:
+        return _export(tuple(platforms))
+    try:
+        return _export(("tpu", "cpu"))
+    except Exception:
+        return _export(None)
+
+
+def save_exported(path, exported, meta: Optional[dict] = None) -> dict:
+    """Write the artifact file; returns the full header written."""
+    import jax
+
+    data = exported.serialize()
+    header = {
+        "format": "mfcnet_tpu.serve/1",
+        "fn_name": exported.fun_name,
+        "platforms": list(exported.platforms),
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        "calling_convention_version": exported.calling_convention_version,
+        "jax_version": jax.__version__,
+    }
+    header.update(meta or {})
+    hdr = json.dumps(header).encode("utf-8")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        f.write(struct.pack("<Q", len(data)))
+        f.write(data)
+    tmp.replace(path)
+    return header
+
+
+class LoadedServing:
+    """A deserialized artifact: ``loaded(frames_u8[, depth_u8]) -> probs``.
+
+    ``meta`` is the JSON header; ``exported`` the ``jax.export.Exported``.
+    The call goes through ``Exported.call`` — it re-enters XLA with the
+    embedded StableHLO (jit-cached per shape) on whatever platform the
+    process runs, provided it is in ``meta['platforms']``.
+    """
+
+    def __init__(self, meta: dict, exported):
+        self.meta = meta
+        self.exported = exported
+
+    def __call__(self, *args):
+        return self.exported.call(*args)
+
+
+def load_exported(path) -> LoadedServing:
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(
+                f"{path}: not an mfcnet_tpu serving artifact "
+                f"(magic {magic!r})"
+            )
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        (dlen,) = struct.unpack("<Q", f.read(8))
+        data = f.read(dlen)
+    return LoadedServing(meta, jexport.deserialize(data))

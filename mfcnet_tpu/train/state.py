@@ -18,7 +18,14 @@ from flax import core, struct
 
 
 class TrainState(struct.PyTreeNode):
-    """Minimal mutable-through-replace train state with BN statistics."""
+    """Minimal mutable-through-replace train state with BN statistics.
+
+    ``ema_params``/``ema_decay``: optional exponential moving average of
+    the parameters, updated inside ``apply_gradients`` (no extra jit
+    boundary). EMA weights typically evaluate better than the raw last
+    iterate; they are checkpointed alongside params and can be served via
+    ``cli.export_model --use_ema``. No reference analogue.
+    """
 
     step: int
     params: core.FrozenDict
@@ -26,12 +33,21 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    ema_params: object = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(
             grads, self.opt_state, self.params
         )
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema, new_params,
+            )
         return self.replace(
             step=self.step + 1,
             params=new_params,
@@ -39,10 +55,12 @@ class TrainState(struct.PyTreeNode):
                 self.batch_stats if new_batch_stats is None else new_batch_stats
             ),
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
 
     @classmethod
-    def create(cls, apply_fn, params, tx, batch_stats=None):
+    def create(cls, apply_fn, params, tx, batch_stats=None,
+               ema_decay: float = 0.0):
         return cls(
             step=0,
             params=params,
@@ -50,6 +68,13 @@ class TrainState(struct.PyTreeNode):
             opt_state=tx.init(params),
             tx=tx,
             apply_fn=apply_fn,
+            # a true copy — identity-aliasing params here would hand the
+            # donating train step the same buffer twice (Execute() error)
+            ema_params=(
+                jax.tree.map(lambda p: jax.numpy.array(p), params)
+                if ema_decay > 0 else None
+            ),
+            ema_decay=float(ema_decay),
         )
 
 
@@ -58,6 +83,7 @@ def multiframe_optimizer(
     num_frames: int,
     train_base_model: bool,
     base_pretrained_loaded: bool,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Adam with the reference's differential-LR recipe.
 
@@ -65,6 +91,12 @@ def multiframe_optimizer(
     pretrained per-frame checkpoint was loaded, else lr/num_frames
     (scripts/train_multiframe_detection.py:128-143). When the base is frozen
     its updates are zeroed (:145-151 sets requires_grad=False).
+
+    ``grad_accum`` > 1 wraps the whole transform in ``optax.MultiSteps``:
+    gradients are averaged over N micro-batches before one Adam update —
+    the inner schedules (and Adam moments) count REAL updates, so
+    per-epoch LR decay stays correct when the caller divides
+    steps_per_epoch by N.
     """
     base_scale = (
         1.0 / (100.0 * num_frames)
@@ -85,12 +117,20 @@ def multiframe_optimizer(
         if not train_base_model
         else optax.adam(lambda step: lr_schedule(step) * base_scale)
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"base": base_tx, "head": optax.adam(lr_schedule)},
         label_fn,
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
-def singleframe_optimizer(lr_schedule) -> optax.GradientTransformation:
+def singleframe_optimizer(
+    lr_schedule, grad_accum: int = 1
+) -> optax.GradientTransformation:
     """Plain Adam (scripts/train_toolpose_segmentation.py:239)."""
-    return optax.adam(lr_schedule)
+    tx = optax.adam(lr_schedule)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx

@@ -38,18 +38,7 @@ def save_checkpoint(ckpt_dir, epoch: int, state, extra: Optional[dict] = None):
     """
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    payload = {
-        "params": jax.device_get(
-            serialization.to_state_dict(state.params)
-        ),
-        "batch_stats": jax.device_get(
-            serialization.to_state_dict(state.batch_stats)
-        ),
-        "opt_state": jax.device_get(
-            serialization.to_state_dict(state.opt_state)
-        ),
-        "step": int(jax.device_get(state.step)),
-    }
+    payload = _snapshot(state)
     path = ckpt_dir / f"model_{epoch:03d}.msgpack"
     _atomic_write(path, serialization.msgpack_serialize(payload))
     meta = {"epoch": epoch}
@@ -67,7 +56,7 @@ def _atomic_write(path: Path, data: bytes):
 
 def _snapshot(state) -> dict:
     """Device->host copy of the train state as a pure-python tree."""
-    return {
+    out = {
         "params": jax.device_get(serialization.to_state_dict(state.params)),
         "batch_stats": jax.device_get(
             serialization.to_state_dict(state.batch_stats)
@@ -77,6 +66,10 @@ def _snapshot(state) -> dict:
         ),
         "step": int(jax.device_get(state.step)),
     }
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        out["ema_params"] = jax.device_get(serialization.to_state_dict(ema))
+    return out
 
 
 class AsyncCheckpointer:
@@ -244,6 +237,7 @@ def load_checkpoint(path, state=None) -> Tuple[dict, int]:
         # against an empty dict.
         stats = payload.get("batch_stats")
         opt = payload.get("opt_state")
+        ema = payload.get("ema_params")
         payload = {
             "params": serialization.from_state_dict(
                 state.params, payload["params"]
@@ -258,6 +252,11 @@ def load_checkpoint(path, state=None) -> Tuple[dict, int]:
             ),
             "step": payload.get("step", 0),
         }
+        if ema is not None:
+            tmpl = getattr(state, "ema_params", None)
+            payload["ema_params"] = serialization.from_state_dict(
+                tmpl if tmpl is not None else state.params, ema
+            )
     return payload, epoch
 
 

@@ -1,0 +1,201 @@
+"""AOT serving-export tests (mfcnet_tpu.serve).
+
+Pins: artifact == live model numerics, symbolic-batch reuse across batch
+sizes, depth/flow graph plumbing, header integrity, and the export CLI's
+self-validation. Runs on the CPU backend; the artifact's platform list
+must therefore include 'cpu' for Exported.call to accept it.
+"""
+
+import numpy as np
+import pytest
+
+
+def _tiny(add_depth=False):
+    import jax
+
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1,
+        add_depth_inputs=add_depth,
+    )
+    kwargs = {}
+    if add_depth:
+        kwargs["depth"] = np.zeros((1, 3, 32, 32, 1), np.float32)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32), **kwargs,
+    )
+    return model, variables
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    import jax
+
+    from mfcnet_tpu.serve import (
+        export_serving, load_exported, make_serving_fn, save_exported,
+    )
+
+    model, variables = _tiny()
+    exported = export_serving(
+        model, variables, height=32, width=32, num_frames=3,
+        dtype="float32", batch=None,
+    )
+    path = tmp_path / "m.stablehlo"
+    header = save_exported(path, exported, meta={"model_type": "tiny"})
+    assert header["model_type"] == "tiny"
+    assert "cpu" in header["platforms"]
+
+    loaded = load_exported(path)
+    assert loaded.meta["fn_name"] == exported.fun_name
+    live = jax.jit(make_serving_fn(model, variables, dtype="float32"))
+    rng = np.random.default_rng(0)
+    # one artifact, two batch sizes (symbolic batch dim)
+    for B in (1, 2):
+        frames = rng.integers(0, 256, (B, 3, 32, 32, 3), dtype=np.uint8)
+        got = np.asarray(loaded(frames))
+        want = np.asarray(live(frames))
+        assert got.shape == (B, 32, 32, 5)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # softmax output: rows sum to 1
+        np.testing.assert_allclose(
+            got.sum(-1), np.ones((B, 32, 32)), atol=1e-5
+        )
+
+
+def test_export_depth_and_fixed_batch(tmp_path):
+    import jax
+
+    from mfcnet_tpu.serve import (
+        export_serving, load_exported, make_serving_fn, save_exported,
+    )
+
+    model, variables = _tiny(add_depth=True)
+    exported = export_serving(
+        model, variables, height=32, width=32, num_frames=3,
+        dtype="float32", add_depth_inputs=True, batch=2,
+    )
+    path = tmp_path / "d.stablehlo"
+    save_exported(path, exported)
+    loaded = load_exported(path)
+    live = jax.jit(make_serving_fn(
+        model, variables, dtype="float32", add_depth_inputs=True
+    ))
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (2, 3, 32, 32, 3), dtype=np.uint8)
+    depth = rng.integers(0, 256, (2, 3, 32, 32), dtype=np.uint8)
+    np.testing.assert_allclose(
+        np.asarray(loaded(frames, depth)),
+        np.asarray(live(frames, depth)),
+        atol=1e-6,
+    )
+    # fixed batch: wrong batch size must be rejected by the artifact
+    bad = rng.integers(0, 256, (1, 3, 32, 32, 3), dtype=np.uint8)
+    with pytest.raises(Exception):
+        loaded(bad, depth[:1])
+
+
+def test_export_with_flow_provider(tmp_path):
+    """In-graph flow plumbing (half-res provider, x2 upscale, /0.5) with a
+    stub provider — validates the graph shape without RAFT's compile
+    cost. Reference semantics:
+    test_multiframe_segmentation_on_videos_v3.py:264-271."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.serve import (
+        export_serving, load_exported, make_serving_fn, save_exported,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    class StubFlow(nn.Module):
+        @nn.compact
+        def __call__(self, a, b):
+            return nn.Conv(2, (3, 3))(jnp.concatenate([a, b], axis=-1))
+
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1,
+        add_optflow_inputs=True,
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32),
+        optflow=np.zeros((1, 2, 32, 32, 2), np.float32),
+    )
+    flow = StubFlow()
+    flow_vars = jit_init(
+        flow, jax.random.PRNGKey(1),
+        np.zeros((1, 16, 16, 3), np.float32),
+        np.zeros((1, 16, 16, 3), np.float32),
+    )
+    exported = export_serving(
+        model, variables, height=32, width=32, num_frames=3,
+        dtype="float32", flow_model=flow, flow_variables=flow_vars,
+        batch=None,
+    )
+    path = tmp_path / "f.stablehlo"
+    save_exported(path, exported)
+    loaded = load_exported(path)
+    live = jax.jit(make_serving_fn(
+        model, variables, dtype="float32",
+        flow_model=flow, flow_variables=flow_vars,
+    ))
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (2, 3, 32, 32, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        np.asarray(loaded(frames)), np.asarray(live(frames)), atol=1e-6
+    )
+
+
+def test_load_rejects_non_artifact(tmp_path):
+    from mfcnet_tpu.serve import load_exported
+
+    bad = tmp_path / "junk.bin"
+    bad.write_bytes(b"definitely not an artifact")
+    with pytest.raises(ValueError, match="magic"):
+        load_exported(bad)
+
+
+def test_export_cli_end_to_end(tmp_path):
+    import jax
+
+    from mfcnet_tpu.serve import load_exported
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model, variables = _tiny()
+    tx = multiframe_optimizer(
+        make_schedule("Constant", 1e-4, 1, 1), 3, False, False
+    )
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.export_model import main
+
+    out = tmp_path / "serve" / "m.stablehlo"
+    rc = main([
+        "--model_type", "TernausNetMulti-Basic",
+        "--num_input_frames", "3",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--load_wts_model", str(ck),
+        "--output", str(out),
+        "--validate", "true",  # CLI cross-checks artifact vs live model
+    ])
+    assert rc == 0 and out.exists()
+    loaded = load_exported(out)
+    assert loaded.meta["model_type"] == "TernausNetMulti-Basic"
+    assert loaded.meta["epoch"] == 1
+    frames = np.zeros((3, 3, 32, 32, 3), np.uint8)
+    probs = np.asarray(loaded(frames))  # dynamic batch: B=3 works
+    assert probs.shape == (3, 32, 32, 5)
