@@ -118,14 +118,17 @@ def main(argv=None):
     else:
         variables = jit_init(model, ik, np.zeros((1, H, W, 3), np.float32))
 
-    steps_per_epoch = max(1, len(train_loader))
+    accum = max(1, getattr(args, "grad_accum", 1))
+    # LR schedule counts real optimizer updates, not micro-batches
+    steps_per_epoch = max(1, len(train_loader) // accum)
     sched = make_schedule(
         args.scheduler, args.lr, args.num_epochs, steps_per_epoch
     )
-    tx = singleframe_optimizer(sched)
+    tx = singleframe_optimizer(sched, grad_accum=accum)
     state = TrainState.create(
         model.apply, variables["params"], tx,
         variables.get("batch_stats", {}),
+        ema_decay=getattr(args, "ema_decay", 0.0),
     )
 
     start_epoch = args.starting_epoch

@@ -110,6 +110,30 @@ def dataset(tmp_path_factory):
     )
 
 
+def test_singleframe_cli_grad_accum_ema(dataset, tmp_path):
+    from mfcnet_tpu.cli.train_toolpose_segmentation import main
+
+    state = main([
+        "--data_dir", str(dataset),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path),
+        "--expt_name", "sfa",
+        "--batch_size", "2",
+        "--num_workers", "1",
+        "--num_epochs", "1",
+        "--save_freq", "1",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_type", "TernausNet16",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+        "--grad_accum", "2",
+        "--ema_decay", "0.9",
+    ])
+    assert int(state.step) > 0
+    assert state.ema_params is not None
+
+
 def test_train_cli_grad_accum_ema_and_ema_export(dataset, tmp_path):
     from mfcnet_tpu.cli.train_multiframe_detection import main
     from mfcnet_tpu.utils.checkpoint import load_checkpoint
