@@ -50,6 +50,14 @@ def build_parser():
     p.add_argument("--load_wts_flow_model", type=str, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--serving_mode", type=str, default="full",
+                   choices=["full", "incremental"],
+                   help="'full': stateless window forward (T frames -> "
+                        "probs). 'incremental': the product tracking "
+                        "step — explicit ring-buffer state, ONE base "
+                        "forward per frame (start streams from "
+                        "serve.zero_state; incompatible with "
+                        "--add_optflow_inputs)")
     p.add_argument("--batch", type=str, default="dynamic",
                    help="'dynamic' (symbolic batch dim — one artifact, any "
                         "batch size) or a fixed integer")
@@ -69,7 +77,8 @@ def main(argv=None):
 
     from mfcnet_tpu.models import get_multiframe_segmentation_model
     from mfcnet_tpu.serve import (
-        export_serving, load_exported, make_serving_fn, save_exported,
+        export_incremental, export_serving, load_exported,
+        make_incremental_step, make_serving_fn, save_exported, zero_state,
     )
     from mfcnet_tpu.utils.checkpoint import load_checkpoint, load_params
     from mfcnet_tpu.utils.jitinit import jit_init
@@ -135,29 +144,45 @@ def main(argv=None):
 
     batch = None if args.batch == "dynamic" else int(args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
-    exported = export_serving(
-        model, variables,
-        height=H, width=W, num_frames=T, dtype=args.compute_dtype,
-        add_depth_inputs=args.add_depth_inputs,
-        flow_model=flow_model, flow_variables=flow_variables,
-        batch=batch, platforms=platforms,
-    )
-    header = save_exported(
-        args.output, exported,
-        meta={
-            "model_type": args.model_type,
-            "num_classes": args.num_classes,
-            "num_input_frames": T,
-            "input_height": H,
-            "input_width": W,
-            "compute_dtype": args.compute_dtype,
-            "add_depth_inputs": args.add_depth_inputs,
-            "add_optflow_inputs": args.add_optflow_inputs,
-            "checkpoint": str(args.load_wts_model),
-            "epoch": int(epoch),
-            "ema": bool(args.use_ema),
-        },
-    )
+    meta = {
+        "model_type": args.model_type,
+        "num_classes": args.num_classes,
+        "num_input_frames": T,
+        "input_height": H,
+        "input_width": W,
+        "compute_dtype": args.compute_dtype,
+        "add_depth_inputs": args.add_depth_inputs,
+        "add_optflow_inputs": args.add_optflow_inputs,
+        "serving_mode": args.serving_mode,
+        "checkpoint": str(args.load_wts_model),
+        "epoch": int(epoch),
+        "ema": bool(args.use_ema),
+    }
+    if args.serving_mode == "incremental":
+        if args.add_optflow_inputs:
+            raise SystemExit(
+                "--serving_mode incremental does not support in-graph "
+                "flow (use --serving_mode full)"
+            )
+        exported, state_spec = export_incremental(
+            model, variables,
+            height=H, width=W, num_frames=T,
+            num_classes=args.num_classes, dtype=args.compute_dtype,
+            add_depth_inputs=args.add_depth_inputs,
+            batch=batch, platforms=platforms,
+        )
+        meta["state"] = {
+            k: [list(shape), dt] for k, (shape, dt) in state_spec.items()
+        }
+    else:
+        exported = export_serving(
+            model, variables,
+            height=H, width=W, num_frames=T, dtype=args.compute_dtype,
+            add_depth_inputs=args.add_depth_inputs,
+            flow_model=flow_model, flow_variables=flow_variables,
+            batch=batch, platforms=platforms,
+        )
+    header = save_exported(args.output, exported, meta=meta)
     size = Path(args.output).stat().st_size
     log.info(
         "Wrote %s (%.1f MB, platforms=%s, in=%s)",
@@ -167,20 +192,44 @@ def main(argv=None):
     if args.validate:
         loaded = load_exported(args.output)
         rng = np.random.default_rng(0)
-        frames = rng.integers(0, 256, (1, T, H, W, 3), dtype=np.uint8)
-        inputs = [frames]
-        if args.add_depth_inputs:
-            inputs.append(
-                rng.integers(0, 256, (1, T, H, W), dtype=np.uint8)
+        if args.serving_mode == "incremental":
+            live_step, _ = make_incremental_step(
+                model, variables, height=H, width=W, num_frames=T,
+                num_classes=args.num_classes, dtype=args.compute_dtype,
+                add_depth_inputs=args.add_depth_inputs,
             )
-        live_fn = jax.jit(make_serving_fn(
-            model, variables, dtype=args.compute_dtype,
-            add_depth_inputs=args.add_depth_inputs,
-            flow_model=flow_model, flow_variables=flow_variables,
-        ))
-        got = np.asarray(loaded(*inputs))
-        want = np.asarray(live_fn(*inputs))
-        diff = float(np.max(np.abs(got - want)))
+            live_step = jax.jit(live_step)
+            state_a = zero_state(loaded.meta)
+            state_l = list(state_a)
+            diff = 0.0
+            for _ in range(T + 1):  # past warmup
+                frame = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+                inp = [frame]
+                if args.add_depth_inputs:
+                    inp.append(
+                        rng.integers(0, 256, (1, H, W), dtype=np.uint8)
+                    )
+                *state_a, got = loaded(*state_a, *inp)
+                out = live_step(*state_l, *inp)
+                state_l, want = list(out[:-1]), out[-1]
+                diff = max(diff, float(np.max(np.abs(
+                    np.asarray(got) - np.asarray(want)
+                ))))
+        else:
+            frames = rng.integers(0, 256, (1, T, H, W, 3), dtype=np.uint8)
+            inputs = [frames]
+            if args.add_depth_inputs:
+                inputs.append(
+                    rng.integers(0, 256, (1, T, H, W), dtype=np.uint8)
+                )
+            live_fn = jax.jit(make_serving_fn(
+                model, variables, dtype=args.compute_dtype,
+                add_depth_inputs=args.add_depth_inputs,
+                flow_model=flow_model, flow_variables=flow_variables,
+            ))
+            got = np.asarray(loaded(*inputs))
+            want = np.asarray(live_fn(*inputs))
+            diff = float(np.max(np.abs(got - want)))
         log.info("validate: max |artifact - live| = %.3e", diff)
         if diff > 1e-5:
             raise SystemExit(

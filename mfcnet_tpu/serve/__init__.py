@@ -2,16 +2,22 @@
 
 from mfcnet_tpu.serve.export import (
     LoadedServing,
+    export_incremental,
     export_serving,
     load_exported,
+    make_incremental_step,
     make_serving_fn,
     save_exported,
+    zero_state,
 )
 
 __all__ = [
     "LoadedServing",
+    "export_incremental",
     "export_serving",
     "load_exported",
+    "make_incremental_step",
     "make_serving_fn",
     "save_exported",
+    "zero_state",
 ]

@@ -218,6 +218,169 @@ class LoadedServing:
         return self.exported.call(*args)
 
 
+def make_incremental_step(
+    model,
+    variables,
+    *,
+    height: int,
+    width: int,
+    num_frames: int,
+    num_classes: int,
+    dtype: str = "bfloat16",
+    add_depth_inputs: bool = False,
+):
+    """Build the PRODUCT serving step: incremental tracking with an
+    explicit ring buffer — one base-model forward per frame instead of T
+    (the reference recomputes all T,
+    test_multiframe_segmentation_on_videos_v3.py:251-281; incremental ≡
+    full is pinned in tests/test_tracker.py).
+
+    Returns ``(step, state_spec)``:
+
+    - without depth: ``step(seg_buf, frame_u8) -> (seg_buf', probs)``,
+      seg_buf in the space-to-depth domain (B, H/4, W/4, T*16*C) — the
+      zero-layout-transpose fast path the live ``InferenceEngine`` uses;
+    - with depth: ``step(seg_buf, depth_buf, frame_u8, depth_u8) ->
+      (seg_buf', depth_buf', probs)``, seg_buf (B, T, H, W, C).
+
+    ``state_spec`` maps buffer name -> (shape-with-None-batch, dtype str);
+    start each stream from zeros (``zero_state``) and ignore probs for
+    the first T-1 warmup frames, exactly like ``InferenceEngine``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W, T, C = height, width, num_frames, num_classes
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    cvars = jax.tree_util.tree_map(
+        lambda x: x.astype(cdtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        variables,
+    )
+    mean = jnp.asarray([0.485, 0.456, 0.406], cdtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
+    use_s2d = not add_depth_inputs and H % 4 == 0 and W % 4 == 0
+
+    def _norm(frame_u8):
+        x = frame_u8.astype(cdtype) / 255.0
+        return (x - mean) / std
+
+    if use_s2d:
+
+        def step(seg_buf, frame_u8):
+            from mfcnet_tpu.ops.fastconv import from_s2d
+
+            x = _norm(frame_u8)
+            seg_new = model.apply(cvars, x, method="base_forward_s2d")
+            seg_buf = jnp.concatenate(
+                [seg_new, seg_buf[..., : (T - 1) * 16 * C]], axis=-1
+            )
+            logits = from_s2d(
+                model.apply(
+                    cvars, seg_buf, method="fuse_s2d", orig_hw=(H, W)
+                ),
+                4, H, W,
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return seg_buf, probs
+
+        state_spec = {
+            "seg_buf": ((None, H // 4, W // 4, T * 16 * C), dtype),
+        }
+    else:
+
+        def step(seg_buf, depth_buf, frame_u8, depth_u8):
+            x = _norm(frame_u8)
+            seg_new = model.apply(cvars, x, method="base_forward")
+            seg_buf = jnp.concatenate(
+                [seg_new[:, None], seg_buf[:, :-1]], axis=1
+            )
+            d = (depth_u8.astype(cdtype) / 255.0)[..., None]
+            depth_buf = jnp.concatenate(
+                [d[:, None], depth_buf[:, :-1]], axis=1
+            )
+            logits = model.apply(
+                cvars, seg_buf, method="fuse_precomputed", depth=depth_buf
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return seg_buf, depth_buf, probs
+
+        state_spec = {
+            "seg_buf": ((None, T, H, W, C), dtype),
+            "depth_buf": ((None, T, H, W, 1), dtype),
+        }
+    return step, state_spec
+
+
+def export_incremental(
+    model,
+    variables,
+    *,
+    height: int,
+    width: int,
+    num_frames: int,
+    num_classes: int,
+    dtype: str = "bfloat16",
+    add_depth_inputs: bool = False,
+    batch: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export the incremental step. Returns ``(Exported, state_spec)``."""
+    import jax
+    from jax import export as jexport
+
+    step, state_spec = make_incremental_step(
+        model, variables, height=height, width=width,
+        num_frames=num_frames, num_classes=num_classes, dtype=dtype,
+        add_depth_inputs=add_depth_inputs,
+    )
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    jnp = jax.numpy
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    specs = [
+        jax.ShapeDtypeStruct((b,) + tuple(shape[1:]), cdtype)
+        for shape, _ in state_spec.values()
+    ]
+    specs.append(
+        jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8)
+    )
+    if add_depth_inputs:
+        specs.append(jax.ShapeDtypeStruct((b, height, width), jnp.uint8))
+
+    def _export(plats):
+        return jexport.export(jax.jit(step), platforms=plats)(*specs)
+
+    if platforms is not None:
+        exported = _export(tuple(platforms))
+    else:
+        try:
+            exported = _export(("tpu", "cpu"))
+        except Exception:
+            exported = _export(None)
+    return exported, state_spec
+
+
+def zero_state(meta: dict, batch: int = 1):
+    """Zero ring buffers for an incremental artifact, from its header
+    (start of a new stream — the analogue of ``InferenceEngine.reset``)."""
+    import jax.numpy as jnp
+
+    spec = meta.get("state")
+    if not spec:
+        raise ValueError("not an incremental artifact (no 'state' header)")
+    return [
+        jnp.zeros(
+            tuple(batch if s is None else s for s in shape),
+            jnp.bfloat16 if dt == "bfloat16" else dt,
+        )
+        for shape, dt in spec.values()
+    ]
+
+
 def load_exported(path) -> LoadedServing:
     from jax import export as jexport
 

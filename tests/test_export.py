@@ -150,6 +150,102 @@ def test_export_with_flow_provider(tmp_path):
     )
 
 
+def test_export_incremental_matches_live_engine(tmp_path):
+    """The incremental artifact (explicit ring-buffer state, one base
+    forward per frame) must reproduce the live InferenceEngine frame for
+    frame — same class masks, same tip heatmaps, same warmup contract."""
+    import jax
+
+    from mfcnet_tpu.serve import (
+        export_incremental, load_exported, save_exported, zero_state,
+    )
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+
+    model, variables = _tiny()
+    T, H, W = 3, 32, 32
+    exported, state_spec = export_incremental(
+        model, variables, height=H, width=W, num_frames=T,
+        num_classes=5, dtype="float32",
+    )
+    path = tmp_path / "inc.stablehlo"
+    save_exported(path, exported, meta={
+        "serving_mode": "incremental",
+        "state": {k: [list(s), d] for k, (s, d) in state_spec.items()},
+    })
+    loaded = load_exported(path)
+
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=5, input_height=H, input_width=W,
+        dtype="float32", mode="incremental", overlay=False,
+    )
+    engine = InferenceEngine(model, variables, cfg)
+    state = zero_state(loaded.meta, batch=1)
+    rng = np.random.default_rng(5)
+    fused = 0
+    for t in range(T + 3):
+        frame = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        out = engine.step(frame)
+        *state, probs = loaded(*state, frame[None])
+        if t < T - 1:
+            assert out is None  # warmup contract matches
+            continue
+        fused += 1
+        mask_e, heats_e = out
+        probs = np.asarray(probs)[0]
+        np.testing.assert_array_equal(
+            probs.argmax(-1).astype(np.uint8), mask_e
+        )
+        # engine ships tip heats quantized to f16
+        np.testing.assert_allclose(
+            np.stack([probs[..., 2], probs[..., 4]], -1),
+            np.asarray(heats_e, np.float32), atol=1e-3,
+        )
+    assert fused == 4
+
+
+def test_export_cli_incremental(tmp_path):
+    import jax
+
+    from mfcnet_tpu.serve import load_exported, zero_state
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+
+    model, variables = _tiny()
+    tx = multiframe_optimizer(
+        make_schedule("Constant", 1e-4, 1, 1), 3, False, False
+    )
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.export_model import main
+
+    out = tmp_path / "inc.stablehlo"
+    rc = main([
+        "--model_type", "TernausNetMulti-Basic",
+        "--num_input_frames", "3",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--serving_mode", "incremental",
+        "--load_wts_model", str(ck),
+        "--output", str(out),
+        "--validate", "true",  # CLI replays T+1 frames vs the live step
+    ])
+    assert rc == 0
+    loaded = load_exported(out)
+    assert loaded.meta["serving_mode"] == "incremental"
+    # dynamic batch: serve 2 streams in lockstep from zero state
+    st = zero_state(loaded.meta, batch=2)
+    frames = np.zeros((2, 32, 32, 3), np.uint8)
+    *st, probs = loaded(*st, frames)
+    assert np.asarray(probs).shape == (2, 32, 32, 5)
+
+
 def test_load_rejects_non_artifact(tmp_path):
     from mfcnet_tpu.serve import load_exported
 
