@@ -246,6 +246,32 @@ def test_export_cli_incremental(tmp_path):
     assert np.asarray(probs).shape == (2, 32, 32, 5)
 
 
+def test_export_bfloat16_roundtrip(tmp_path):
+    """bfloat16 compute (the CLI default) through export/load: artifact
+    matches the live bf16 function exactly (same graph, same casts)."""
+    import jax
+
+    from mfcnet_tpu.serve import (
+        export_serving, load_exported, make_serving_fn, save_exported,
+    )
+
+    model, variables = _tiny()
+    exported = export_serving(
+        model, variables, height=32, width=32, num_frames=3,
+        dtype="bfloat16", batch=1,
+    )
+    path = tmp_path / "bf16.stablehlo"
+    save_exported(path, exported)
+    loaded = load_exported(path)
+    live = jax.jit(make_serving_fn(model, variables, dtype="bfloat16"))
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (1, 3, 32, 32, 3), dtype=np.uint8)
+    got = np.asarray(loaded(frames))
+    want = np.asarray(live(frames))
+    assert got.dtype == np.float32  # probs always f32
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_load_rejects_non_artifact(tmp_path):
     from mfcnet_tpu.serve import load_exported
 
