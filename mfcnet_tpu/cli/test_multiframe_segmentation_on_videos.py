@@ -44,9 +44,13 @@ def build_parser():
     p.add_argument("--depth_videos_dir", type=str, default=None)
     p.add_argument("--expt_savedir", type=str, required=True)
     p.add_argument("--expt_name", type=str, required=True)
-    p.add_argument("--model_type", type=str, required=True, choices=_MODELS)
+    p.add_argument("--model_type", type=str, default=None, choices=_MODELS)
     p.add_argument("--num_input_frames", type=int, default=3)
-    p.add_argument("--load_wts_model", type=str, required=True)
+    p.add_argument("--load_wts_model", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="track from a frozen serving artifact "
+                        "(cli.export_model) instead of model code + "
+                        "checkpoint; host decode, sequential videos")
     p.add_argument("--num_videos", type=int, default=-1)
     p.add_argument("--input_width", type=int, default=640)
     p.add_argument("--input_height", type=int, default=480)
@@ -114,6 +118,15 @@ def main(argv=None):
     logger.addHandler(logging.StreamHandler(sys.stdout))
 
     num_classes = 5
+    if args.artifact is None and (
+        args.model_type is None or args.load_wts_model is None
+    ):
+        raise SystemExit(
+            "either --artifact or both --model_type and --load_wts_model "
+            "are required"
+        )
+    if args.artifact is not None:
+        return _main_artifact(args, out_dir, logger, num_classes)
     model = get_multiframe_segmentation_model(
         args.model_type,
         num_classes=num_classes,
@@ -267,6 +280,66 @@ def main(argv=None):
                 flow_model=flow_model, flow_variables=flow_variables,
             )
             fps_all.append(fps)
+    if fps_all:
+        logger.info(f"mean throughput: {np.mean(fps_all):.1f} frames/s")
+    return fps_all
+
+
+def _main_artifact(args, out_dir, logger, num_classes):
+    """Track from a frozen serving artifact — no model code, no
+    checkpoint. Shapes come from the artifact header; host decode."""
+    from mfcnet_tpu.serve import ArtifactEngine, load_exported
+    from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
+
+    if getattr(args, "parallel_videos", 1) > 1:
+        raise SystemExit("--artifact tracking is sequential (B=1)")
+    if args.decode == "device":
+        raise SystemExit(
+            "--artifact requires --decode host (device decode needs the "
+            "framework's Pallas kernels)"
+        )
+    loaded = load_exported(args.artifact)
+    meta = loaded.meta
+    T = meta.get("num_input_frames", args.num_input_frames)
+    H = meta.get("input_height", args.input_height)
+    W = meta.get("input_width", args.input_width)
+    add_depth = meta.get("add_depth_inputs", args.add_depth_inputs)
+    cfg = TrackerConfig(
+        num_input_frames=T,
+        num_classes=meta.get("num_classes", num_classes),
+        input_height=H,
+        input_width=W,
+        score_detection_threshold=args.score_detection_threshold,
+        area_threshold=args.area_threshold,
+        dist_threshold=args.dist_threshold,
+        mode=meta.get("serving_mode", "full"),
+        decode="host",
+        dtype=meta.get("compute_dtype", args.compute_dtype),
+        add_depth_inputs=add_depth,
+        fetch_batch=args.fetch_batch,
+    )
+    engine = ArtifactEngine(loaded, cfg)
+    logger.info(
+        f"artifact serving: {args.artifact} "
+        f"(mode={cfg.mode}, {H}x{W}, T={T}"
+        f"{', +depth' if add_depth else ''})"
+    )
+    videos = list_video_files(args.videos_dir)
+    if args.num_videos > 0:
+        videos = videos[: args.num_videos]
+    depth_videos = (
+        list_video_files(args.depth_videos_dir)
+        if add_depth
+        else [None] * len(videos)
+    )
+    fps_all = []
+    for video, dvideo in zip(videos, depth_videos):
+        logger.info(f"Processing video: {video}")
+        _, fps = track_on_video(
+            video, None, None, cfg, out_dir,
+            depth_video_path=dvideo, logger=logger, engine=engine,
+        )
+        fps_all.append(fps)
     if fps_all:
         logger.info(f"mean throughput: {np.mean(fps_all):.1f} frames/s")
     return fps_all

@@ -1,5 +1,6 @@
 """Serving: AOT-exported StableHLO inference artifacts (``jax.export``)."""
 
+from mfcnet_tpu.serve.engine import ArtifactEngine
 from mfcnet_tpu.serve.export import (
     LoadedServing,
     export_incremental,
@@ -12,6 +13,7 @@ from mfcnet_tpu.serve.export import (
 )
 
 __all__ = [
+    "ArtifactEngine",
     "LoadedServing",
     "export_incremental",
     "export_serving",

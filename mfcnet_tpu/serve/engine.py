@@ -1,0 +1,133 @@
+"""ArtifactEngine — drive the video tracker from a frozen serving artifact.
+
+``InferenceEngine``-compatible (reset/step_async/step), but the model is
+the exported StableHLO artifact: no Flax model code, no checkpoint — the
+deployment configuration. Works with both artifact kinds
+(``--serving_mode incremental`` ring-buffer step, or the stateless
+``full`` window forward) and reproduces the live engine's outputs
+bit-for-bit for the host-decode path (pinned in tests/test_export.py).
+
+Scope: single-stream (B=1), host keypoint decode. The 'device' decode
+path needs the Pallas kernels and the framework anyway — if you have
+those, use the live engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mfcnet_tpu.serve.export import LoadedServing, load_exported, zero_state
+
+
+class ArtifactEngine:
+    def __init__(self, artifact, cfg):
+        """``artifact``: path or ``LoadedServing``. ``cfg``: TrackerConfig;
+        shapes must match the artifact header, decode must be 'host'."""
+        import jax
+        import jax.numpy as jnp
+
+        loaded = (
+            artifact if isinstance(artifact, LoadedServing)
+            else load_exported(artifact)
+        )
+        meta = loaded.meta
+        for key, want in (
+            ("input_height", cfg.input_height),
+            ("input_width", cfg.input_width),
+            ("num_input_frames", cfg.num_input_frames),
+            ("num_classes", cfg.num_classes),
+            ("add_depth_inputs", cfg.add_depth_inputs),
+        ):
+            if key in meta and meta[key] != want:
+                raise ValueError(
+                    f"artifact {key}={meta[key]} != config {want}"
+                )
+        if meta.get("add_optflow_inputs"):
+            raise ValueError(
+                "flow-in-graph artifacts are 'full'-forward only; "
+                "ArtifactEngine does not assemble flow inputs"
+            )
+        if cfg.decode == "device":
+            raise ValueError(
+                "ArtifactEngine supports host decode only (the device "
+                "decode needs the framework's Pallas kernels — use the "
+                "live InferenceEngine)"
+            )
+        self.cfg = cfg
+        self._loaded = loaded
+        self._mode = meta.get("serving_mode", "full")
+        self._jnp = jnp
+        self.num_streams = 1
+
+        thr = float(cfg.score_detection_threshold)
+        C = cfg.num_classes
+
+        @jax.jit
+        def post(probs):
+            # mirror InferenceEngine._outputs host-decode branch exactly
+            # (reference score-threshold semantics :282-289)
+            if thr > 0:
+                mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
+                for cls in range(1, C):
+                    mask = jnp.where(
+                        probs[..., cls] > thr, jnp.uint8(cls), mask
+                    )
+            else:
+                mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            heats = jnp.stack(
+                [probs[..., 2], probs[..., 4]], axis=-1
+            ).astype(jnp.float16)
+            return mask, heats
+
+        self._post = post
+        self.reset()
+
+    def reset(self):
+        """Fresh stream: zero ring buffers / clear the frame window."""
+        self._state = (
+            zero_state(self._loaded.meta, batch=1)
+            if self._mode == "incremental" else None
+        )
+        self._count = 0
+        self._frame_q = []
+        self._depth_q = []
+
+    def step_async(self, frame_u8, depth_u8=None):
+        """One (H, W, 3) uint8 frame in; (mask, heats) device handles out
+        (None during the T-1 frame warmup, like the live engine)."""
+        T = self.cfg.num_input_frames
+        if self._mode == "incremental":
+            inputs = [np.asarray(frame_u8)[None]]
+            if self.cfg.add_depth_inputs:
+                if depth_u8 is None:
+                    depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
+                inputs.append(np.asarray(depth_u8)[None])
+            *self._state, probs = self._loaded(*self._state, *inputs)
+            self._count += 1
+            if self._count < T:
+                return None
+            return self._post(probs[0])
+        # full artifact: host-side rolling window, newest first
+        # (reference :251-259)
+        if depth_u8 is None:
+            depth_u8 = np.zeros(np.asarray(frame_u8).shape[:2], np.uint8)
+        self._frame_q.append(np.asarray(frame_u8))
+        self._depth_q.append(np.asarray(depth_u8))
+        if len(self._frame_q) > T:
+            self._frame_q.pop(0)
+            self._depth_q.pop(0)
+        if len(self._frame_q) < T:
+            return None
+        stack = np.stack(self._frame_q[::-1])[None]
+        inputs = [stack]
+        if self.cfg.add_depth_inputs:
+            inputs.append(np.stack(self._depth_q[::-1])[None])
+        probs = self._loaded(*inputs)
+        return self._post(probs[0])
+
+    def step(self, frame_u8, depth_u8=None):
+        out = self.step_async(frame_u8, depth_u8)
+        if out is None:
+            return None
+        mask, aux = out
+        return np.asarray(mask), np.asarray(aux)

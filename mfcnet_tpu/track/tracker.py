@@ -880,18 +880,24 @@ def track_on_video(
     logger=None,
     flow_model=None,
     flow_variables=None,
+    engine=None,
 ):
     """Track one video end to end; writes ``{name}_tracked.{csv,mp4}``.
 
     Per frame: host decode+resize -> device engine (normalize, base
     forward(s), fuse, softmax, argmax) -> host keypoint decode -> CSV/MP4.
     (Reference: test_multiframe_segmentation_on_videos_v3.py:198-315.)
+
+    ``engine``: optional prebuilt engine (a reused ``InferenceEngine`` or
+    a ``serve.ArtifactEngine`` driving a frozen artifact); ``model``/
+    ``variables`` are ignored when given.
     """
     H, W = cfg.input_height, cfg.input_width
-    engine = InferenceEngine(
-        model, variables, cfg, flow_model=flow_model,
-        flow_variables=flow_variables,
-    )
+    if engine is None:
+        engine = InferenceEngine(
+            model, variables, cfg, flow_model=flow_model,
+            flow_variables=flow_variables,
+        )
 
     vid = cv2.VideoCapture(str(video_path))
     name = Path(video_path).stem

@@ -61,7 +61,7 @@ def main():
         def patched(dataset_name, data_dir, mode, prediction_task,
                     num_input_frames, batch_size, num_workers=4,
                     fold_index=-1, add_depth_inputs=False, seed=0,
-                    shard=None):
+                    shard=None, packed_dir=None):
             """Global batches = [rank0 batch; rank1 batch] — identical
             composition and order to the 2-process run's assembled
             global array (shard_host_local_batch stitches process-local

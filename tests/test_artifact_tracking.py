@@ -1,0 +1,180 @@
+"""Tracking from frozen serving artifacts (serve.ArtifactEngine).
+
+The deployment configuration: video CLI / track_on_* driven by an
+exported StableHLO artifact instead of model code + checkpoint. Rows must
+be bit-identical to the live InferenceEngine pipeline on the same
+weights.
+"""
+
+import numpy as np
+import pytest
+
+
+def _tiny_and_artifact(tmp_path, mode):
+    import jax
+
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.serve import (
+        export_incremental, export_serving, save_exported,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 64, 64, 3), np.float32),
+    )
+    meta = {
+        "serving_mode": mode, "num_classes": 5, "num_input_frames": 3,
+        "input_height": 64, "input_width": 64, "compute_dtype": "float32",
+        "add_depth_inputs": False,
+    }
+    if mode == "incremental":
+        exported, spec = export_incremental(
+            model, variables, height=64, width=64, num_frames=3,
+            num_classes=5, dtype="float32",
+        )
+        meta["state"] = {
+            k: [list(s), d] for k, (s, d) in spec.items()
+        }
+    else:
+        exported = export_serving(
+            model, variables, height=64, width=64, num_frames=3,
+            dtype="float32",
+        )
+    path = tmp_path / f"{mode}.stablehlo"
+    save_exported(path, exported, meta=meta)
+    return model, variables, path
+
+
+@pytest.mark.parametrize("mode", ["incremental", "full"])
+def test_artifact_rows_match_live_engine(tmp_path, mode):
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.serve import ArtifactEngine
+    from mfcnet_tpu.track.tracker import (
+        TrackerConfig, track_on_frames,
+    )
+
+    model, variables, path = _tiny_and_artifact(tmp_path, mode)
+    frames = make_synthetic_frames(num_frames=7, height=64, width=64,
+                                   seed=4)
+    cfg = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=64,
+        input_width=64, dtype="float32", mode=mode, overlay=False,
+    )
+    rows_live, _ = track_on_frames(
+        frames, model, variables, cfg, tmp_path / "live", name="v"
+    )
+    rows_art, _ = track_on_frames(
+        frames, None, None, cfg, tmp_path / "art", name="v",
+        engine=ArtifactEngine(path, cfg),
+    )
+    np.testing.assert_allclose(rows_art, rows_live, equal_nan=True)
+
+
+def test_artifact_engine_rejects_mismatch(tmp_path):
+    from mfcnet_tpu.serve import ArtifactEngine
+    from mfcnet_tpu.track.tracker import TrackerConfig
+
+    _, _, path = _tiny_and_artifact(tmp_path, "incremental")
+    bad = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=32,
+        input_width=64, dtype="float32", mode="incremental",
+    )
+    with pytest.raises(ValueError, match="input_height"):
+        ArtifactEngine(path, bad)
+    dev = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=64,
+        input_width=64, decode="device", mode="incremental",
+    )
+    with pytest.raises(ValueError, match="host"):
+        ArtifactEngine(path, dev)
+
+
+def test_video_cli_artifact_matches_checkpoint_run(tmp_path):
+    """End to end: train-format checkpoint -> export CLI -> video CLI
+    --artifact; CSV bit-identical to the model+checkpoint run."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    make_synthetic_video(tmp_path / "vids" / "a.mp4", num_frames=6,
+                         height=64, width=64)
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32),
+    )
+    tx = multiframe_optimizer(make_schedule("Constant", 1e-4, 1, 1), 3,
+                              False, False)
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.export_model import main as export_main
+
+    art = tmp_path / "m.stablehlo"
+    export_main([
+        "--model_type", "TernausNetMulti-Basic",
+        "--num_input_frames", "3",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--serving_mode", "incremental",
+        "--load_wts_model", str(ck),
+        "--output", str(art),
+        "--validate", "false",
+    ])
+
+    from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--input_height", "32",
+        "--input_width", "32",
+    ]
+    fps_ck = main(common + [
+        "--expt_name", "ckrun",
+        "--model_type", "TernausNetMulti-Basic",
+        "--load_wts_model", str(ck),
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+    ])
+    fps_art = main(common + [
+        "--expt_name", "artrun",
+        "--artifact", str(art),
+    ])
+    assert len(fps_ck) == len(fps_art) == 1
+    rows_ck = np.loadtxt(
+        tmp_path / "ckrun" / "video_tracking_results" / "a_tracked.csv",
+        delimiter=",",
+    )
+    rows_art = np.loadtxt(
+        tmp_path / "artrun" / "video_tracking_results" / "a_tracked.csv",
+        delimiter=",",
+    )
+    np.testing.assert_allclose(rows_art, rows_ck, equal_nan=True)
+
+
+def test_video_cli_requires_model_or_artifact(tmp_path):
+    from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
+
+    with pytest.raises(SystemExit, match="artifact"):
+        main([
+            "--videos_dir", str(tmp_path),
+            "--expt_savedir", str(tmp_path),
+            "--expt_name", "x",
+        ])
