@@ -192,6 +192,8 @@ def main(argv=None):
     if args.validate:
         loaded = load_exported(args.output)
         rng = np.random.default_rng(0)
+        B = 1 if batch is None else batch  # fixed-batch artifacts only
+        # accept inputs of exactly that batch size
         if args.serving_mode == "incremental":
             live_step, _ = make_incremental_step(
                 model, variables, height=H, width=W, num_frames=T,
@@ -199,15 +201,15 @@ def main(argv=None):
                 add_depth_inputs=args.add_depth_inputs,
             )
             live_step = jax.jit(live_step)
-            state_a = zero_state(loaded.meta)
+            state_a = zero_state(loaded.meta, batch=B)
             state_l = list(state_a)
             diff = 0.0
             for _ in range(T + 1):  # past warmup
-                frame = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+                frame = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
                 inp = [frame]
                 if args.add_depth_inputs:
                     inp.append(
-                        rng.integers(0, 256, (1, H, W), dtype=np.uint8)
+                        rng.integers(0, 256, (B, H, W), dtype=np.uint8)
                     )
                 *state_a, got = loaded(*state_a, *inp)
                 out = live_step(*state_l, *inp)
@@ -216,11 +218,11 @@ def main(argv=None):
                     np.asarray(got) - np.asarray(want)
                 ))))
         else:
-            frames = rng.integers(0, 256, (1, T, H, W, 3), dtype=np.uint8)
+            frames = rng.integers(0, 256, (B, T, H, W, 3), dtype=np.uint8)
             inputs = [frames]
             if args.add_depth_inputs:
                 inputs.append(
-                    rng.integers(0, 256, (1, T, H, W), dtype=np.uint8)
+                    rng.integers(0, 256, (B, T, H, W), dtype=np.uint8)
                 )
             live_fn = jax.jit(make_serving_fn(
                 model, variables, dtype=args.compute_dtype,

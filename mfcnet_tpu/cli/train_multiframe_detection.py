@@ -235,8 +235,16 @@ def main(argv=None):
                 opt_state=payload["opt_state"],
                 step=payload["step"],
             )
-            if "ema_params" in payload and state.ema_params is not None:
-                state = state.replace(ema_params=payload["ema_params"])
+            if state.ema_params is not None:
+                if "ema_params" in payload:
+                    state = state.replace(ema_params=payload["ema_params"])
+                else:
+                    # checkpoint predates EMA: seed from the RESTORED
+                    # params, not the pre-restore init the state was
+                    # created with
+                    state = state.replace(ema_params=jax.tree.map(
+                        lambda p: jax.numpy.array(p), state.params
+                    ))
             start_epoch = max(start_epoch, epoch)
             logger.info(f"Resumed from {ck} at epoch {epoch}")
     elif args.load_wts_model:

@@ -170,12 +170,21 @@ def get_data_loader(
         from mfcnet_tpu.data.packed import PackedMultiFrameDataset
 
         packed_dir = Path(packed_dir)
+        # fail loudly if the pack was built for a different task/dataset/
+        # fold — a silent mismatch would train on wrong labels
+        expect = {
+            "prediction_task": prediction_task,
+            "dataset": dataset_name,
+            "fold_index": fold_index,
+        }
         if mode == "training":
             train_ds = PackedMultiFrameDataset(
-                packed_dir / "train", num_input_frames, add_depth_inputs
+                packed_dir / "train", num_input_frames, add_depth_inputs,
+                expect=expect,
             )
             val_ds = PackedMultiFrameDataset(
-                packed_dir / "val", num_input_frames, add_depth_inputs
+                packed_dir / "val", num_input_frames, add_depth_inputs,
+                expect=expect,
             )
             return (
                 DataLoader(train_ds, batch_size, shuffle=True,
@@ -184,7 +193,8 @@ def get_data_loader(
                            num_workers=num_workers),
             )
         test_ds = PackedMultiFrameDataset(
-            packed_dir / "test", num_input_frames, add_depth_inputs
+            packed_dir / "test", num_input_frames, add_depth_inputs,
+            expect={**expect, "mode": mode},
         )
         return None, DataLoader(test_ds, 1, shuffle=False,
                                 num_workers=num_workers)

@@ -42,7 +42,7 @@ def pack_files(
     prediction_task: str,
     out_dir,
     add_depth_inputs: bool = False,
-    chunk: int = 64,
+    extra: Optional[dict] = None,
 ) -> dict:
     """Pack image files (+ masks composed from pose maps, + depth) into
     ``out_dir``. Uses the same loaders as the live path (data/masks.py),
@@ -93,6 +93,7 @@ def pack_files(
         "video_ids": video_ids,
         "names": [str(f.name) for f in file_names],
     }
+    index.update(extra or {})
     (out_dir / "index.json").write_text(json.dumps(index))
     return index
 
@@ -110,7 +111,11 @@ class PackedMultiFrameDataset:
         pack_dir,
         num_input_frames: int,
         add_depth_inputs: bool = False,
+        expect: Optional[dict] = None,
     ):
+        """``expect``: {index key: required value} — the loader passes the
+        run's prediction_task/dataset/fold so a mismatched pack fails
+        loudly instead of silently training on wrong labels."""
         pack_dir = Path(pack_dir)
         index = json.loads((pack_dir / "index.json").read_text())
         if index.get("format") != FORMAT:
@@ -123,6 +128,12 @@ class PackedMultiFrameDataset:
                 f"{pack_dir}: packed without depth "
                 "(re-pack with --add_depth_inputs)"
             )
+        for key, want in (expect or {}).items():
+            if key in index and index[key] != want:
+                raise ValueError(
+                    f"{pack_dir}: packed with {key}={index[key]!r} but "
+                    f"this run needs {want!r} — re-pack or fix the flags"
+                )
         self.index = index
         N, H, W = index["n"], index["height"], index["width"]
         self.N, self.T = N, num_input_frames
@@ -189,17 +200,25 @@ def pack_dataset_splits(
         dataset_name, data_dir, mode, fold_index
     )
     out_dir = Path(out_dir)
+    # provenance, checked at load time against the training run's flags
+    extra = {
+        "dataset": dataset_name,
+        "mode": mode,
+        "fold_index": fold_index,
+    }
     out = {}
     if mode == "training":
         out["train"] = pack_files(
             train_files, prediction_task, out_dir / "train",
-            add_depth_inputs,
+            add_depth_inputs, extra=extra,
         )
         out["val"] = pack_files(
-            val_files, prediction_task, out_dir / "val", add_depth_inputs
+            val_files, prediction_task, out_dir / "val", add_depth_inputs,
+            extra=extra,
         )
     else:
         out["test"] = pack_files(
-            train_files, prediction_task, out_dir / "test", add_depth_inputs
+            train_files, prediction_task, out_dir / "test",
+            add_depth_inputs, extra=extra,
         )
     return out

@@ -42,10 +42,14 @@ class ArtifactEngine:
                 raise ValueError(
                     f"artifact {key}={meta[key]} != config {want}"
                 )
-        if meta.get("add_optflow_inputs"):
+        if meta.get("add_optflow_inputs") and (
+            meta.get("serving_mode", "full") != "full"
+        ):
+            # a 'full' artifact computes flow in-graph from its own frame
+            # window, so it tracks fine; there is no incremental+flow
+            # artifact kind
             raise ValueError(
-                "flow-in-graph artifacts are 'full'-forward only; "
-                "ArtifactEngine does not assemble flow inputs"
+                "flow-in-graph artifacts are 'full'-forward only"
             )
         if cfg.decode == "device":
             raise ValueError(

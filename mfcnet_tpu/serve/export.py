@@ -32,6 +32,24 @@ from typing import Optional, Sequence
 _MAGIC = b"MFCNETX1"
 
 
+def _export_with_fallback(export_fn):
+    """Try ('tpu', 'cpu') cross-platform lowering; fall back to the
+    current default platform only for lowering failures, and say so —
+    a silent downgrade would produce an artifact that refuses to load on
+    the other platform with no record of why."""
+    import logging
+
+    try:
+        return export_fn(("tpu", "cpu"))
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            "cross-platform ('tpu', 'cpu') export failed (%s: %s); "
+            "falling back to the current default platform only — the "
+            "artifact will not load on other platforms", type(e).__name__, e,
+        )
+        return export_fn(None)
+
+
 def make_serving_fn(
     model,
     variables,
@@ -57,20 +75,16 @@ def make_serving_fn(
     import jax
     import jax.numpy as jnp
 
-    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    cvars = jax.tree_util.tree_map(
-        lambda x: x.astype(cdtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        variables,
-    )
-    if flow_model is not None and flow_variables is not None:
-        flow_vars = jax.tree_util.tree_map(
-            lambda x: x.astype(cdtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            flow_variables,
+    from mfcnet_tpu.utils.jitinit import cast_floats
+
+    if (flow_model is None) != (flow_variables is None):
+        raise ValueError(
+            "flow_model and flow_variables must be given together"
         )
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    cvars = cast_floats(variables, cdtype)
+    if flow_model is not None:
+        flow_vars = cast_floats(flow_variables, cdtype)
     mean = jnp.asarray([0.485, 0.456, 0.406], cdtype)
     std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
 
@@ -166,10 +180,7 @@ def export_serving(
 
     if platforms is not None:
         return _export(tuple(platforms))
-    try:
-        return _export(("tpu", "cpu"))
-    except Exception:
-        return _export(None)
+    return _export_with_fallback(_export)
 
 
 def save_exported(path, exported, meta: Optional[dict] = None) -> dict:
@@ -250,14 +261,11 @@ def make_incremental_step(
     import jax
     import jax.numpy as jnp
 
+    from mfcnet_tpu.utils.jitinit import cast_floats
+
     H, W, T, C = height, width, num_frames, num_classes
     cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    cvars = jax.tree_util.tree_map(
-        lambda x: x.astype(cdtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        variables,
-    )
+    cvars = cast_floats(variables, cdtype)
     mean = jnp.asarray([0.485, 0.456, 0.406], cdtype)
     std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
     use_s2d = not add_depth_inputs and H % 4 == 0 and W % 4 == 0
@@ -288,7 +296,7 @@ def make_incremental_step(
         state_spec = {
             "seg_buf": ((None, H // 4, W // 4, T * 16 * C), dtype),
         }
-    else:
+    elif add_depth_inputs:
 
         def step(seg_buf, depth_buf, frame_u8, depth_u8):
             x = _norm(frame_u8)
@@ -309,6 +317,26 @@ def make_incremental_step(
         state_spec = {
             "seg_buf": ((None, T, H, W, C), dtype),
             "depth_buf": ((None, T, H, W, 1), dtype),
+        }
+    else:
+        # no depth, but H or W not divisible by 4: plain (non-s2d) ring
+        # buffer, no depth arguments at all (the model was built without
+        # depth inputs — feeding it a zero depth channel would be wrong)
+
+        def step(seg_buf, frame_u8):
+            x = _norm(frame_u8)
+            seg_new = model.apply(cvars, x, method="base_forward")
+            seg_buf = jnp.concatenate(
+                [seg_new[:, None], seg_buf[:, :-1]], axis=1
+            )
+            logits = model.apply(
+                cvars, seg_buf, method="fuse_precomputed"
+            )
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return seg_buf, probs
+
+        state_spec = {
+            "seg_buf": ((None, T, H, W, C), dtype),
         }
     return step, state_spec
 
@@ -357,10 +385,7 @@ def export_incremental(
     if platforms is not None:
         exported = _export(tuple(platforms))
     else:
-        try:
-            exported = _export(("tpu", "cpu"))
-        except Exception:
-            exported = _export(None)
+        exported = _export_with_fallback(_export)
     return exported, state_spec
 
 

@@ -408,12 +408,9 @@ class InferenceEngine:
             self._skip_gather = (
                 spatial_shards == 1 and cfg.decode != "device"
             )
-        cvars = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            variables,
-        )
+        from mfcnet_tpu.utils.jitinit import cast_floats
+
+        cvars = cast_floats(variables, dtype)
         mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 

@@ -44,8 +44,16 @@ class TrainState(struct.PyTreeNode):
         new_ema = self.ema_params
         if new_ema is not None:
             d = self.ema_decay
+            # under optax.MultiSteps only every k-th micro-batch is a real
+            # parameter update; blending on accumulation micro-steps would
+            # silently compound the decay to d^k per update. MultiSteps
+            # resets mini_step to 0 exactly when the inner update ran.
+            mini = getattr(new_opt_state, "mini_step", None)
+            is_update = True if mini is None else (mini == 0)
             new_ema = jax.tree.map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                lambda e, p: jax.numpy.where(
+                    is_update, e * d + p.astype(e.dtype) * (1.0 - d), e
+                ),
                 new_ema, new_params,
             )
         return self.replace(

@@ -246,6 +246,63 @@ def test_export_cli_incremental(tmp_path):
     assert np.asarray(probs).shape == (2, 32, 32, 5)
 
 
+def test_export_incremental_non_s2d_without_depth(tmp_path):
+    """H not divisible by 4 disables the s2d fast path; the incremental
+    export must still work with a seg_buf-only state and must NOT invent
+    a depth channel for a depth-less model."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from mfcnet_tpu.models import MultiFrameSegmenter
+    from mfcnet_tpu.serve import (
+        export_incremental, load_exported, save_exported, zero_state,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    class StubBase(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.softmax(nn.Conv(5, (3, 3))(x))
+
+    H, W, T = 30, 32, 3
+    model = MultiFrameSegmenter(
+        base=StubBase(), num_classes=5, num_frames=T,
+        variant="basic", base_output="identity",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, T, H, W, 3), np.float32),
+    )
+    exported, spec = export_incremental(
+        model, variables, height=H, width=W, num_frames=T,
+        num_classes=5, dtype="float32",
+    )
+    assert list(spec) == ["seg_buf"]  # no depth buffer
+    path = tmp_path / "ns2d.stablehlo"
+    save_exported(path, exported, meta={
+        "state": {k: [list(s), d] for k, (s, d) in spec.items()},
+    })
+    loaded = load_exported(path)
+    from mfcnet_tpu.serve import make_incremental_step
+
+    live, _ = make_incremental_step(
+        model, variables, height=H, width=W, num_frames=T,
+        num_classes=5, dtype="float32",
+    )
+    live = jax.jit(live)
+    state_a = zero_state(loaded.meta)
+    state_l = list(state_a)
+    rng = np.random.default_rng(8)
+    for _ in range(T + 1):
+        frame = rng.integers(0, 256, (1, H, W, 3), dtype=np.uint8)
+        *state_a, got = loaded(*state_a, frame)
+        *state_l, want = live(*state_l, frame)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
+
 def test_export_bfloat16_roundtrip(tmp_path):
     """bfloat16 compute (the CLI default) through export/load: artifact
     matches the live bf16 function exactly (same graph, same casts)."""

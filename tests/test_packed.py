@@ -6,10 +6,14 @@ live PNG/JPEG-decoding MultiFrameDataset over the same files.
 """
 
 import json
+import sys
+from pathlib import Path
 
 import cv2
 import numpy as np
 import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 
 @pytest.fixture(scope="module")
@@ -77,14 +81,37 @@ def test_packed_rejects_bad_inputs(tree, tmp_path):
     (bad / "index.json").write_text(json.dumps({"format": "nope"}))
     with pytest.raises(ValueError, match="packed"):
         PackedMultiFrameDataset(bad, 3)
+    # task mismatch must fail loudly, not train on wrong labels
+    with pytest.raises(ValueError, match="prediction_task"):
+        PackedMultiFrameDataset(
+            tmp_path / "nd", 3,
+            expect={"prediction_task": "tooltip_segmentation"},
+        )
+
+
+def test_loader_rejects_mismatched_pack(tree, tmp_path):
+    from mfcnet_tpu.data.loader import get_data_loader
+    from mfcnet_tpu.data.packed import pack_dataset_splits
+
+    pack_dataset_splits(
+        "JIGSAWS", tree, "training", "toolpose_segmentation",
+        tmp_path / "packs",
+    )
+    with pytest.raises(ValueError, match="prediction_task"):
+        get_data_loader(
+            "JIGSAWS", tree, "training", "tooltip_segmentation", 3, 2,
+            packed_dir=tmp_path / "packs",
+        )
+    with pytest.raises(ValueError, match="fold_index"):
+        get_data_loader(
+            "JIGSAWS", tree, "training", "toolpose_segmentation", 3, 2,
+            fold_index=2, packed_dir=tmp_path / "packs",
+        )
 
 
 def test_pack_tool_and_loader_parity(tree, tmp_path):
     """tools/pack_dataset.py CLI + get_data_loader(packed_dir=...) yield
     the same batches as the live loader (same seed => same shuffle)."""
-    import sys
-
-    sys.path.insert(0, "tools")
     from pack_dataset import main as pack_main
 
     from mfcnet_tpu.data.loader import get_data_loader

@@ -76,6 +76,71 @@ def test_ema_recurrence():
                                atol=1e-6)
 
 
+def test_ema_skips_accumulation_micro_steps():
+    """With grad_accum=k the EMA must blend once per REAL update, not per
+    micro-batch — otherwise the effective decay silently becomes d^k."""
+    import jax
+
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+
+    sched = make_schedule("Constant", 1e-2, 1, 1)
+    tx = multiframe_optimizer(sched, 3, True, False, grad_accum=2)
+    s = TrainState.create(lambda *a: None, _toy_params(), tx, ema_decay=0.5)
+    g = {
+        "base": {"w": np.array([1.0, 1.0, 1.0], np.float32)},
+        "head": {"w": np.array([1.0, 1.0, 1.0], np.float32)},
+    }
+    s = s.apply_gradients(g)
+    # accumulation micro-step: params frozen AND ema untouched
+    np.testing.assert_array_equal(
+        np.asarray(s.ema_params["head"]["w"]), 0.0
+    )
+    s = s.apply_gradients(g)
+    # real update: exactly ONE blend of the new params
+    p1 = np.asarray(s.params["head"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(s.ema_params["head"]["w"]), 0.5 * p1, atol=1e-7
+    )
+
+
+def test_resume_seeds_ema_from_restored_params(dataset, tmp_path):
+    """Resuming a pre-EMA checkpoint with --ema_decay must seed the EMA
+    from the RESTORED weights, not the fresh random init."""
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+
+    common = [
+        "--data_dir", str(dataset),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path),
+        "--expt_name", "rs",
+        "--model_type", "TernausNetMulti-Basic",
+        "--model_scale", "0.1",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--batch_size", "2",
+        "--num_workers", "1",
+        "--save_freq", "1",
+        "--lr", "1e-6",  # params barely move: ema ~ params if seeded right
+    ]
+    main(common + ["--num_epochs", "1"])  # epoch-1 ckpt, NO ema_params
+    state = main(common + [
+        "--num_epochs", "2", "--resume", "true", "--ema_decay", "0.9",
+    ])
+    import jax
+
+    diffs = jax.tree.map(
+        lambda e, p: float(np.max(np.abs(
+            np.asarray(e, np.float32) - np.asarray(p, np.float32)
+        ))),
+        state.ema_params, state.params,
+    )
+    worst = max(jax.tree.leaves(diffs))
+    # buggy seeding leaves ~0.9^n of a random init in the EMA (diff on the
+    # order of the weight scale, ~1e-1); correct seeding tracks params
+    assert worst < 1e-3, f"EMA far from params after resume: {worst}"
+
+
 def test_snapshot_roundtrips_ema(tmp_path):
     import optax
 
