@@ -28,6 +28,11 @@ def build_parser():
     p = argparse.ArgumentParser(
         description="Export a serving artifact (jax.export StableHLO)"
     )
+    p.add_argument("--task", type=str, default="multiframe",
+                   choices=["multiframe", "singleframe"],
+                   help="'singleframe': export a per-frame segmentation "
+                        "model (e.g. TernausNet16, HRNet); TAPNet is not "
+                        "exportable (host attmap pipeline)")
     p.add_argument("--model_type", type=str,
                    default="TernausNetMulti-Basic")
     p.add_argument("--num_classes", type=int, default=5)
@@ -77,8 +82,9 @@ def main(argv=None):
 
     from mfcnet_tpu.models import get_multiframe_segmentation_model
     from mfcnet_tpu.serve import (
-        export_incremental, export_serving, load_exported,
-        make_incremental_step, make_serving_fn, save_exported, zero_state,
+        export_incremental, export_serving, export_singleframe,
+        load_exported, make_incremental_step, make_serving_fn,
+        make_singleframe_serving_fn, save_exported, zero_state,
     )
     from mfcnet_tpu.utils.checkpoint import load_checkpoint, load_params
     from mfcnet_tpu.utils.jitinit import jit_init
@@ -88,20 +94,47 @@ def main(argv=None):
     log = logging.getLogger("export_model")
 
     T, H, W = args.num_input_frames, args.input_height, args.input_width
-    model = get_multiframe_segmentation_model(
-        args.model_type,
-        num_classes=args.num_classes,
-        num_input_frames=T,
-        add_depth_inputs=args.add_depth_inputs,
-        scale=args.model_scale,
-    )
-    init_kwargs = {}
-    if args.add_depth_inputs:
-        init_kwargs["depth"] = np.zeros((1, T, H, W, 1), np.float32)
-    variables = jit_init(
-        model, jax.random.PRNGKey(0),
-        np.zeros((1, T, H, W, 3), np.float32), **init_kwargs,
-    )
+    if args.task == "singleframe":
+        if args.add_depth_inputs or args.add_optflow_inputs:
+            raise SystemExit(
+                "--task singleframe has no depth/flow inputs"
+            )
+        if args.serving_mode != "full":
+            raise SystemExit(
+                "--task singleframe is stateless (--serving_mode full)"
+            )
+        from mfcnet_tpu.cli.train_toolpose_segmentation import OUTPUT_MODES
+        from mfcnet_tpu.models import get_tooltip_segmentation_model
+
+        output_mode = OUTPUT_MODES[args.model_type]
+        if output_mode == "tapnet":
+            raise SystemExit(
+                "TAPNet is not exportable: its motion-prior attention-map "
+                "input comes from the host warp pipeline (data/attmap.py)"
+            )
+        model = get_tooltip_segmentation_model(
+            args.model_type, args.num_classes, scale=args.model_scale
+        )
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, H, W, 3), np.float32),
+        )
+    else:
+        output_mode = None
+        model = get_multiframe_segmentation_model(
+            args.model_type,
+            num_classes=args.num_classes,
+            num_input_frames=T,
+            add_depth_inputs=args.add_depth_inputs,
+            scale=args.model_scale,
+        )
+        init_kwargs = {}
+        if args.add_depth_inputs:
+            init_kwargs["depth"] = np.zeros((1, T, H, W, 1), np.float32)
+        variables = jit_init(
+            model, jax.random.PRNGKey(0),
+            np.zeros((1, T, H, W, 3), np.float32), **init_kwargs,
+        )
     payload, epoch = load_checkpoint(args.load_wts_model)
     from flax import serialization
 
@@ -145,9 +178,10 @@ def main(argv=None):
     batch = None if args.batch == "dynamic" else int(args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
     meta = {
+        "task": args.task,
         "model_type": args.model_type,
         "num_classes": args.num_classes,
-        "num_input_frames": T,
+        "num_input_frames": 1 if args.task == "singleframe" else T,
         "input_height": H,
         "input_width": W,
         "compute_dtype": args.compute_dtype,
@@ -158,7 +192,14 @@ def main(argv=None):
         "epoch": int(epoch),
         "ema": bool(args.use_ema),
     }
-    if args.serving_mode == "incremental":
+    if args.task == "singleframe":
+        exported = export_singleframe(
+            model, variables, height=H, width=W,
+            output_mode=output_mode, dtype=args.compute_dtype,
+            batch=batch, platforms=platforms,
+        )
+        meta["output_mode"] = output_mode
+    elif args.serving_mode == "incremental":
         if args.add_optflow_inputs:
             raise SystemExit(
                 "--serving_mode incremental does not support in-graph "
@@ -194,7 +235,15 @@ def main(argv=None):
         rng = np.random.default_rng(0)
         B = 1 if batch is None else batch  # fixed-batch artifacts only
         # accept inputs of exactly that batch size
-        if args.serving_mode == "incremental":
+        if args.task == "singleframe":
+            frame = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+            live_fn = jax.jit(make_singleframe_serving_fn(
+                model, variables, output_mode, dtype=args.compute_dtype,
+            ))
+            diff = float(np.max(np.abs(
+                np.asarray(loaded(frame)) - np.asarray(live_fn(frame))
+            )))
+        elif args.serving_mode == "incremental":
             live_step, _ = make_incremental_step(
                 model, variables, height=H, width=W, num_frames=T,
                 num_classes=args.num_classes, dtype=args.compute_dtype,

@@ -5,9 +5,11 @@ from mfcnet_tpu.serve.export import (
     LoadedServing,
     export_incremental,
     export_serving,
+    export_singleframe,
     load_exported,
     make_incremental_step,
     make_serving_fn,
+    make_singleframe_serving_fn,
     save_exported,
     zero_state,
 )
@@ -17,9 +19,11 @@ __all__ = [
     "LoadedServing",
     "export_incremental",
     "export_serving",
+    "export_singleframe",
     "load_exported",
     "make_incremental_step",
     "make_serving_fn",
+    "make_singleframe_serving_fn",
     "save_exported",
     "zero_state",
 ]

@@ -130,6 +130,79 @@ def make_serving_fn(
     return serving_fn
 
 
+def make_singleframe_serving_fn(
+    model,
+    variables,
+    output_mode: str,
+    dtype: str = "bfloat16",
+):
+    """Serving fn for a SINGLE-FRAME model: (B, H, W, 3) uint8 -> (B, H,
+    W, C) float32 softmax probs. ``output_mode`` is the registry's
+    per-family adapter (reference train_toolpose_segmentation.py:160-170):
+    'log_probs' (TernausNet/SegFormer emit log-probs) or 'logits'
+    (HRNet/DeepLab/FCN/UNet/ResUNet). TAPNet is not exportable — its
+    motion-prior attention-map input is produced by the host-side warp
+    pipeline (data/attmap.py), not by the graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.utils.jitinit import cast_floats
+
+    if output_mode not in ("log_probs", "logits"):
+        raise ValueError(
+            f"output_mode {output_mode!r} not exportable "
+            "(TAPNet needs the host attmap pipeline)"
+        )
+    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    cvars = cast_floats(variables, cdtype)
+    mean = jnp.asarray([0.485, 0.456, 0.406], cdtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
+
+    def serving_fn(frames_u8):
+        x = (frames_u8.astype(cdtype) / 255.0 - mean) / std
+        out = model.apply(cvars, x).astype(jnp.float32)
+        if output_mode == "log_probs":
+            return jnp.exp(out)
+        return jax.nn.softmax(out, axis=-1)
+
+    return serving_fn
+
+
+def export_singleframe(
+    model,
+    variables,
+    *,
+    height: int,
+    width: int,
+    output_mode: str,
+    dtype: str = "bfloat16",
+    batch: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export a single-frame segmentation model (symbolic batch by
+    default). Returns ``jax.export.Exported``."""
+    import jax
+    from jax import export as jexport
+
+    fn = make_singleframe_serving_fn(
+        model, variables, output_mode, dtype=dtype
+    )
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    specs = [
+        jax.ShapeDtypeStruct((b, height, width, 3), jax.numpy.uint8)
+    ]
+
+    def _export(plats):
+        return jexport.export(jax.jit(fn), platforms=plats)(*specs)
+
+    if platforms is not None:
+        return _export(tuple(platforms))
+    return _export_with_fallback(_export)
+
+
 def export_serving(
     model,
     variables,

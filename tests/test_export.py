@@ -329,6 +329,62 @@ def test_export_bfloat16_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_export_singleframe_cli(tmp_path):
+    """Single-frame model export: checkpoint -> artifact -> probs, with
+    the registry's per-family output adapter (TernausNet emits log-probs)
+    baked in. TAPNet is rejected (host attmap pipeline)."""
+    import jax
+
+    from mfcnet_tpu.models import get_tooltip_segmentation_model
+    from mfcnet_tpu.serve import load_exported
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, singleframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = get_tooltip_segmentation_model("TernausNet16", 5, scale=0.1)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    state = TrainState.create(
+        model.apply, variables["params"],
+        singleframe_optimizer(make_schedule("Constant", 1e-4, 1, 1)),
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.export_model import main
+
+    out = tmp_path / "sf.stablehlo"
+    rc = main([
+        "--task", "singleframe",
+        "--model_type", "TernausNet16",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--load_wts_model", str(ck),
+        "--output", str(out),
+        "--validate", "true",
+    ])
+    assert rc == 0
+    loaded = load_exported(out)
+    assert loaded.meta["task"] == "singleframe"
+    assert loaded.meta["output_mode"] == "log_probs"
+    frames = np.zeros((2, 32, 32, 3), np.uint8)
+    probs = np.asarray(loaded(frames))
+    assert probs.shape == (2, 32, 32, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    with pytest.raises(SystemExit, match="TAPNet"):
+        main([
+            "--task", "singleframe",
+            "--model_type", "TAPNet16",
+            "--load_wts_model", str(ck),
+            "--output", str(tmp_path / "t.stablehlo"),
+        ])
+
+
 def test_load_rejects_non_artifact(tmp_path):
     from mfcnet_tpu.serve import load_exported
 
