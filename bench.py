@@ -59,6 +59,14 @@ def main():
                     help="e2e mode: track this many videos CONCURRENTLY "
                          "with one batched engine (aggregate serving "
                          "throughput; requires --source ram|device)")
+    ap.add_argument("--engine", default="live",
+                    choices=["live", "artifact"],
+                    help="e2e only: 'artifact' runs the exported "
+                         "StableHLO incremental artifact through "
+                         "serve.ArtifactEngine (requires --decode host, "
+                         "--streams 1, --flow none) — measures the "
+                         "deployment configuration's overhead vs the "
+                         "live engine")
     ap.add_argument("--flow", default="none", choices=["none", "RAFT"],
                     help="e2e mode: enable the reference's optical-flow "
                          "input channels with a frozen RAFT provider "
@@ -93,8 +101,16 @@ def main():
             args.mode == "incremental" and args.batch == 1
         )
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # honor an explicit JAX_PLATFORMS (e.g. cpu smoke runs): the axon TPU
+    # plugin force-appends itself to jax_platforms, so env alone is not
+    # enough (same workaround as tools/parity_check.py). No-op when unset.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -210,11 +226,38 @@ def main():
                 if args.source == "device":
                     frames = [jax.device_put(f) for f in frames]
                     jax.block_until_ready(frames[-1])
-                # one engine across trials: reuse compiled executables
-                engine = InferenceEngine(
-                    model, variables, cfg,
-                    flow_model=flow_model, flow_variables=flow_variables,
-                )
+                if args.engine == "artifact":
+                    # deployment configuration: exported incremental
+                    # StableHLO artifact instead of the live engine
+                    if use_flow or args.decode != "host":
+                        raise SystemExit(
+                            "--engine artifact needs --decode host and "
+                            "--flow none"
+                        )
+                    from mfcnet_tpu.serve import (
+                        ArtifactEngine, export_incremental, load_exported,
+                        save_exported,
+                    )
+
+                    exported, spec = export_incremental(
+                        model, variables, height=H, width=W,
+                        num_frames=T, num_classes=C, dtype=args.dtype,
+                    )
+                    apath = f"{td}/bench.stablehlo"
+                    save_exported(apath, exported, meta={
+                        "serving_mode": "incremental",
+                        "compute_dtype": args.dtype,
+                        "state": {
+                            k: [list(s), d] for k, (s, d) in spec.items()
+                        },
+                    })
+                    engine = ArtifactEngine(load_exported(apath), cfg)
+                else:
+                    # one engine across trials: reuse compiled executables
+                    engine = InferenceEngine(
+                        model, variables, cfg,
+                        flow_model=flow_model, flow_variables=flow_variables,
+                    )
                 run_once = lambda: track_on_frames(
                     frames, model, variables, cfg, td, engine=engine
                 )
@@ -240,6 +283,7 @@ def main():
                 + (f"_{args.source}" if args.source != "video" else "")
                 + (f"_flow{args.flow}" if use_flow else "")
                 + (f"_streams{S}" if S > 1 else "")
+                + ("_artifact" if args.engine == "artifact" else "")
             ),
             "value": round(best, 2),
             "unit": "frames/sec/chip",
