@@ -74,6 +74,59 @@ def test_artifact_rows_match_live_engine(tmp_path, mode):
     np.testing.assert_allclose(rows_art, rows_live, equal_nan=True)
 
 
+def test_artifact_depth_rows_match_live_engine(tmp_path):
+    """Depth-channel artifacts (incremental, non-s2d ring buffer) through
+    the tracker: rows identical to the live engine."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.serve import (
+        ArtifactEngine, export_incremental, save_exported,
+    )
+    from mfcnet_tpu.track.tracker import TrackerConfig, track_on_frames
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1, add_depth_inputs=True,
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 64, 64, 3), np.float32),
+        depth=np.zeros((1, 3, 64, 64, 1), np.float32),
+    )
+    exported, spec = export_incremental(
+        model, variables, height=64, width=64, num_frames=3,
+        num_classes=5, dtype="float32", add_depth_inputs=True,
+    )
+    path = tmp_path / "d.stablehlo"
+    save_exported(path, exported, meta={
+        "serving_mode": "incremental", "num_classes": 5,
+        "num_input_frames": 3, "input_height": 64, "input_width": 64,
+        "compute_dtype": "float32", "add_depth_inputs": True,
+        "state": {k: [list(s), d] for k, (s, d) in spec.items()},
+    })
+    frames = make_synthetic_frames(num_frames=6, height=64, width=64,
+                                   seed=11)
+    rng = np.random.default_rng(12)
+    depth = [rng.integers(0, 256, (64, 64), dtype=np.uint8)
+             for _ in frames]
+    cfg = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=64,
+        input_width=64, dtype="float32", mode="incremental",
+        overlay=False, add_depth_inputs=True,
+    )
+    rows_live, _ = track_on_frames(
+        frames, model, variables, cfg, tmp_path / "live", name="v",
+        depth_frames=depth,
+    )
+    rows_art, _ = track_on_frames(
+        frames, None, None, cfg, tmp_path / "art", name="v",
+        depth_frames=depth, engine=ArtifactEngine(path, cfg),
+    )
+    np.testing.assert_allclose(rows_art, rows_live, equal_nan=True)
+
+
 def test_artifact_engine_rejects_mismatch(tmp_path):
     from mfcnet_tpu.serve import ArtifactEngine
     from mfcnet_tpu.track.tracker import TrackerConfig
