@@ -34,10 +34,12 @@ def test_parity_check_tool_multiframe_roundtrip(tmp_path):
 
     out = tmp_path / "report.json"
     saved = tmp_path / "converted.msgpack"
+    artifact = tmp_path / "m.stablehlo"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "parity_check.py"),
          str(ckpt), "--height", "64", "--width", "64",
-         "--max_frames", "4", "--json", str(out), "--save", str(saved)],
+         "--max_frames", "4", "--json", str(out), "--save", str(saved),
+         "--export_artifact", str(artifact)],
         capture_output=True, text=True, timeout=560,
         env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=REPO,
     )
@@ -59,3 +61,16 @@ def test_parity_check_tool_multiframe_roundtrip(tmp_path):
     assert "base" in payload["params"]
     assert "multiframe_net" in payload["params"]
     assert "batch_stats" in payload
+
+    # --export_artifact: reference .pth -> deployable artifact in one
+    # command; loads without model code and yields valid probabilities
+    from mfcnet_tpu.serve import load_exported
+
+    loaded = load_exported(artifact)
+    assert loaded.meta["model_type"] == "TernausNetMulti-Basic"
+    assert loaded.meta["epoch"] == 3
+    assert loaded.meta["serving_mode"] == "full"
+    frames = np.zeros((1, 3, 64, 64, 3), np.uint8)
+    probs = np.asarray(loaded(frames))
+    assert probs.shape == (1, 64, 64, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-2)  # bf16

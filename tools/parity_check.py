@@ -460,6 +460,61 @@ def compare_tips(pa, pb):
 
 
 # ---------------------------------------------------------------------------
+def _export_artifact(path, arch, model, variables, C, T, flow, depth,
+                     H, W, epoch, ckpt):
+    """Freeze the converted model as a serving artifact (bfloat16, the
+    serving default). Flow providers and TAPNet have no artifact form."""
+    from mfcnet_tpu.serve import (
+        export_serving, export_singleframe, save_exported,
+    )
+
+    if arch in ("UnFlow", "RAFT", "FlowFormerPlusPlus"):
+        print("[parity] flow providers are consumed in-graph by the "
+              "segmentation artifacts; not exported standalone — skipping")
+        return
+    if arch.startswith("TAPNet"):
+        print("[parity] TAPNet not exportable (its attention-map input "
+              "comes from the host warp pipeline) — skipping")
+        return
+    meta = {
+        "model_type": arch, "num_classes": C, "input_height": H,
+        "input_width": W, "compute_dtype": "bfloat16",
+        "checkpoint": str(ckpt), "epoch": int(epoch),
+    }
+    if arch.endswith(("-Basic", "-Large")):
+        if flow:
+            print("[parity] checkpoint expects optical-flow inputs; use "
+                  "cli.export_model --add_optflow_inputs with provider "
+                  "weights instead — skipping")
+            return
+        exported = export_serving(
+            model, variables, height=H, width=W, num_frames=T,
+            dtype="bfloat16", add_depth_inputs=depth,
+        )
+        meta.update({
+            "task": "multiframe", "serving_mode": "full",
+            "num_input_frames": T, "add_depth_inputs": depth,
+            "add_optflow_inputs": False,
+        })
+    else:
+        output_mode = (
+            "log_probs"
+            if arch in ("TernausNet11", "TernausNet16", "SegFormer")
+            else "logits"
+        )
+        exported = export_singleframe(
+            model, variables, height=H, width=W,
+            output_mode=output_mode, dtype="bfloat16",
+        )
+        meta.update({
+            "task": "singleframe", "serving_mode": "full",
+            "num_input_frames": 1, "output_mode": output_mode,
+        })
+    header = save_exported(path, exported, meta=meta)
+    print(f"[parity] serving artifact -> {path} "
+          f"(platforms={header['platforms']})")
+
+
 def main(argv=None):
     # Honor an explicit JAX_PLATFORMS request: the environment's axon TPU
     # plugin force-appends itself to jax_platforms, so a caller exporting
@@ -490,6 +545,11 @@ def main(argv=None):
                          "(epoch sidecar .json written alongside)")
     ap.add_argument("--skip_torch", action="store_true",
                     help="conversion + flax forward only")
+    ap.add_argument("--export_artifact", default=None,
+                    help="also freeze the converted model into a serving "
+                         "artifact (jax.export StableHLO; see "
+                         "mfcnet_tpu.serve) at this path — reference "
+                         ".pth to deployable TPU artifact in one command")
     args = ap.parse_args(argv)
 
     from mfcnet_tpu.compat.torch_convert import load_torch_state_dict
@@ -528,6 +588,11 @@ def main(argv=None):
         out.with_suffix(".json").write_text(json.dumps({"epoch": epoch}))
         print(f"[parity] converted checkpoint -> {out}")
     model = build_flax(arch, base, C, T, flow, depth)
+    if args.export_artifact:
+        _export_artifact(
+            args.export_artifact, arch, model, variables, C, T, flow,
+            depth, args.height, args.width, epoch, args.checkpoint,
+        )
     frames_u8 = load_frames(args.frames, args.height, args.width,
                             args.max_frames)
 
