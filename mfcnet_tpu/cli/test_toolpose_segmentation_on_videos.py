@@ -37,9 +37,13 @@ def build_parser():
     p.add_argument("--videos_dir", type=str, required=True)
     p.add_argument("--expt_savedir", type=str, required=True)
     p.add_argument("--expt_name", type=str, required=True)
-    p.add_argument("--model_type", type=str, required=True,
+    p.add_argument("--model_type", type=str, default=None,
                    choices=list(OUTPUT_MODES))
-    p.add_argument("--load_wts_model", type=str, required=True)
+    p.add_argument("--load_wts_model", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="track from a frozen single-frame serving "
+                        "artifact (cli.export_model --task singleframe) "
+                        "instead of model code + checkpoint; host decode")
     p.add_argument("--num_videos", type=int, default=-1)
     p.add_argument("--input_width", type=int, default=640)
     p.add_argument("--input_height", type=int, default=480)
@@ -117,6 +121,15 @@ def main(argv=None):
     logger.addHandler(logging.StreamHandler(sys.stdout))
 
     num_classes = 5
+    if args.artifact is None and (
+        args.model_type is None or args.load_wts_model is None
+    ):
+        raise SystemExit(
+            "either --artifact or both --model_type and --load_wts_model "
+            "are required"
+        )
+    if args.artifact is not None:
+        return _main_artifact(args, out_dir, logger, num_classes)
     model = get_tooltip_segmentation_model(
         args.model_type, num_classes, scale=args.model_scale
     )
@@ -238,6 +251,76 @@ def main(argv=None):
             video, step_fn, cfg, out_dir, logger
         )
         fps_all.append(fps)
+    return fps_all
+
+
+def _main_artifact(args, out_dir, logger, num_classes):
+    """Track from a frozen single-frame artifact — no model code, no
+    checkpoint. The artifact returns per-frame probs; mask + tip heats
+    are computed by a small jitted post step (host decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.serve import load_exported
+
+    if args.decode == "device":
+        raise SystemExit(
+            "--artifact requires --decode host (device decode needs the "
+            "framework's Pallas kernels)"
+        )
+    if getattr(args, "spatial_shards", 1) > 1:
+        raise SystemExit("--artifact does not compose with "
+                         "--spatial_shards (use the live model path)")
+    loaded = load_exported(args.artifact)
+    meta = loaded.meta
+    if meta.get("task") != "singleframe":
+        raise SystemExit(
+            f"{args.artifact} is a {meta.get('task', 'multiframe')} "
+            "artifact; this is the single-frame video CLI"
+        )
+    H = meta.get("input_height", args.input_height)
+    W = meta.get("input_width", args.input_width)
+    thr = float(args.score_detection_threshold)
+
+    @jax.jit
+    def post(probs):
+        if thr > 0:
+            mask = jnp.zeros(probs.shape[:2], jnp.uint8)
+            for cls in range(1, probs.shape[-1]):
+                mask = jnp.where(
+                    probs[..., cls] > thr, jnp.uint8(cls), mask
+                )
+        else:
+            mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        return mask, jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
+
+    def step_fn(frame):
+        probs = loaded(np.asarray(frame)[None])[0]
+        mask, aux = post(probs)
+        return np.asarray(mask), np.asarray(aux).astype(np.float32)
+
+    cfg = TrackerConfig(
+        num_input_frames=1, num_classes=num_classes, input_height=H,
+        input_width=W,
+        score_detection_threshold=thr,
+        area_threshold=args.area_threshold,
+        dist_threshold=args.dist_threshold,
+        dtype=meta.get("compute_dtype", args.compute_dtype),
+        decode="host",
+    )
+    logger.info(f"artifact serving: {args.artifact} ({H}x{W})")
+    videos = list_video_files(args.videos_dir)
+    if args.num_videos > 0:
+        videos = videos[: args.num_videos]
+    fps_all = []
+    for video in videos:
+        logger.info(f"Processing video: {video}")
+        _, fps = track_singleframe_video(
+            video, step_fn, cfg, out_dir, logger
+        )
+        fps_all.append(fps)
+    if fps_all:
+        logger.info(f"mean throughput: {np.mean(fps_all):.1f} frames/s")
     return fps_all
 
 

@@ -222,6 +222,73 @@ def test_video_cli_artifact_matches_checkpoint_run(tmp_path):
     np.testing.assert_allclose(rows_art, rows_ck, equal_nan=True)
 
 
+def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
+    """Single-frame artifact through the single-frame video CLI: CSV
+    bit-identical to the model+checkpoint run."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_tooltip_segmentation_model
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, singleframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    make_synthetic_video(tmp_path / "vids" / "a.mp4", num_frames=5,
+                         height=64, width=64)
+    model = get_tooltip_segmentation_model("TernausNet16", 5, scale=0.1)
+    variables = jit_init(
+        model, jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
+    )
+    state = TrainState.create(
+        model.apply, variables["params"],
+        singleframe_optimizer(make_schedule("Constant", 1e-4, 1, 1)),
+        variables.get("batch_stats", {}),
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+
+    from mfcnet_tpu.cli.export_model import main as export_main
+
+    art = tmp_path / "sf.stablehlo"
+    export_main([
+        "--task", "singleframe",
+        "--model_type", "TernausNet16",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+        "--load_wts_model", str(ck),
+        "--output", str(art),
+        "--validate", "false",
+    ])
+
+    from mfcnet_tpu.cli.test_toolpose_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--input_height", "32",
+        "--input_width", "32",
+    ]
+    main(common + [
+        "--expt_name", "ckrun",
+        "--model_type", "TernausNet16",
+        "--load_wts_model", str(ck),
+        "--model_scale", "0.1",
+        "--compute_dtype", "float32",
+    ])
+    main(common + ["--expt_name", "artrun", "--artifact", str(art)])
+    rows_ck = np.loadtxt(
+        tmp_path / "ckrun" / "video_tracking_results" / "a_tracked.csv",
+        delimiter=",",
+    )
+    rows_art = np.loadtxt(
+        tmp_path / "artrun" / "video_tracking_results" / "a_tracked.csv",
+        delimiter=",",
+    )
+    np.testing.assert_allclose(rows_art, rows_ck, equal_nan=True)
+
+
 def test_video_cli_requires_model_or_artifact(tmp_path):
     from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
 
