@@ -218,26 +218,13 @@ def main(argv=None):
         # rows identical to sequential tracking; unequal lengths are
         # padded device-side and the padded results discarded). Group
         # frames are pre-decoded to RAM (~H*W*3*N bytes per video).
-        import cv2
-
         from mfcnet_tpu.track.tracker import (
             InferenceEngine,
             track_on_frame_streams,
         )
 
         def read_all(path, gray=False):
-            cap = cv2.VideoCapture(str(path))
-            out = []
-            while True:
-                ret, f = cap.read()
-                if not ret:
-                    break
-                f = cv2.cvtColor(
-                    f, cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
-                )
-                out.append(cv2.resize(f, (W, H)))
-            cap.release()
-            return out
+            return _read_all_frames(path, W, H, gray)
 
         items = list(zip(videos, depth_videos))
         engine_cache = {}
@@ -285,14 +272,30 @@ def main(argv=None):
     return fps_all
 
 
+def _read_all_frames(path, W, H, gray=False):
+    """Decode a whole video to resized RGB (or grayscale) frames in RAM."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    out = []
+    while True:
+        ret, f = cap.read()
+        if not ret:
+            break
+        f = cv2.cvtColor(
+            f, cv2.COLOR_BGR2GRAY if gray else cv2.COLOR_BGR2RGB
+        )
+        out.append(cv2.resize(f, (W, H)))
+    cap.release()
+    return out
+
+
 def _main_artifact(args, out_dir, logger, num_classes):
     """Track from a frozen serving artifact — no model code, no
     checkpoint. Shapes come from the artifact header; host decode."""
     from mfcnet_tpu.serve import ArtifactEngine, load_exported
     from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
 
-    if getattr(args, "parallel_videos", 1) > 1:
-        raise SystemExit("--artifact tracking is sequential (B=1)")
     if args.decode == "device":
         raise SystemExit(
             "--artifact requires --decode host (device decode needs the "
@@ -333,13 +336,50 @@ def _main_artifact(args, out_dir, logger, num_classes):
         else [None] * len(videos)
     )
     fps_all = []
-    for video, dvideo in zip(videos, depth_videos):
-        logger.info(f"Processing video: {video}")
-        _, fps = track_on_video(
-            video, None, None, cfg, out_dir,
-            depth_video_path=dvideo, logger=logger, engine=engine,
-        )
-        fps_all.append(fps)
+    P = max(1, getattr(args, "parallel_videos", 1))
+    if P > 1:
+        # batched artifact serving: groups of up to P videos in lockstep
+        # through ONE ArtifactEngine (symbolic batch dim); same contract
+        # as the live --parallel_videos path
+        from mfcnet_tpu.track.tracker import track_on_frame_streams
+
+        items = list(zip(videos, depth_videos))
+        engine_cache = {}
+        for i in range(0, len(items), P):
+            chunk = items[i : i + P]
+            streams = [_read_all_frames(v, W, H) for v, _ in chunk]
+            dstreams = None
+            if add_depth:
+                dstreams = [
+                    _read_all_frames(d, W, H, gray=True) for _, d in chunk
+                ]
+                for (v, d), s, ds in zip(chunk, streams, dstreams):
+                    assert len(s) == len(ds), (
+                        f"RGB({len(s)}) vs depth({len(ds)}) frame-count "
+                        f"mismatch for {v} / {d}"
+                    )
+            names = [Path(v).stem for v, _ in chunk]
+            logger.info(
+                f"Tracking {len(chunk)} videos concurrently: {names}"
+            )
+            B = len(chunk)
+            beng = engine_cache.get(B)
+            if beng is None:
+                beng = ArtifactEngine(loaded, cfg, num_streams=B)
+                engine_cache[B] = beng
+            _, fps = track_on_frame_streams(
+                streams, None, None, cfg, out_dir, names=names,
+                depth_streams=dstreams, logger=logger, engine=beng,
+            )
+            fps_all.append(fps)
+    else:
+        for video, dvideo in zip(videos, depth_videos):
+            logger.info(f"Processing video: {video}")
+            _, fps = track_on_video(
+                video, None, None, cfg, out_dir,
+                depth_video_path=dvideo, logger=logger, engine=engine,
+            )
+            fps_all.append(fps)
     if fps_all:
         logger.info(f"mean throughput: {np.mean(fps_all):.1f} frames/s")
     return fps_all

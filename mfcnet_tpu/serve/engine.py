@@ -20,9 +20,15 @@ from mfcnet_tpu.serve.export import LoadedServing, load_exported, zero_state
 
 
 class ArtifactEngine:
-    def __init__(self, artifact, cfg):
+    def __init__(self, artifact, cfg, num_streams: int = 1):
         """``artifact``: path or ``LoadedServing``. ``cfg``: TrackerConfig;
-        shapes must match the artifact header, decode must be 'host'."""
+        shapes must match the artifact header, decode must be 'host'.
+
+        ``num_streams``: track B videos in lockstep through the ONE
+        artifact (its batch dimension is symbolic) — ``step_async`` then
+        takes (B, H, W, 3) stacks and returns batched outputs, matching
+        the live batched engine's contract (works with
+        ``track_on_frame_streams``)."""
         import jax
         import jax.numpy as jnp
 
@@ -61,7 +67,7 @@ class ArtifactEngine:
         self._loaded = loaded
         self._mode = meta.get("serving_mode", "full")
         self._jnp = jnp
-        self.num_streams = 1
+        self.num_streams = max(1, int(num_streams))
 
         thr = float(cfg.score_detection_threshold)
         C = cfg.num_classes
@@ -87,47 +93,61 @@ class ArtifactEngine:
         self.reset()
 
     def reset(self):
-        """Fresh stream: zero ring buffers / clear the frame window."""
+        """Fresh stream(s): zero ring buffers / clear the frame window."""
         self._state = (
-            zero_state(self._loaded.meta, batch=1)
+            zero_state(self._loaded.meta, batch=self.num_streams)
             if self._mode == "incremental" else None
         )
         self._count = 0
         self._frame_q = []
         self._depth_q = []
 
+    def _batched(self, frame_u8, depth_u8):
+        """Normalize inputs to (B, H, W[, 3]); remember if B=1 squeezed."""
+        frame = np.asarray(frame_u8)
+        squeeze = frame.ndim == 3
+        if squeeze:
+            frame = frame[None]
+        if depth_u8 is None:
+            depth = np.zeros(frame.shape[:3], np.uint8)
+        else:
+            depth = np.asarray(depth_u8)
+            if depth.ndim == 2:
+                depth = depth[None]
+        return frame, depth, squeeze
+
     def step_async(self, frame_u8, depth_u8=None):
-        """One (H, W, 3) uint8 frame in; (mask, heats) device handles out
-        (None during the T-1 frame warmup, like the live engine)."""
+        """(H, W, 3) uint8 frame in — or a (B, H, W, 3) lockstep stack
+        for ``num_streams=B``; (mask, heats) device handles out (None
+        during the T-1 frame warmup, like the live engine). B=1 outputs
+        are squeezed, batched engines return (B, ...), matching the live
+        engine's contract."""
         T = self.cfg.num_input_frames
+        frame, depth, squeeze = self._batched(frame_u8, depth_u8)
         if self._mode == "incremental":
-            inputs = [np.asarray(frame_u8)[None]]
+            inputs = [frame]
             if self.cfg.add_depth_inputs:
-                if depth_u8 is None:
-                    depth_u8 = np.zeros(frame_u8.shape[:2], np.uint8)
-                inputs.append(np.asarray(depth_u8)[None])
+                inputs.append(depth)
             *self._state, probs = self._loaded(*self._state, *inputs)
             self._count += 1
             if self._count < T:
                 return None
-            return self._post(probs[0])
+            return self._post(probs[0] if squeeze else probs)
         # full artifact: host-side rolling window, newest first
         # (reference :251-259)
-        if depth_u8 is None:
-            depth_u8 = np.zeros(np.asarray(frame_u8).shape[:2], np.uint8)
-        self._frame_q.append(np.asarray(frame_u8))
-        self._depth_q.append(np.asarray(depth_u8))
+        self._frame_q.append(frame)
+        self._depth_q.append(depth)
         if len(self._frame_q) > T:
             self._frame_q.pop(0)
             self._depth_q.pop(0)
         if len(self._frame_q) < T:
             return None
-        stack = np.stack(self._frame_q[::-1])[None]
+        stack = np.stack(self._frame_q[::-1], axis=1)
         inputs = [stack]
         if self.cfg.add_depth_inputs:
-            inputs.append(np.stack(self._depth_q[::-1])[None])
+            inputs.append(np.stack(self._depth_q[::-1], axis=1))
         probs = self._loaded(*inputs)
-        return self._post(probs[0])
+        return self._post(probs[0] if squeeze else probs)
 
     def step(self, frame_u8, depth_u8=None):
         out = self.step_async(frame_u8, depth_u8)

@@ -74,6 +74,38 @@ def test_artifact_rows_match_live_engine(tmp_path, mode):
     np.testing.assert_allclose(rows_art, rows_live, equal_nan=True)
 
 
+def test_artifact_streams_match_live_engine(tmp_path):
+    """B=2 lockstep streams through ONE incremental artifact (symbolic
+    batch) vs the live batched engine: per-stream rows identical."""
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.serve import ArtifactEngine
+    from mfcnet_tpu.track.tracker import (
+        InferenceEngine, TrackerConfig, track_on_frame_streams,
+    )
+
+    model, variables, path = _tiny_and_artifact(tmp_path, "incremental")
+    streams = [
+        make_synthetic_frames(num_frames=6, height=64, width=64, seed=s)
+        for s in (21, 22)
+    ]
+    cfg = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=64,
+        input_width=64, dtype="float32", mode="incremental",
+        overlay=False,
+    )
+    rows_live, _ = track_on_frame_streams(
+        streams, model, variables, cfg, tmp_path / "live",
+        names=["a", "b"],
+        engine=InferenceEngine(model, variables, cfg, num_streams=2),
+    )
+    rows_art, _ = track_on_frame_streams(
+        streams, None, None, cfg, tmp_path / "art", names=["a", "b"],
+        engine=ArtifactEngine(path, cfg, num_streams=2),
+    )
+    for ra, rl in zip(rows_art, rows_live):
+        np.testing.assert_allclose(ra, rl, equal_nan=True)
+
+
 def test_artifact_depth_rows_match_live_engine(tmp_path):
     """Depth-channel artifacts (incremental, non-s2d ring buffer) through
     the tracker: rows identical to the live engine."""
@@ -220,6 +252,41 @@ def test_video_cli_artifact_matches_checkpoint_run(tmp_path):
         delimiter=",",
     )
     np.testing.assert_allclose(rows_art, rows_ck, equal_nan=True)
+
+
+def test_video_cli_artifact_parallel_videos(tmp_path):
+    """--artifact --parallel_videos 2: batched artifact serving; CSVs
+    identical to the sequential artifact run."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+
+    for n in ("a", "b"):
+        make_synthetic_video(tmp_path / "vids" / f"{n}.mp4",
+                             num_frames=5, height=64, width=64)
+    _, _, art = _tiny_and_artifact(tmp_path, "incremental")
+
+    from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--input_height", "64",
+        "--input_width", "64",
+        "--artifact", str(art),
+    ]
+    main(common + ["--expt_name", "seq"])
+    main(common + ["--expt_name", "par", "--parallel_videos", "2"])
+    for n in ("a", "b"):
+        seq = np.loadtxt(
+            tmp_path / "seq" / "video_tracking_results" / f"{n}_tracked.csv",
+            delimiter=",",
+        )
+        par = np.loadtxt(
+            tmp_path / "par" / "video_tracking_results" / f"{n}_tracked.csv",
+            delimiter=",",
+        )
+        np.testing.assert_allclose(par, seq, equal_nan=True)
 
 
 def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
