@@ -138,14 +138,12 @@ def main(argv=None):
     payload, epoch = load_checkpoint(args.load_wts_model)
     from flax import serialization
 
-    params_src = payload["params"]
-    if args.use_ema:
-        if "ema_params" not in payload:
-            raise SystemExit(
-                f"{args.load_wts_model} has no ema_params (train with "
-                "--ema_decay to produce them)"
-            )
-        params_src = payload["ema_params"]
+    from mfcnet_tpu.utils.checkpoint import params_from_payload
+
+    try:
+        params_src = params_from_payload(payload, args.use_ema)
+    except ValueError as e:
+        raise SystemExit(f"{args.load_wts_model}: {e}")
     variables = {
         "params": serialization.from_state_dict(
             variables["params"], params_src

@@ -71,11 +71,19 @@ def main(argv=None):
         variables.get("batch_stats", {}),
     )
     if args.load_wts_model:
+        from mfcnet_tpu.utils.checkpoint import params_from_payload
+
         payload, _ = load_checkpoint(args.load_wts_model, state)
         state = state.replace(
-            params=payload["params"], batch_stats=payload["batch_stats"]
+            params=params_from_payload(
+                payload, getattr(args, "use_ema", False)
+            ),
+            batch_stats=payload["batch_stats"],
         )
-        logger.info(f"Loaded model weights from {args.load_wts_model}")
+        logger.info(
+            f"Loaded model weights from {args.load_wts_model}"
+            + (" (EMA)" if getattr(args, "use_ema", False) else "")
+        )
 
     eval_step = make_singleframe_eval_step(
         model, ["nll"], [1.0], args.metric_fns, args.num_classes,

@@ -50,7 +50,11 @@ def build_parser():
     p.add_argument("--artifact", type=str, default=None,
                    help="track from a frozen serving artifact "
                         "(cli.export_model) instead of model code + "
-                        "checkpoint; host decode, sequential videos")
+                        "checkpoint; host decode")
+    p.add_argument("--use_ema", type=lambda v: v.lower() in ("true", "1"),
+                   default=False,
+                   help="track with the checkpoint's EMA weights "
+                        "(written by training with --ema_decay)")
     p.add_argument("--num_videos", type=int, default=-1)
     p.add_argument("--input_width", type=int, default=640)
     p.add_argument("--input_height", type=int, default=480)
@@ -145,15 +149,21 @@ def main(argv=None):
     payload, _ = load_checkpoint(args.load_wts_model)
     from flax import serialization
 
+    from mfcnet_tpu.utils.checkpoint import params_from_payload
+
     variables = {
         "params": serialization.from_state_dict(
-            variables["params"], payload["params"]
+            variables["params"],
+            params_from_payload(payload, args.use_ema),
         ),
         "batch_stats": serialization.from_state_dict(
             variables.get("batch_stats", {}), payload["batch_stats"]
         ),
     }
-    logger.info(f"Loaded model weights from {args.load_wts_model}")
+    logger.info(
+        f"Loaded model weights from {args.load_wts_model}"
+        + (" (EMA)" if args.use_ema else "")
+    )
 
     cfg = TrackerConfig(
         num_input_frames=T,

@@ -44,6 +44,10 @@ def build_parser():
                    help="track from a frozen single-frame serving "
                         "artifact (cli.export_model --task singleframe) "
                         "instead of model code + checkpoint; host decode")
+    p.add_argument("--use_ema", type=lambda v: v.lower() in ("true", "1"),
+                   default=False,
+                   help="track with the checkpoint's EMA weights "
+                        "(written by training with --ema_decay)")
     p.add_argument("--num_videos", type=int, default=-1)
     p.add_argument("--input_width", type=int, default=640)
     p.add_argument("--input_height", type=int, default=480)
@@ -141,9 +145,12 @@ def main(argv=None):
     payload, _ = load_checkpoint(args.load_wts_model)
     from flax import serialization
 
+    from mfcnet_tpu.utils.checkpoint import params_from_payload
+
     variables = {
         "params": serialization.from_state_dict(
-            variables["params"], payload["params"]
+            variables["params"],
+            params_from_payload(payload, args.use_ema),
         ),
         "batch_stats": serialization.from_state_dict(
             variables.get("batch_stats", {}), payload["batch_stats"]

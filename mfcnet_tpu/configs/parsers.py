@@ -171,6 +171,10 @@ def _add_common(parser, multiframe: bool, train: bool):
                        choices=_SINGLEFRAME_MODELS)
     g.add_argument("--pretrained", type=_str2bool, default=False)
     g.add_argument("--load_wts_model", type=str, default=None)
+    if not train:
+        g.add_argument("--use_ema", type=_str2bool, default=False,
+                       help="evaluate the checkpoint's EMA weights "
+                            "(written by training with --ema_decay)")
     g.add_argument("--input_height", type=int, default=480)
     g.add_argument("--input_width", type=int, default=640)
     g.add_argument("--add_optflow_inputs", type=_str2bool, default=False)

@@ -260,6 +260,22 @@ def load_checkpoint(path, state=None) -> Tuple[dict, int]:
     return payload, epoch
 
 
+def params_from_payload(payload: dict, use_ema: bool = False):
+    """Select the weights to serve from a checkpoint payload.
+
+    ``use_ema=True`` returns the EMA weights written by training with
+    ``--ema_decay`` (raises a clear error when the checkpoint has none);
+    otherwise the raw last-iterate params."""
+    if not use_ema:
+        return payload["params"]
+    if "ema_params" not in payload:
+        raise ValueError(
+            "checkpoint has no ema_params (train with --ema_decay to "
+            "produce them)"
+        )
+    return payload["ema_params"]
+
+
 def save_params(path, params):
     """Params-only msgpack (for base-model weights interchange,
     reference --load_wts_base_model path)."""

@@ -199,6 +199,60 @@ def test_singleframe_cli_grad_accum_ema(dataset, tmp_path):
     assert state.ema_params is not None
 
 
+def test_video_cli_use_ema(tmp_path):
+    """--use_ema on the video CLI serves the checkpoint's EMA weights and
+    fails loudly when the checkpoint has none."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_video
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    make_synthetic_video(tmp_path / "vids" / "a.mp4", num_frames=5,
+                         height=64, width=64)
+    model = get_multiframe_segmentation_model(
+        "TernausNetMulti-Basic", 5, 3, scale=0.1
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32),
+    )
+    tx = multiframe_optimizer(make_schedule("Constant", 1e-4, 1, 1), 3,
+                              False, False)
+    state = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}), ema_decay=0.9,
+    )
+    ck = save_checkpoint(tmp_path / "ck", 1, state)
+    no_ema = TrainState.create(
+        model.apply, variables["params"], tx,
+        variables.get("batch_stats", {}),
+    )
+    ck_plain = save_checkpoint(tmp_path / "ckp", 1, no_ema)
+
+    from mfcnet_tpu.cli.test_multiframe_segmentation_on_videos import main
+
+    common = [
+        "--videos_dir", str(tmp_path / "vids"),
+        "--expt_savedir", str(tmp_path),
+        "--model_type", "TernausNetMulti-Basic",
+        "--model_scale", "0.1",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--compute_dtype", "float32",
+        "--use_ema", "true",
+    ]
+    fps = main(common + ["--expt_name", "e", "--load_wts_model", str(ck)])
+    assert len(fps) == 1
+    with pytest.raises(ValueError, match="ema_params"):
+        main(common + [
+            "--expt_name", "p", "--load_wts_model", str(ck_plain),
+        ])
+
+
 def test_train_cli_grad_accum_ema_and_ema_export(dataset, tmp_path):
     from mfcnet_tpu.cli.train_multiframe_detection import main
     from mfcnet_tpu.utils.checkpoint import load_checkpoint
