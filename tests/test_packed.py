@@ -141,6 +141,30 @@ def test_pack_tool_and_loader_parity(tree, tmp_path):
         np.testing.assert_array_equal(a["mask"], b["mask"])
 
 
+def test_testing_mode_pack_and_loader(tree, tmp_path):
+    from mfcnet_tpu.data.loader import get_data_loader
+    from mfcnet_tpu.data.packed import pack_dataset_splits
+
+    out = pack_dataset_splits(
+        "JIGSAWS", tree, "testing", "toolpose_segmentation",
+        tmp_path / "packs",
+    )
+    assert list(out) == ["test"]
+    common = dict(
+        dataset_name="JIGSAWS", data_dir=tree, mode="testing",
+        prediction_task="toolpose_segmentation", num_input_frames=3,
+        batch_size=1, num_workers=1,
+    )
+    _, live = get_data_loader(**common)
+    _, packed = get_data_loader(**common, packed_dir=tmp_path / "packs")
+    n = 0
+    for a, b in zip(live, packed):
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+        n += 1
+    assert n == out["test"]["n"]
+
+
 def test_train_cli_packed(tree, tmp_path):
     """One training epoch straight off the pack (--packed_dir)."""
     from pack_dataset import main as pack_main
