@@ -180,6 +180,17 @@ def main():
         S = max(1, args.streams)
         if S > 1 and args.source == "video":
             raise SystemExit("--streams needs --source ram|device")
+        if args.engine == "artifact" and (
+            args.source == "video" or S > 1 or use_flow
+            or args.decode != "host"
+        ):
+            # validate HERE: the artifact engine is only built in the
+            # single-stream ram/device branch, and a silently ignored
+            # flag would mislabel a live-engine number as _artifact
+            raise SystemExit(
+                "--engine artifact needs --source ram|device, "
+                "--streams 1, --flow none, --decode host"
+            )
         with tempfile.TemporaryDirectory() as td:
             if args.source == "video":
                 video = make_synthetic_video(
@@ -229,11 +240,6 @@ def main():
                 if args.engine == "artifact":
                     # deployment configuration: exported incremental
                     # StableHLO artifact instead of the live engine
-                    if use_flow or args.decode != "host":
-                        raise SystemExit(
-                            "--engine artifact needs --decode host and "
-                            "--flow none"
-                        )
                     from mfcnet_tpu.serve import (
                         ArtifactEngine, export_incremental, load_exported,
                         save_exported,

@@ -74,10 +74,14 @@ def main(argv=None):
         from mfcnet_tpu.utils.checkpoint import params_from_payload
 
         payload, _ = load_checkpoint(args.load_wts_model, state)
-        state = state.replace(
-            params=params_from_payload(
+        try:
+            params_src = params_from_payload(
                 payload, getattr(args, "use_ema", False)
-            ),
+            )
+        except ValueError as e:
+            raise SystemExit(f"{args.load_wts_model}: {e}")
+        state = state.replace(
+            params=params_src,
             batch_stats=payload["batch_stats"],
         )
         logger.info(

@@ -151,10 +151,13 @@ def main(argv=None):
 
     from mfcnet_tpu.utils.checkpoint import params_from_payload
 
+    try:
+        params_src = params_from_payload(payload, args.use_ema)
+    except ValueError as e:
+        raise SystemExit(f"{args.load_wts_model}: {e}")
     variables = {
         "params": serialization.from_state_dict(
-            variables["params"],
-            params_from_payload(payload, args.use_ema),
+            variables["params"], params_src,
         ),
         "batch_stats": serialization.from_state_dict(
             variables.get("batch_stats", {}), payload["batch_stats"]
@@ -331,7 +334,6 @@ def _main_artifact(args, out_dir, logger, num_classes):
         add_depth_inputs=add_depth,
         fetch_batch=args.fetch_batch,
     )
-    engine = ArtifactEngine(loaded, cfg)
     logger.info(
         f"artifact serving: {args.artifact} "
         f"(mode={cfg.mode}, {H}x{W}, T={T}"
@@ -383,6 +385,7 @@ def _main_artifact(args, out_dir, logger, num_classes):
             )
             fps_all.append(fps)
     else:
+        engine = ArtifactEngine(loaded, cfg)
         for video, dvideo in zip(videos, depth_videos):
             logger.info(f"Processing video: {video}")
             _, fps = track_on_video(

@@ -147,10 +147,13 @@ def main(argv=None):
 
     from mfcnet_tpu.utils.checkpoint import params_from_payload
 
+    try:
+        params_src = params_from_payload(payload, args.use_ema)
+    except ValueError as e:
+        raise SystemExit(f"{args.load_wts_model}: {e}")
     variables = {
         "params": serialization.from_state_dict(
-            variables["params"],
-            params_from_payload(payload, args.use_ema),
+            variables["params"], params_src,
         ),
         "batch_stats": serialization.from_state_dict(
             variables.get("batch_stats", {}), payload["batch_stats"]

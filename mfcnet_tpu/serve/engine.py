@@ -7,9 +7,10 @@ deployment configuration. Works with both artifact kinds
 ``full`` window forward) and reproduces the live engine's outputs
 bit-for-bit for the host-decode path (pinned in tests/test_export.py).
 
-Scope: single-stream (B=1), host keypoint decode. The 'device' decode
-path needs the Pallas kernels and the framework anyway — if you have
-those, use the live engine.
+Scope: host keypoint decode (the 'device' decode path needs the Pallas
+kernels and the framework anyway — if you have those, use the live
+engine). Single-stream by default; ``num_streams=B`` tracks B videos in
+lockstep through the one artifact (symbolic batch dimension).
 """
 
 from __future__ import annotations
@@ -103,16 +104,22 @@ class ArtifactEngine:
         self._depth_q = []
 
     def _batched(self, frame_u8, depth_u8):
-        """Normalize inputs to (B, H, W[, 3]); remember if B=1 squeezed."""
-        frame = np.asarray(frame_u8)
-        squeeze = frame.ndim == 3
+        """Normalize inputs to (B, H, W[, 3]); remember if B=1 squeezed.
+
+        Device-resident frames pass through without a host round trip:
+        np.ndim reads the rank without copying and jnp.asarray is a no-op
+        on a jax.Array (same discipline as InferenceEngine._put — the
+        bench's --source device path depends on it)."""
+        jnp = self._jnp
+        squeeze = np.ndim(frame_u8) == 3
+        frame = jnp.asarray(frame_u8)
         if squeeze:
             frame = frame[None]
         if depth_u8 is None:
-            depth = np.zeros(frame.shape[:3], np.uint8)
+            depth = jnp.zeros(frame.shape[:3], jnp.uint8)
         else:
-            depth = np.asarray(depth_u8)
-            if depth.ndim == 2:
+            depth = jnp.asarray(depth_u8)
+            if squeeze:
                 depth = depth[None]
         return frame, depth, squeeze
 
@@ -142,10 +149,10 @@ class ArtifactEngine:
             self._depth_q.pop(0)
         if len(self._frame_q) < T:
             return None
-        stack = np.stack(self._frame_q[::-1], axis=1)
+        stack = self._jnp.stack(self._frame_q[::-1], axis=1)
         inputs = [stack]
         if self.cfg.add_depth_inputs:
-            inputs.append(np.stack(self._depth_q[::-1], axis=1))
+            inputs.append(self._jnp.stack(self._depth_q[::-1], axis=1))
         probs = self._loaded(*inputs)
         return self._post(probs[0] if squeeze else probs)
 

@@ -160,10 +160,14 @@ def make_singleframe_serving_fn(
 
     def serving_fn(frames_u8):
         x = (frames_u8.astype(cdtype) / 255.0 - mean) / std
-        out = model.apply(cvars, x).astype(jnp.float32)
-        if output_mode == "log_probs":
-            return jnp.exp(out)
-        return jax.nn.softmax(out, axis=-1)
+        out = model.apply(cvars, x)
+        # EXACTLY the live single-frame video CLI's math incl. dtype
+        # boundaries (test_toolpose_segmentation_on_videos.py dev_step:
+        # log_softmax in compute dtype, exp in f32) — the artifact's CSV
+        # parity with the checkpoint run is pinned bitwise by test
+        if output_mode == "logits":
+            out = jax.nn.log_softmax(out, axis=-1)
+        return jnp.exp(out.astype(jnp.float32))
 
     return serving_fn
 

@@ -289,9 +289,15 @@ def test_video_cli_artifact_parallel_videos(tmp_path):
         np.testing.assert_allclose(par, seq, equal_nan=True)
 
 
-def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
+@pytest.mark.parametrize("model_type", ["TernausNet16", "UNet"])
+def test_singleframe_video_cli_artifact_matches_checkpoint_run(
+    tmp_path, model_type
+):
     """Single-frame artifact through the single-frame video CLI: CSV
-    bit-identical to the model+checkpoint run."""
+    bit-identical to the model+checkpoint run — BOTH output-adapter
+    families (TernausNet emits log-probs; UNet emits raw logits, the
+    family where the artifact must replicate the CLI's exact
+    log_softmax-in-compute-dtype + exp-in-f32 math)."""
     import jax
 
     from mfcnet_tpu.data.synthetic import make_synthetic_video
@@ -303,7 +309,7 @@ def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
 
     make_synthetic_video(tmp_path / "vids" / "a.mp4", num_frames=5,
                          height=64, width=64)
-    model = get_tooltip_segmentation_model("TernausNet16", 5, scale=0.1)
+    model = get_tooltip_segmentation_model(model_type, 5, scale=0.1)
     variables = jit_init(
         model, jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32)
     )
@@ -319,7 +325,7 @@ def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
     art = tmp_path / "sf.stablehlo"
     export_main([
         "--task", "singleframe",
-        "--model_type", "TernausNet16",
+        "--model_type", model_type,
         "--input_height", "32",
         "--input_width", "32",
         "--model_scale", "0.1",
@@ -339,7 +345,7 @@ def test_singleframe_video_cli_artifact_matches_checkpoint_run(tmp_path):
     ]
     main(common + [
         "--expt_name", "ckrun",
-        "--model_type", "TernausNet16",
+        "--model_type", model_type,
         "--load_wts_model", str(ck),
         "--model_scale", "0.1",
         "--compute_dtype", "float32",

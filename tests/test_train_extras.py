@@ -247,7 +247,7 @@ def test_video_cli_use_ema(tmp_path):
     ]
     fps = main(common + ["--expt_name", "e", "--load_wts_model", str(ck)])
     assert len(fps) == 1
-    with pytest.raises(ValueError, match="ema_params"):
+    with pytest.raises(SystemExit, match="ema_params"):
         main(common + [
             "--expt_name", "p", "--load_wts_model", str(ck_plain),
         ])

@@ -472,7 +472,13 @@ def _export_artifact(path, arch, model, variables, C, T, flow, depth,
         print("[parity] flow providers are consumed in-graph by the "
               "segmentation artifacts; not exported standalone — skipping")
         return
-    if arch.startswith("TAPNet"):
+    # one source of truth for the per-family adapters (same registry
+    # cli/export_model.py uses)
+    from mfcnet_tpu.cli.train_toolpose_segmentation import OUTPUT_MODES
+
+    if not arch.endswith(("-Basic", "-Large")) and (
+        OUTPUT_MODES.get(arch) == "tapnet"
+    ):
         print("[parity] TAPNet not exportable (its attention-map input "
               "comes from the host warp pipeline) — skipping")
         return
@@ -497,11 +503,7 @@ def _export_artifact(path, arch, model, variables, C, T, flow, depth,
             "add_optflow_inputs": False,
         })
     else:
-        output_mode = (
-            "log_probs"
-            if arch in ("TernausNet11", "TernausNet16", "SegFormer")
-            else "logits"
-        )
+        output_mode = OUTPUT_MODES.get(arch, "logits")
         exported = export_singleframe(
             model, variables, height=H, width=W,
             output_mode=output_mode, dtype="bfloat16",
