@@ -303,6 +303,45 @@ def test_export_incremental_non_s2d_without_depth(tmp_path):
         )
 
 
+def test_export_incremental_other_base_family(tmp_path):
+    """The incremental exporter is generic over the multiframe zoo (it
+    only uses MultiFrameSegmenter's base_forward*/fuse_* methods) — smoke
+    a second base family end to end."""
+    import jax
+
+    from mfcnet_tpu.models import get_multiframe_segmentation_model
+    from mfcnet_tpu.serve import (
+        export_incremental, load_exported, save_exported, zero_state,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = get_multiframe_segmentation_model(
+        "UNetMulti-Basic", 5, 3, scale=0.1
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, 3, 32, 32, 3), np.float32),
+    )
+    exported, spec = export_incremental(
+        model, variables, height=32, width=32, num_frames=3,
+        num_classes=5, dtype="float32",
+    )
+    path = tmp_path / "unet.stablehlo"
+    save_exported(path, exported, meta={
+        "serving_mode": "incremental",
+        "state": {k: [list(s), d] for k, (s, d) in spec.items()},
+    })
+    loaded = load_exported(path)
+    state = zero_state(loaded.meta)
+    rng = np.random.default_rng(9)
+    for t in range(4):
+        frame = rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8)
+        *state, probs = loaded(*state, frame)
+    probs = np.asarray(probs)
+    assert probs.shape == (1, 32, 32, 5)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
 def test_export_bfloat16_roundtrip(tmp_path):
     """bfloat16 compute (the CLI default) through export/load: artifact
     matches the live bf16 function exactly (same graph, same casts)."""
