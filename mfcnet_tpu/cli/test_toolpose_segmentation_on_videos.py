@@ -139,6 +139,16 @@ def main(argv=None):
     )
     H, W = args.input_height, args.input_width
     output_mode = OUTPUT_MODES[args.model_type]
+    if output_mode == "tapnet":
+        # reference parity: TAPNet video tracking is NotImplementedError
+        # there too (test_toolpose_segmentation_on_videos_v2.py:224-225) —
+        # its motion-prior attention maps come from the offline dataset
+        # pipeline, which a live video stream does not have
+        raise SystemExit(
+            "TAPNet video tracking is not implemented (reference "
+            "raises NotImplementedError as well); use infer_toolpose_"
+            "segmentation on an attmap-equipped dataset instead"
+        )
     variables = jit_init(
         model, jax.random.PRNGKey(0), np.zeros((1, H, W, 3), np.float32)
     )
