@@ -59,6 +59,12 @@ def main():
                     help="e2e mode: track this many videos CONCURRENTLY "
                          "with one batched engine (aggregate serving "
                          "throughput; requires --source ram|device)")
+    ap.add_argument("--fused", type=lambda v: v.lower() in ("true", "1"),
+                    default=False,
+                    help="e2e only: engine fused_dispatch — ingest+fuse "
+                         "as ONE jitted call per post-warmup frame "
+                         "(outputs identical; saves one dispatch round "
+                         "trip per frame)")
     ap.add_argument("--engine", default="live",
                     choices=["live", "artifact"],
                     help="e2e only: 'artifact' runs the exported "
@@ -176,6 +182,7 @@ def main():
             num_input_frames=T, num_classes=C, input_height=H,
             input_width=W, dtype=args.dtype, overlay=False,
             decode=args.decode, add_optflow_inputs=use_flow,
+            fused_dispatch=args.fused,
         )
         S = max(1, args.streams)
         if S > 1 and args.source == "video":
@@ -290,6 +297,7 @@ def main():
                 + (f"_flow{args.flow}" if use_flow else "")
                 + (f"_streams{S}" if S > 1 else "")
                 + ("_artifact" if args.engine == "artifact" else "")
+                + ("_fused" if args.fused else "")
             ),
             "value": round(best, 2),
             "unit": "frames/sec/chip",

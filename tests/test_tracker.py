@@ -101,6 +101,47 @@ def test_track_on_frames_ram_and_device_sources(tmp_path):
     np.testing.assert_allclose(rows_dev, rows_dev2, equal_nan=True)
 
 
+def test_fused_dispatch_identical(tmp_path):
+    """fused_dispatch=True (ingest+fuse as one jitted call per frame)
+    must produce identical masks/heats to the two-dispatch engine."""
+    import jax
+
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 64, 64, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(6), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    frames = make_synthetic_frames(num_frames=7, height=H, width=W,
+                                   seed=13)
+    engines = {
+        fused: InferenceEngine(model, variables, TrackerConfig(
+            num_input_frames=T, num_classes=C, input_height=H,
+            input_width=W, dtype="float32", mode="incremental",
+            overlay=False, fused_dispatch=fused,
+        ))
+        for fused in (False, True)
+    }
+    for t, frame in enumerate(frames):
+        outs = {f: e.step(frame) for f, e in engines.items()}
+        assert (outs[False] is None) == (outs[True] is None)
+        if outs[False] is None:
+            continue
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
 def test_incremental_and_full_modes_agree(tmp_path):
     """The ring-buffer tracker must produce the same CSV as full recompute."""
     import jax
