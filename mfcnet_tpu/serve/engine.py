@@ -115,6 +115,8 @@ class ArtifactEngine:
         frame = jnp.asarray(frame_u8)
         if squeeze:
             frame = frame[None]
+        if not self.cfg.add_depth_inputs:
+            return frame, None, squeeze
         if depth_u8 is None:
             depth = jnp.zeros(frame.shape[:3], jnp.uint8)
         else:
