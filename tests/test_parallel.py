@@ -194,6 +194,70 @@ def test_spatial_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_train_step_with_ema_and_grad_accum():
+    """EMA params + optax.MultiSteps state survive the sharded (mesh)
+    train step: the EMA blends only on the real update (2nd micro-step)
+    and matches the unsharded run."""
+    import optax
+
+    from mfcnet_tpu.train.state import TrainState
+    from mfcnet_tpu.train.steps import make_multiframe_train_step
+
+    h, w, c, t = 32, 32, 5, 3
+    model, variables = _tiny_mf_model(h, w, c, t)
+    # SGD inside MultiSteps: this pins the state MECHANICS (accumulation
+    # gating + EMA blend under GSPMD); Adam's m/(sqrt(v)+eps) would
+    # amplify all-reduce reassociation noise on near-zero gradients into
+    # percent-level update diffs and only obscure that
+    tx = optax.MultiSteps(optax.sgd(1e-2), every_k_schedule=2)
+
+    def fresh_state():
+        return TrainState.create(
+            model.apply, variables["params"], tx,
+            variables.get("batch_stats", {}), ema_decay=0.5,
+        )
+
+    step = make_multiframe_train_step(
+        model, ["nll"], [1.0], c,
+        class_weights=[1.0] * c, train_base_model=True, donate=False,
+    )
+    rng = np.random.default_rng(3)
+    batches = [
+        {
+            "frames": rng.standard_normal((8, t, h, w, 3)).astype(
+                np.float32
+            ),
+            "mask": rng.integers(0, c, (8, h, w)).astype(np.int32),
+        }
+        for _ in range(2)
+    ]
+
+    s_single = fresh_state()
+    for b in batches:
+        s_single, _ = step(s_single, b)
+
+    mesh = make_mesh(8)
+    s_shard = fresh_state()
+    with jax.set_mesh(mesh):
+        for b in batches:
+            s_shard, _ = step(s_shard, shard_batch(mesh, b))
+
+    p0 = jax.tree.leaves(variables["params"])
+    for init, pa, ea, eb in zip(
+        p0,
+        jax.tree.leaves(jax.device_get(s_shard.params)),
+        jax.tree.leaves(jax.device_get(s_shard.ema_params)),
+        jax.tree.leaves(jax.device_get(s_single.ema_params)),
+    ):
+        # exactly ONE real update after 2 micro-batches: ema = (p0+p1)/2
+        # (within the sharded run — same arrays, so near-exact)
+        np.testing.assert_allclose(ea, 0.5 * (init + pa), atol=1e-5,
+                                   rtol=1e-4)
+        # single vs sharded: SGD updates differ only by the gradient
+        # all-reduce's reduction order
+        np.testing.assert_allclose(ea, eb, atol=2e-5, rtol=1e-4)
+
+
 def test_shard_multiframe_batch_degenerates_on_data_mesh():
     """With a 1-D data mesh shard_multiframe_batch == shard_batch."""
     from mfcnet_tpu.parallel import shard_multiframe_batch
