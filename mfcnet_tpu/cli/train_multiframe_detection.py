@@ -12,6 +12,8 @@ Usage: python -m mfcnet_tpu.cli.train_multiframe_detection --dataset JIGSAWS ...
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import jax
 import numpy as np
 
@@ -222,6 +224,7 @@ def main(argv=None):
         )
 
     start_epoch = args.starting_epoch
+    resume_skip_batches = 0
     if args.resume:
         ck = (
             args.load_wts_model
@@ -229,6 +232,16 @@ def main(argv=None):
         )
         if ck:
             payload, epoch = load_checkpoint(ck, state)
+            # mid-epoch interrupt snapshot: fast-forward the first epoch
+            # to the interruption point (exact resume — the loader's
+            # (seed, epoch)-keyed shuffle and fold_in batch keys replay
+            # the interrupted run)
+            import json as _json
+
+            meta_path = Path(str(ck)).with_suffix(".json")
+            if meta_path.exists():
+                meta = _json.loads(meta_path.read_text())
+                resume_skip_batches = int(meta.get("batches_done", 0))
             state = state.replace(
                 params=payload["params"],
                 batch_stats=payload["batch_stats"],
@@ -246,7 +259,13 @@ def main(argv=None):
                         lambda p: jax.numpy.array(p), state.params
                     ))
             start_epoch = max(start_epoch, epoch)
-            logger.info(f"Resumed from {ck} at epoch {epoch}")
+            logger.info(
+                f"Resumed from {ck} at epoch {epoch}"
+                + (
+                    f" (mid-epoch: skipping {resume_skip_batches} batches)"
+                    if resume_skip_batches else ""
+                )
+            )
     elif args.load_wts_model:
         payload, _ = load_checkpoint(args.load_wts_model, state)
         state = state.replace(
@@ -311,7 +330,12 @@ def main(argv=None):
     try:
         with mesh_ctx:
             for epoch in range(start_epoch, args.num_epochs + 1):
-                key, ek = jax.random.split(key)
+                # per-epoch key + shuffle are pure functions of
+                # (seed, epoch): a resumed process replays the identical
+                # permutation and augmentation stream (preemption-safe)
+                ek = jax.random.fold_in(key, epoch)
+                skip = resume_skip_batches if epoch == start_epoch else 0
+                train_loader.set_epoch(epoch, skip_batches=skip)
                 state, train_loss = train_one_epoch(
                     train_loader,
                     epoch,
@@ -323,6 +347,7 @@ def main(argv=None):
                     writer,
                     args.print_freq,
                     args.loss_fns,
+                    skip_batches=skip,
                 )
                 validate(
                     val_loader,
@@ -350,11 +375,27 @@ def main(argv=None):
                         )
                         if jax.process_index() == 0:
                             logger.info(f"Saved checkpoint {p} (async)")
-    except KeyboardInterrupt:
-        # snapshot on interrupt (reference :179-183)
+    except KeyboardInterrupt as e:
+        # snapshot on interrupt (reference :179-183). TrainInterrupted
+        # carries the MID-EPOCH state + completed-batch count; the
+        # sidecar records the REAL epoch (not 999) and batches_done, so
+        # `--resume` continues exactly where the run was preempted.
+        from mfcnet_tpu.train.engine import TrainInterrupted
+
+        extra = None
+        if isinstance(e, TrainInterrupted):
+            state = e.state
+            extra = {"epoch": epoch, "batches_done": e.batches_done}
         if jax.process_index() == 0:
-            p = save_checkpoint(expt_dir / "ckpts", 999, state)
-            logger.info(f"Interrupted; snapshot saved to {p}")
+            p = save_checkpoint(expt_dir / "ckpts", 999, state,
+                                extra=extra)
+            logger.info(
+                f"Interrupted; snapshot saved to {p}"
+                + (
+                    f" (epoch {epoch}, {extra['batches_done']} batches)"
+                    if extra else ""
+                )
+            )
         raise
     ckpt_writer.wait()
     getattr(ckpt_writer, "close", lambda: None)()

@@ -51,9 +51,26 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.shard = shard
+        self._epoch = None
+        self._skip_batches = 0
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """Make the next iteration's shuffle a pure function of
+        (seed, epoch) and optionally skip its first ``skip_batches``
+        batches (no file reads for skipped samples).
+
+        This is the preemption-safe-resume contract: a resumed process
+        can reproduce exactly the permutation the interrupted run was
+        mid-way through and fast-forward to the interruption point —
+        with the default stateful rng the permutation depends on how
+        many epochs THIS process has already iterated. Same role as
+        torch DistributedSampler.set_epoch."""
+        self._epoch = int(epoch)
+        self._skip_batches = max(0, int(skip_batches))
 
     def _num_local(self):
         n = len(self.dataset)
@@ -71,12 +88,25 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idxs)
+            if self._epoch is not None:
+                # (seed, epoch)-keyed permutation — reproducible across
+                # process restarts (see set_epoch)
+                np.random.default_rng([self.seed, self._epoch]).shuffle(
+                    idxs
+                )
+            else:
+                self.rng.shuffle(idxs)
         if self.shard is not None:
             rank, count = self.shard
             idxs = idxs[: (len(idxs) // count) * count][rank::count]
         if self.drop_last:
             idxs = idxs[: len(self) * self.batch_size]
+        if self._skip_batches:
+            # mid-epoch resume fast-forward (batches, after shard slicing
+            # and drop_last trimming, so it counts the batches this rank
+            # would actually have run); consumed once
+            idxs = idxs[self._skip_batches * self.batch_size:]
+            self._skip_batches = 0
         with ThreadPoolExecutor(self.num_workers) as pool:
             # pipeline two batches of reads ahead
             batches = [
@@ -126,7 +156,11 @@ class Prefetcher:
                 if self.device_fn is not None:
                     batch = self.device_fn(batch)
                 self.q.put(batch)
-        except Exception as e:  # surface errors on the consumer side
+        except BaseException as e:  # surface errors on the consumer side
+            # BaseException, not Exception: a KeyboardInterrupt-style
+            # preemption raised inside the loader/worker would otherwise
+            # kill the thread silently and the consumer would see a fake
+            # end-of-epoch (StopIteration) instead of the interrupt
             self.q.put(e)
         finally:
             self.q.put(StopIteration)
@@ -138,7 +172,7 @@ class Prefetcher:
         item = self.q.get()
         if item is StopIteration:
             raise StopIteration
-        if isinstance(item, Exception):
+        if isinstance(item, BaseException):
             raise item
         return item
 

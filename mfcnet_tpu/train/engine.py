@@ -21,6 +21,22 @@ from mfcnet_tpu.data.loader import Prefetcher
 from mfcnet_tpu.utils.logging import AverageMeter, ProgressMeter
 
 
+class TrainInterrupted(KeyboardInterrupt):
+    """KeyboardInterrupt carrying the MID-EPOCH training progress.
+
+    The reference's interrupt snapshot captures mid-epoch progress for
+    free because torch mutates the model in place
+    (train_multiframe_detection.py:179-183); with an immutable TrainState
+    the caller's binding would still be the pre-epoch state, so the loop
+    re-raises with the latest state + completed-batch count attached —
+    the CLI snapshots these for exact preemption-safe resume."""
+
+    def __init__(self, state, batches_done: int):
+        super().__init__()
+        self.state = state
+        self.batches_done = batches_done
+
+
 def train_one_epoch(
     loader,
     epoch: int,
@@ -32,18 +48,29 @@ def train_one_epoch(
     writer=None,
     print_freq: int = 10,
     loss_fns=(),
+    skip_batches: int = 0,
 ):
-    """Returns (state, avg_total_loss)."""
+    """Returns (state, avg_total_loss).
+
+    ``skip_batches``: mid-epoch resume offset — per-batch augmentation
+    keys are ``fold_in(rng_key, skip_batches + i)`` (a pure function of
+    the batch's position in the epoch, NOT of how many batches this
+    process ran), so a resumed epoch replays the interrupted run's exact
+    randomness. Pair with ``loader.set_epoch(epoch, skip_batches)``.
+    """
     batch_time = AverageMeter("Time", ":2.2f")
     data_time = AverageMeter("Data", ":2.2f")
     meters = [batch_time, data_time]
     progress = ProgressMeter(len(loader), meters, prefix=f"Epoch: [{epoch}]")
 
+    prep_count = skip_batches
+
     def prepare(batch):
-        nonlocal rng_key
+        nonlocal prep_count
         if aug_fn is None:
             return batch
-        rng_key, sub = jax.random.split(rng_key)
+        sub = jax.random.fold_in(rng_key, prep_count)
+        prep_count += 1
         return aug_fn(batch, sub)
 
     it = Prefetcher(loader, device_fn=prepare)
@@ -52,29 +79,36 @@ def train_one_epoch(
     n_steps = 0
     data_t0 = time.time()
     last_logs = None
-    for step_idx, batch in enumerate(it):
-        data_time.update(time.time() - data_t0)
-        t0 = time.time()
-        state, logs = train_step(state, batch)
-        last_logs = logs
-        # device-side accumulation (lazy); sync only at print points
-        loss_sum = loss_sum + logs["loss_total"]
-        if loss_parts_sum is None:
-            loss_parts_sum = {k: v for k, v in logs.items()}
-        else:
-            loss_parts_sum = {
-                k: loss_parts_sum[k] + v for k, v in logs.items()
-            }
-        n_steps += 1
-        batch_time.update(time.time() - t0)
-        if step_idx % print_freq == 0:
-            cur = float(logs["loss_total"])
-            if np.isnan(cur) or np.isinf(cur):
-                logger.error(f"Loss is {cur} at step {step_idx}; aborting.")
-                raise FloatingPointError(f"non-finite loss {cur}")
-            progress.display(step_idx, logger=logger)
-            logger.info(f"  loss_total {cur:.4f}")
-        data_t0 = time.time()
+    try:
+        for step_idx, batch in enumerate(it):
+            data_time.update(time.time() - data_t0)
+            t0 = time.time()
+            state, logs = train_step(state, batch)
+            last_logs = logs
+            # device-side accumulation (lazy); sync only at print points
+            loss_sum = loss_sum + logs["loss_total"]
+            if loss_parts_sum is None:
+                loss_parts_sum = {k: v for k, v in logs.items()}
+            else:
+                loss_parts_sum = {
+                    k: loss_parts_sum[k] + v for k, v in logs.items()
+                }
+            n_steps += 1
+            batch_time.update(time.time() - t0)
+            if step_idx % print_freq == 0:
+                cur = float(logs["loss_total"])
+                if np.isnan(cur) or np.isinf(cur):
+                    logger.error(
+                        f"Loss is {cur} at step {step_idx}; aborting."
+                    )
+                    raise FloatingPointError(f"non-finite loss {cur}")
+                progress.display(step_idx, logger=logger)
+                logger.info(f"  loss_total {cur:.4f}")
+            data_t0 = time.time()
+    except KeyboardInterrupt:
+        # `state` is the last COMPLETED step's state (an interrupt inside
+        # train_step discards that step's partial update)
+        raise TrainInterrupted(state, skip_batches + n_steps)
 
     avg = float(loss_sum) / max(1, n_steps)
     if writer is not None:

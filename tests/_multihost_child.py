@@ -94,6 +94,10 @@ def main():
                 def __len__(self):
                     return min(len(tr0), len(tr1))
 
+                def set_epoch(self, epoch, skip_batches=0):
+                    tr0.set_epoch(epoch, skip_batches)
+                    tr1.set_epoch(epoch, skip_batches)
+
                 def __iter__(self):
                     for b0, b1 in zip(tr0, tr1):
                         yield {

@@ -25,7 +25,7 @@ def test_train_then_track_detects_instruments(tmp_path):
         "--data_dir", str(root), "--dataset", "JIGSAWS",
         "--expt_savedir", str(tmp_path / "runs"), "--expt_name", "learn",
         "--batch_size", "4", "--num_workers", "2",
-        "--num_epochs", "6", "--save_freq", "6", "--print_freq", "10",
+        "--num_epochs", "8", "--save_freq", "8", "--print_freq", "10",
         "--lr", "3e-3", "--scheduler", "Constant",
         "--loss_fns", "nll", "soft_jaccard", "--loss_wts", "0.7", "0.3",
         "--class_weights", "1", "50", "50", "50", "50",
@@ -67,8 +67,8 @@ def test_train_then_track_detects_instruments(tmp_path):
     assert tip_detections >= 5, rows
 
     # quantitative accuracy vs the synthetic ground truth (the BASELINE
-    # tip-RMSE metric end to end): measured ~3.8px tips / ~1.4px bases
-    # after 6 epochs at 64x64; bounds pinned with margin
+    # tip-RMSE metric end to end): measured ~3-4px tips / ~1.4px bases
+    # after 8 epochs at 64x64; bounds pinned with margin
     def tip_errors(tcol):
         errs = []
         for f in range(rows.shape[0]):
