@@ -525,6 +525,8 @@ def main():
              "--frames", "100", "--trials", "2"],
             ["--mode", "e2e", "--source", "device", "--streams", "4",
              "--frames", "100", "--trials", "2"],
+            ["--mode", "e2e", "--source", "device", "--decode", "host",
+             "--engine", "artifact", "--frames", "100", "--trials", "2"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "float32"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
