@@ -304,30 +304,44 @@ def decode_keypoints_device(probs, area_threshold_x10: int = 100,
                             pred=None):
     """Full per-frame decode on device.
 
-    probs: (H, W, C>=5) class probabilities (toolpose layout:
-    1=r-base, 2=r-tip, 3=l-base, 4=l-tip). ``pred``: optional (H, W)
-    class-ID map to decode from instead of argmax(probs) — pass the
-    score-thresholded mask so device decode matches the host path's
-    semantics when --score_detection_threshold > 0 (reference
-    test_multiframe_segmentation_on_videos_v3.py:282-289).
+    probs: (..., H, W, C>=5) class probabilities (toolpose layout:
+    1=r-base, 2=r-tip, 3=l-base, 4=l-tip); leading dims (batched video
+    streams) are decoded in one lockstep pass — do NOT ``jax.vmap`` this
+    function over streams: vmap turns ``decode_base_device``'s
+    rare-overflow ``lax.cond`` into a ``select`` that executes the slow
+    XLA fallback every frame (measured 93 -> 13 fps aggregate at B=4).
+    ``pred``: optional (..., H, W) class-ID map to decode from instead of
+    argmax(probs) — pass the score-thresholded mask so device decode
+    matches the host path's semantics when --score_detection_threshold
+    > 0 (reference test_multiframe_segmentation_on_videos_v3.py:282-289).
 
-    Returns (2, 3, 3): [side (left, right)][tip1, tip2, base][x, y, valid].
-    The base row's valid field is 0 (no detection), 1 (detection), or
-    2 (detection with a NEAR-TIE between the two largest components —
-    the caller should fall back to the exact host decode for this side;
-    see decode_base_device)."""
+    Returns (..., 2, 3, 3): [side (left, right)][tip1, tip2, base]
+    [x, y, valid]. The base row's valid field is 0 (no detection),
+    1 (detection), or 2 (detection with a NEAR-TIE between the two
+    largest components — the caller should fall back to the exact host
+    decode for this side; see decode_base_device)."""
     area_threshold = area_threshold_x10 / 10.0
     if pred is None:
         pred = jnp.argmax(probs, axis=-1)
+    lead = probs.shape[:-3]
     # both sides' base components labeled in one lockstep batch
     base = decode_base_device(
-        jnp.stack([pred == 3, pred == 1]), area_threshold
-    )  # (2, 4): left, right
+        jnp.stack([pred == 3, pred == 1], axis=-3), area_threshold
+    )  # (..., 2, 4): left, right
     base_rows = jnp.stack(
-        [base[:, 0], base[:, 1], base[:, 2] + base[:, 3]], axis=-1
-    )  # valid 0/1/2
-    tips = jax.vmap(decode_tips_device)(
-        jnp.stack([probs[..., 4], probs[..., 2]]),
-        jnp.stack([pred == 4, pred == 2]),
-    )  # (2, 2, 3)
-    return jnp.concatenate([tips, base_rows[:, None]], axis=1)
+        [base[..., 0], base[..., 1], base[..., 2] + base[..., 3]],
+        axis=-1,
+    )  # (..., 2, 3) valid 0/1/2
+    H, W = probs.shape[-3:-1]
+    heats = jnp.stack(
+        [probs[..., 4], probs[..., 2]], axis=-3
+    ).reshape((-1, H, W))
+    blobs = jnp.stack(
+        [pred == 4, pred == 2], axis=-3
+    ).reshape((-1, H, W))
+    tips = jax.vmap(decode_tips_device)(heats, blobs).reshape(
+        lead + (2, 2, 3)
+    )
+    return jnp.concatenate(
+        [tips, base_rows[..., None, :]], axis=-2
+    )

@@ -526,12 +526,11 @@ class InferenceEngine:
                     decode_keypoints_device,
                     area_threshold_x10=int(cfg.area_threshold * 10),
                 )
-                if probs.ndim == 4:  # batched streams: vmap over B
-                    kps = jax.vmap(lambda p, m: dec(p, pred=m))(
-                        probs, mask.astype(jnp.int32)
-                    )
-                else:
-                    kps = dec(probs, pred=mask.astype(jnp.int32))
+                # batched streams decode in one lockstep pass (leading
+                # dims are native in decode_keypoints_device); vmap here
+                # would turn the Pallas/XLA fallback cond into a select
+                # that executes BOTH decode paths every frame
+                kps = dec(probs, pred=mask.astype(jnp.int32))
                 return mask, kps
             heats = jnp.stack(
                 [probs[..., 2], probs[..., 4]], axis=-1

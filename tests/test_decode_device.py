@@ -324,3 +324,41 @@ def test_decode_keypoints_device_respects_thresholded_pred():
     tips = [(x, y) for x, y, v in kps[1, :2] if v > 0]
     assert len(tips) >= 1
     assert abs(tips[0][0] - 25) <= 1.5 and abs(tips[0][1] - 20) <= 1.5
+
+
+def test_decode_keypoints_device_batched_matches_single():
+    """Batched (B, H, W, C) decode — one lockstep pass, used by the
+    multi-stream engine instead of vmap (vmap would select-execute the
+    Pallas fallback cond's BOTH branches every frame) — must return
+    exactly the per-item results, with and without an explicit pred."""
+    from mfcnet_tpu.track.decode_device import decode_keypoints_device
+
+    rng = np.random.default_rng(7)
+    H, W, C, B = 64, 80, 5, 3
+    probs = np.zeros((B, H, W, C), np.float32)
+    probs[..., 0] = 0.4
+    for b in range(B):
+        # distinct blob geometry per stream
+        probs[b, ..., 2] += _gaussian_blob(H, W, 15 + 4 * b, 20 + 6 * b)
+        probs[b, ..., 4] += _gaussian_blob(H, W, 40 - 3 * b, 55 - 5 * b)
+        probs[b, 20 + b : 35 + b, 10 : 30 + 2 * b, 1] = 0.9
+        probs[b, 40:55, 50 - b : 70, 3] = 0.9
+        probs[b] += rng.uniform(0, 0.05, (H, W, C)).astype(np.float32)
+    pred = np.argmax(probs, axis=-1).astype(np.int32)
+
+    batched = np.asarray(decode_keypoints_device(jnp.asarray(probs), 100))
+    assert batched.shape == (B, 2, 3, 3)
+    batched_pred = np.asarray(
+        decode_keypoints_device(jnp.asarray(probs), 100,
+                                pred=jnp.asarray(pred))
+    )
+    for b in range(B):
+        single = np.asarray(
+            decode_keypoints_device(jnp.asarray(probs[b]), 100)
+        )
+        np.testing.assert_array_equal(batched[b], single)
+        single_pred = np.asarray(
+            decode_keypoints_device(jnp.asarray(probs[b]), 100,
+                                    pred=jnp.asarray(pred[b]))
+        )
+        np.testing.assert_array_equal(batched_pred[b], single_pred)
