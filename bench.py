@@ -69,10 +69,10 @@ def main():
                     choices=["live", "artifact"],
                     help="e2e only: 'artifact' runs the exported "
                          "StableHLO incremental artifact through "
-                         "serve.ArtifactEngine (requires --decode host, "
-                         "--streams 1, --flow none) — measures the "
-                         "deployment configuration's overhead vs the "
-                         "live engine")
+                         "serve.ArtifactEngine (requires --streams 1, "
+                         "--flow none; both --decode modes work) — "
+                         "measures the deployment configuration's "
+                         "overhead vs the live engine")
     ap.add_argument("--flow", default="none", choices=["none", "RAFT"],
                     help="e2e mode: enable the reference's optical-flow "
                          "input channels with a frozen RAFT provider "
@@ -189,14 +189,13 @@ def main():
             raise SystemExit("--streams needs --source ram|device")
         if args.engine == "artifact" and (
             args.source == "video" or S > 1 or use_flow
-            or args.decode != "host"
         ):
             # validate HERE: the artifact engine is only built in the
             # single-stream ram/device branch, and a silently ignored
             # flag would mislabel a live-engine number as _artifact
             raise SystemExit(
                 "--engine artifact needs --source ram|device, "
-                "--streams 1, --flow none, --decode host"
+                "--streams 1, --flow none"
             )
         with tempfile.TemporaryDirectory() as td:
             if args.source == "video":
@@ -525,7 +524,7 @@ def main():
              "--frames", "100", "--trials", "2"],
             ["--mode", "e2e", "--source", "device", "--streams", "4",
              "--frames", "100", "--trials", "2"],
-            ["--mode", "e2e", "--source", "device", "--decode", "host",
+            ["--mode", "e2e", "--source", "device",
              "--engine", "artifact", "--frames", "100", "--trials", "2"],
             ["--mode", "train", "--frames", "100", "--trials", "2",
              "--dtype", "float32"],

@@ -50,7 +50,7 @@ def build_parser():
     p.add_argument("--artifact", type=str, default=None,
                    help="track from a frozen serving artifact "
                         "(cli.export_model) instead of model code + "
-                        "checkpoint; host decode")
+                        "checkpoint (both --decode modes work)")
     p.add_argument("--use_ema", type=lambda v: v.lower() in ("true", "1"),
                    default=False,
                    help="track with the checkpoint's EMA weights "
@@ -305,15 +305,11 @@ def _read_all_frames(path, W, H, gray=False):
 
 def _main_artifact(args, out_dir, logger, num_classes):
     """Track from a frozen serving artifact — no model code, no
-    checkpoint. Shapes come from the artifact header; host decode."""
+    checkpoint. Shapes come from the artifact header; both --decode
+    modes work (the device decode is a framework op, not model code)."""
     from mfcnet_tpu.serve import ArtifactEngine, load_exported
     from mfcnet_tpu.track.tracker import TrackerConfig, track_on_video
 
-    if args.decode == "device":
-        raise SystemExit(
-            "--artifact requires --decode host (device decode needs the "
-            "framework's Pallas kernels)"
-        )
     loaded = load_exported(args.artifact)
     meta = loaded.meta
     T = meta.get("num_input_frames", args.num_input_frames)
@@ -329,7 +325,7 @@ def _main_artifact(args, out_dir, logger, num_classes):
         area_threshold=args.area_threshold,
         dist_threshold=args.dist_threshold,
         mode=meta.get("serving_mode", "full"),
-        decode="host",
+        decode=args.decode,
         dtype=meta.get("compute_dtype", args.compute_dtype),
         add_depth_inputs=add_depth,
         fetch_batch=args.fetch_batch,
@@ -339,6 +335,15 @@ def _main_artifact(args, out_dir, logger, num_classes):
         f"(mode={cfg.mode}, {H}x{W}, T={T}"
         f"{', +depth' if add_depth else ''})"
     )
+    if args.decode == "device":
+        logger.warning(
+            "--decode device: base centroids use the on-device polygon-"
+            "moment approximation (<~2 px vs the host cv2 decode on "
+            "adversarial masks, well under 1 px on compact blobs); "
+            "near-ties between the two largest components auto-fall back "
+            "to the exact host decode. Use --decode host for bit-exact "
+            "reference parity."
+        )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:
         videos = videos[: args.num_videos]

@@ -43,7 +43,8 @@ def build_parser():
     p.add_argument("--artifact", type=str, default=None,
                    help="track from a frozen single-frame serving "
                         "artifact (cli.export_model --task singleframe) "
-                        "instead of model code + checkpoint; host decode")
+                        "instead of model code + checkpoint (both --decode "
+                        "modes work)")
     p.add_argument("--use_ema", type=lambda v: v.lower() in ("true", "1"),
                    default=False,
                    help="track with the checkpoint's EMA weights "
@@ -277,17 +278,13 @@ def main(argv=None):
 def _main_artifact(args, out_dir, logger, num_classes):
     """Track from a frozen single-frame artifact — no model code, no
     checkpoint. The artifact returns per-frame probs; mask + tip heats
-    are computed by a small jitted post step (host decode)."""
+    (host decode) or keypoint rows (device decode — a framework op,
+    independent of model code) come from a small jitted post step."""
     import jax
     import jax.numpy as jnp
 
     from mfcnet_tpu.serve import load_exported
 
-    if args.decode == "device":
-        raise SystemExit(
-            "--artifact requires --decode host (device decode needs the "
-            "framework's Pallas kernels)"
-        )
     if getattr(args, "spatial_shards", 1) > 1:
         raise SystemExit("--artifact does not compose with "
                          "--spatial_shards (use the live model path)")
@@ -312,6 +309,18 @@ def _main_artifact(args, out_dir, logger, num_classes):
                 )
         else:
             mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        if args.decode == "device":
+            import functools
+
+            from mfcnet_tpu.track.decode_device import (
+                decode_keypoints_device,
+            )
+
+            dec = functools.partial(
+                decode_keypoints_device,
+                area_threshold_x10=int(args.area_threshold * 10),
+            )
+            return mask, dec(probs, pred=mask.astype(jnp.int32))
         return mask, jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
 
     def step_fn(frame):
@@ -326,7 +335,7 @@ def _main_artifact(args, out_dir, logger, num_classes):
         area_threshold=args.area_threshold,
         dist_threshold=args.dist_threshold,
         dtype=meta.get("compute_dtype", args.compute_dtype),
-        decode="host",
+        decode=args.decode,
     )
     logger.info(f"artifact serving: {args.artifact} ({H}x{W})")
     videos = list_video_files(args.videos_dir)

@@ -7,10 +7,13 @@ deployment configuration. Works with both artifact kinds
 ``full`` window forward) and reproduces the live engine's outputs
 bit-for-bit for the host-decode path (pinned in tests/test_export.py).
 
-Scope: host keypoint decode (the 'device' decode path needs the Pallas
-kernels and the framework anyway — if you have those, use the live
-engine). Single-stream by default; ``num_streams=B`` tracks B videos in
-lockstep through the one artifact (symbolic batch dimension).
+Both keypoint-decode paths work: host (OpenCV exact-parity mode) and the
+on-device decode (``cfg.decode='device'`` — the decode kernels are
+generic framework ops, independent of model code/checkpoints, so the
+deployment configuration keeps the 18-floats-per-frame transfer
+discipline of the live engine). Single-stream by default;
+``num_streams=B`` tracks B videos in lockstep through the one artifact
+(symbolic batch dimension).
 """
 
 from __future__ import annotations
@@ -23,7 +26,9 @@ from mfcnet_tpu.serve.export import LoadedServing, load_exported, zero_state
 class ArtifactEngine:
     def __init__(self, artifact, cfg, num_streams: int = 1):
         """``artifact``: path or ``LoadedServing``. ``cfg``: TrackerConfig;
-        shapes must match the artifact header, decode must be 'host'.
+        shapes must match the artifact header. Both ``cfg.decode`` modes
+        are supported (aux outputs are heatmaps for 'host', decoded
+        keypoint rows for 'device' — same contract as the live engine).
 
         ``num_streams``: track B videos in lockstep through the ONE
         artifact (its batch dimension is symbolic) — ``step_async`` then
@@ -58,12 +63,6 @@ class ArtifactEngine:
             raise ValueError(
                 "flow-in-graph artifacts are 'full'-forward only"
             )
-        if cfg.decode == "device":
-            raise ValueError(
-                "ArtifactEngine supports host decode only (the device "
-                "decode needs the framework's Pallas kernels — use the "
-                "live InferenceEngine)"
-            )
         self.cfg = cfg
         self._loaded = loaded
         self._mode = meta.get("serving_mode", "full")
@@ -75,8 +74,8 @@ class ArtifactEngine:
 
         @jax.jit
         def post(probs):
-            # mirror InferenceEngine._outputs host-decode branch exactly
-            # (reference score-threshold semantics :282-289)
+            # mirror InferenceEngine._outputs exactly (reference
+            # score-threshold semantics :282-289; decode branches)
             if thr > 0:
                 mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
                 for cls in range(1, C):
@@ -85,6 +84,18 @@ class ArtifactEngine:
                     )
             else:
                 mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            if cfg.decode == "device":
+                import functools
+
+                from mfcnet_tpu.track.decode_device import (
+                    decode_keypoints_device,
+                )
+
+                dec = functools.partial(
+                    decode_keypoints_device,
+                    area_threshold_x10=int(cfg.area_threshold * 10),
+                )
+                return mask, dec(probs, pred=mask.astype(jnp.int32))
             heats = jnp.stack(
                 [probs[..., 2], probs[..., 4]], axis=-1
             ).astype(jnp.float16)

@@ -293,17 +293,23 @@ class LoadedServing:
     """A deserialized artifact: ``loaded(frames_u8[, depth_u8]) -> probs``.
 
     ``meta`` is the JSON header; ``exported`` the ``jax.export.Exported``.
-    The call goes through ``Exported.call`` — it re-enters XLA with the
-    embedded StableHLO (jit-cached per shape) on whatever platform the
-    process runs, provided it is in ``meta['platforms']``.
+    The call goes through ``Exported.call`` under ONE ``jax.jit`` owned by
+    this instance — a bare ``exported.call(*args)`` builds a fresh wrapper
+    per invocation, so the jit cache (keyed on function identity) misses
+    and every frame pays a full retrace; the instance-held jit makes
+    repeat shapes dispatch-cached. Runs on whatever platform the process
+    uses, provided it is in ``meta['platforms']``.
     """
 
     def __init__(self, meta: dict, exported):
+        import jax
+
         self.meta = meta
         self.exported = exported
+        self._call = jax.jit(lambda *args: exported.call(*args))
 
     def __call__(self, *args):
-        return self.exported.call(*args)
+        return self._call(*args)
 
 
 def make_incremental_step(

@@ -170,12 +170,33 @@ def test_artifact_engine_rejects_mismatch(tmp_path):
     )
     with pytest.raises(ValueError, match="input_height"):
         ArtifactEngine(path, bad)
-    dev = TrackerConfig(
+
+
+@pytest.mark.parametrize("mode", ["incremental", "full"])
+def test_artifact_device_decode_matches_live_engine(tmp_path, mode):
+    """--decode device through the artifact engine (the deployment
+    configuration keeps the 18-floats-per-frame transfer discipline):
+    rows identical to the live engine's device-decode run."""
+    from mfcnet_tpu.data.synthetic import make_synthetic_frames
+    from mfcnet_tpu.serve import ArtifactEngine
+    from mfcnet_tpu.track.tracker import TrackerConfig, track_on_frames
+
+    model, variables, path = _tiny_and_artifact(tmp_path, mode)
+    frames = make_synthetic_frames(num_frames=7, height=64, width=64,
+                                   seed=9)
+    cfg = TrackerConfig(
         num_input_frames=3, num_classes=5, input_height=64,
-        input_width=64, decode="device", mode="incremental",
+        input_width=64, dtype="float32", mode=mode, overlay=False,
+        decode="device",
     )
-    with pytest.raises(ValueError, match="host"):
-        ArtifactEngine(path, dev)
+    rows_live, _ = track_on_frames(
+        frames, model, variables, cfg, tmp_path / "live", name="v"
+    )
+    rows_art, _ = track_on_frames(
+        frames, None, None, cfg, tmp_path / "art", name="v",
+        engine=ArtifactEngine(path, cfg),
+    )
+    np.testing.assert_allclose(rows_art, rows_live, equal_nan=True)
 
 
 def test_video_cli_artifact_matches_checkpoint_run(tmp_path):
@@ -289,9 +310,13 @@ def test_video_cli_artifact_parallel_videos(tmp_path):
         np.testing.assert_allclose(par, seq, equal_nan=True)
 
 
-@pytest.mark.parametrize("model_type", ["TernausNet16", "UNet"])
+@pytest.mark.parametrize("model_type,decode", [
+    ("TernausNet16", "host"),
+    ("TernausNet16", "device"),
+    ("UNet", "host"),
+])
 def test_singleframe_video_cli_artifact_matches_checkpoint_run(
-    tmp_path, model_type
+    tmp_path, model_type, decode
 ):
     """Single-frame artifact through the single-frame video CLI: CSV
     bit-identical to the model+checkpoint run — BOTH output-adapter
@@ -349,8 +374,10 @@ def test_singleframe_video_cli_artifact_matches_checkpoint_run(
         "--load_wts_model", str(ck),
         "--model_scale", "0.1",
         "--compute_dtype", "float32",
+        "--decode", decode,
     ])
-    main(common + ["--expt_name", "artrun", "--artifact", str(art)])
+    main(common + ["--expt_name", "artrun", "--artifact", str(art),
+                   "--decode", decode])
     rows_ck = np.loadtxt(
         tmp_path / "ckrun" / "video_tracking_results" / "a_tracked.csv",
         delimiter=",",
