@@ -69,8 +69,8 @@ def main():
                     choices=["live", "artifact"],
                     help="e2e only: 'artifact' runs the exported "
                          "StableHLO incremental artifact through "
-                         "serve.ArtifactEngine (requires --streams 1, "
-                         "--flow none; both --decode modes work) — "
+                         "serve.ArtifactEngine (requires --flow none; "
+                         "both --decode modes and --streams N work) — "
                          "measures the deployment configuration's "
                          "overhead vs the live engine")
     ap.add_argument("--flow", default="none", choices=["none", "RAFT"],
@@ -188,15 +188,38 @@ def main():
         if S > 1 and args.source == "video":
             raise SystemExit("--streams needs --source ram|device")
         if args.engine == "artifact" and (
-            args.source == "video" or S > 1 or use_flow
+            args.source == "video" or use_flow
         ):
-            # validate HERE: the artifact engine is only built in the
-            # single-stream ram/device branch, and a silently ignored
-            # flag would mislabel a live-engine number as _artifact
+            # validate HERE: a silently ignored flag would mislabel a
+            # live-engine number as _artifact
             raise SystemExit(
-                "--engine artifact needs --source ram|device, "
-                "--streams 1, --flow none"
+                "--engine artifact needs --source ram|device, --flow none"
             )
+        def build_artifact_engine(td, num_streams=1):
+            # deployment configuration: exported incremental StableHLO
+            # artifact instead of the live engine (symbolic batch dim —
+            # one artifact serves any stream count)
+            from mfcnet_tpu.serve import (
+                ArtifactEngine, export_incremental, load_exported,
+                save_exported,
+            )
+
+            exported, spec = export_incremental(
+                model, variables, height=H, width=W,
+                num_frames=T, num_classes=C, dtype=args.dtype,
+            )
+            apath = f"{td}/bench.stablehlo"
+            save_exported(apath, exported, meta={
+                "serving_mode": "incremental",
+                "compute_dtype": args.dtype,
+                "state": {
+                    k: [list(s), d] for k, (s, d) in spec.items()
+                },
+            })
+            return ArtifactEngine(
+                load_exported(apath), cfg, num_streams=num_streams
+            )
+
         with tempfile.TemporaryDirectory() as td:
             if args.source == "video":
                 video = make_synthetic_video(
@@ -227,11 +250,15 @@ def main():
                 if args.source == "device":
                     stacked = [jax.device_put(x) for x in stacked]
                     jax.block_until_ready(stacked[-1])
-                engine = InferenceEngine(
-                    model, variables, cfg,
-                    flow_model=flow_model, flow_variables=flow_variables,
-                    num_streams=S,
-                )
+                if args.engine == "artifact":
+                    engine = build_artifact_engine(td, num_streams=S)
+                else:
+                    engine = InferenceEngine(
+                        model, variables, cfg,
+                        flow_model=flow_model,
+                        flow_variables=flow_variables,
+                        num_streams=S,
+                    )
                 run_once = lambda: track_on_frame_streams(
                     stacked, model, variables, cfg, td, engine=engine,
                     prestacked=True,
@@ -244,26 +271,7 @@ def main():
                     frames = [jax.device_put(f) for f in frames]
                     jax.block_until_ready(frames[-1])
                 if args.engine == "artifact":
-                    # deployment configuration: exported incremental
-                    # StableHLO artifact instead of the live engine
-                    from mfcnet_tpu.serve import (
-                        ArtifactEngine, export_incremental, load_exported,
-                        save_exported,
-                    )
-
-                    exported, spec = export_incremental(
-                        model, variables, height=H, width=W,
-                        num_frames=T, num_classes=C, dtype=args.dtype,
-                    )
-                    apath = f"{td}/bench.stablehlo"
-                    save_exported(apath, exported, meta={
-                        "serving_mode": "incremental",
-                        "compute_dtype": args.dtype,
-                        "state": {
-                            k: [list(s), d] for k, (s, d) in spec.items()
-                        },
-                    })
-                    engine = ArtifactEngine(load_exported(apath), cfg)
+                    engine = build_artifact_engine(td)
                 else:
                     # one engine across trials: reuse compiled executables
                     engine = InferenceEngine(
