@@ -338,6 +338,14 @@ def _main_artifact(args, out_dir, logger, num_classes):
         decode=args.decode,
     )
     logger.info(f"artifact serving: {args.artifact} ({H}x{W})")
+    if args.decode == "device":
+        logger.warning(
+            "--decode device: base centroids use the on-device polygon-"
+            "moment approximation (<~2 px vs the host cv2 decode on "
+            "adversarial masks); near-ties between the two largest "
+            "components auto-fall back to the exact host decode. Use "
+            "--decode host for bit-exact reference parity."
+        )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:
         videos = videos[: args.num_videos]
