@@ -1,0 +1,34 @@
+"""Machine-keyed JAX compilation-cache directories.
+
+The persistent compilation cache stores XLA:CPU AOT executables compiled
+for the *build* machine's CPU features. /tmp can outlive the VM image in
+this environment, so a cache written on one machine may be loaded on
+another with a different feature set — XLA logs
+``cpu_aot_loader ... could lead to execution errors such as SIGILL`` and,
+in the worst case, the process dies with SIGILL mid-test. Keying the
+cache path by a fingerprint of the host CPU's feature flags makes each
+machine populate (and hit) only its own cache; the cost is one cold
+compile per distinct machine.
+"""
+
+import hashlib
+import platform
+
+
+def machine_cache_dir(base: str) -> str:
+    """``base`` + a stable fingerprint of this machine's CPU features.
+
+    E.g. ``machine_cache_dir("/tmp/jax_test_cache")`` ->
+    ``/tmp/jax_test_cache-1a2b3c4d5e6f``.
+    """
+    fingerprint = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    fingerprint = line.strip()
+                    break
+    except OSError:
+        fingerprint += platform.platform()
+    tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+    return f"{base}-{tag}"

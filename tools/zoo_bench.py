@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from mfcnet_tpu.utils.cachedir import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_bench_cache")
+)
 
 from mfcnet_tpu.cli.train_toolpose_segmentation import OUTPUT_MODES
 from mfcnet_tpu.models import get_tooltip_segmentation_model
