@@ -118,7 +118,13 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from mfcnet_tpu.utils.cachedir import machine_cache_dir
+
+    # machine-keyed: another machine's XLA:CPU AOT cache entries can
+    # SIGILL this host (see utils/cachedir.py)
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_bench_cache")
+    )
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -297,7 +303,7 @@ def main():
         # ceiling regardless of compute). On a directly attached chip those
         # modes are compute-bound; --source device removes the tunnel from
         # the measured path and is the faithful product number here.
-        print(json.dumps({
+        row = {
             "metric": (
                 f"mfcnet_e2e_tracking_{H}x{W}_{args.dtype}_{args.decode}"
                 + (f"_{args.source}" if args.source != "video" else "")
@@ -309,7 +315,35 @@ def main():
             "value": round(best, 2),
             "unit": "frames/sec/chip",
             "vs_baseline": round(best / 60.0, 3),
-        }))
+        }
+        # the sources below ship frames host->device through this
+        # harness's ~5 MB/s tunnel each step; the _device row is the
+        # faithful product-pipeline number (frames already in HBM)
+        if args.source == "video":
+            row["note"] = (
+                "harness-tunnel-bound (video decode + per-frame H2D "
+                "over ~5 MB/s); see the _device row for the "
+                "product-pipeline number"
+            )
+        elif args.source == "ram":
+            row["note"] = (
+                "per-frame H2D over the harness tunnel partially "
+                "overlapped with compute; see the _device row"
+            )
+        if S > 1:
+            row["note"] = (
+                f"AGGREGATE fps across {S} lockstep video streams on one "
+                "chip (chip is compute-saturated at 1 stream, so "
+                "aggregate ~= single-stream; multi-chip scale-out via "
+                "stream_shards)"
+            )
+        if args.engine == "artifact":
+            row["note"] = (
+                "serving from the exported StableHLO artifact "
+                "(no model code/checkpoint) — overhead vs the live "
+                "engine's _device row"
+            )
+        print(json.dumps(row))
         return
 
     if args.mode == "train":
@@ -506,6 +540,16 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
     }
+    if args.mode == "full" and B == 1:
+        # reference semantics (T base forwards per frame), single window:
+        # the latency-bound configuration. Batched windows meet the gate;
+        # the incremental mode (output-bit-identical, what a tracker
+        # actually runs) is the product metric — docs/PERFORMANCE.md.
+        headline["note"] = (
+            "single-window latency config (MXU underfed at b=1); "
+            "--batch 16 meets the 60 fps gate under the same semantics, "
+            "and the incremental mode is output-bit-identical at ~2x"
+        )
     # headline FIRST: the detail runs below take ~30 min and a driver
     # timeout must not cost the headline line
     print(json.dumps(headline), flush=True)
