@@ -33,6 +33,26 @@ def native_available() -> bool:
     return _NATIVE is not None
 
 
+def reload_native() -> bool:
+    """Retry importing the C++ extension (e.g. after building it)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return True
+    import importlib
+
+    importlib.invalidate_caches()
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "native"))
+    try:
+        import mfcnet_native
+
+        _NATIVE = mfcnet_native
+    except Exception:
+        return False
+    finally:
+        sys.path.pop(0)
+    return True
+
+
 def load_image(path) -> np.ndarray:
     """BGR file -> RGB uint8 (reference: utils/dataloader_utils.py:24-28)."""
     img = cv2.imread(str(path))
