@@ -330,6 +330,13 @@ def main():
                 "per-frame H2D over the harness tunnel partially "
                 "overlapped with compute; see the _device row"
             )
+        if use_flow:
+            row["note"] = (
+                "flow-conditioned config: +2 frozen RAFT forwards per "
+                "frame (reference pairs are (current, prev_i) — not "
+                "cacheable across frames) on top of the RGB-only "
+                "pipeline the 60 fps north star is defined for"
+            )
         if S > 1:
             row["note"] = (
                 f"AGGREGATE fps across {S} lockstep video streams on one "
