@@ -49,6 +49,7 @@ class ArtifactEngine:
             ("num_input_frames", cfg.num_input_frames),
             ("num_classes", cfg.num_classes),
             ("add_depth_inputs", cfg.add_depth_inputs),
+            ("add_optflow_inputs", cfg.add_optflow_inputs),
         ):
             if key in meta and meta[key] != want:
                 raise ValueError(

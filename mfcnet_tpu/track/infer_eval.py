@@ -146,6 +146,11 @@ def evaluate_testset(
         if idx % 50 == 0:
             logger.info(f"test [{idx}/{len(loader)}]")
 
+    if n == 0:
+        raise ValueError(
+            "evaluate_testset: the loader yielded no samples — check the "
+            "dataset directory / fold / task configuration"
+        )
     results = {"num_samples": n}
     for i in range(n_kp):
         mean, std = nanmean_std(errors[i])

@@ -191,14 +191,29 @@ class KeypointTracker:
 
     def __init__(self, num_frames_total: int, cfg: TrackerConfig):
         self.cfg = cfg
-        self.rows = np.full((num_frames_total, 12), np.nan)
+        # num_frames_total is a hint (video containers routinely misreport
+        # CAP_PROP_FRAME_COUNT): storage GROWS if more frames arrive, and
+        # `rows` always spans max(hint, frames seen) so a short video
+        # keeps the reference's NaN-padded N-row CSV shape
+        self._hint = max(0, int(num_frames_total))
+        self._rows = np.full((max(1, self._hint), 12), np.nan)
         self.left = _SideState()
         self.right = _SideState()
         self.count = 0
 
+    @property
+    def rows(self):
+        return self._rows[: max(self.count, self._hint)]
+
+    def _next_row(self):
+        if self.count >= len(self._rows):
+            grow = np.full((max(64, len(self._rows) // 2), 12), np.nan)
+            self._rows = np.vstack([self._rows, grow])
+        return self._rows[self.count]
+
     def update(self, mask_array, left_tip_heat, right_tip_heat,
                disp_image=None):
-        row = self.rows[self.count]
+        row = self._next_row()
         self.left = decode_side_keypoints(
             "left", mask_array, left_tip_heat, self.left, self.cfg, row,
             disp_image,
@@ -223,7 +238,7 @@ class KeypointTracker:
         ``mask_array`` directly, or fetched lazily via ``mask_provider``
         (a zero-arg callable; lets the fast path skip the mask transfer
         on the overwhelming majority of frames with no tie)."""
-        row = self.rows[self.count]
+        row = self._next_row()
         for side, state, arr in (
             ("left", self.left, kps[0]),
             ("right", self.right, kps[1]),
@@ -272,8 +287,15 @@ class KeypointTracker:
                     row[tcol : tcol + 4] = [x1, y1, x2, y2]
                 else:
                     row[tcol : tcol + 4] = [x2, y2, x1, y1]
-            state.cx_prev = row[tcol : tcol + 4 : 2].copy()
-            state.cy_prev = row[tcol + 1 : tcol + 4 : 2].copy()
+            if side == "left" and self.cfg.replicate_left_prev_bug:
+                # mirror the host path's reference-bug bookkeeping
+                # (decode_side_keypoints: reference :299 leaves cy_prev
+                # stale and stores cy into cx_prev for the left side) so
+                # host- and device-decode 2-tip assignments stay identical
+                state.cx_prev = row[tcol + 1 : tcol + 4 : 2].copy()
+            else:
+                state.cx_prev = row[tcol : tcol + 4 : 2].copy()
+                state.cy_prev = row[tcol + 1 : tcol + 4 : 2].copy()
             if disp_image is not None:
                 for x, y in tips:
                     cv2.circle(disp_image, (int(x), int(y)), 4,
@@ -285,6 +307,7 @@ class KeypointTracker:
 
     def skip(self):
         """Frame consumed without a model output (warmup window)."""
+        self._next_row()  # ensure storage spans this (NaN) row
         self.count += 1
 
     @property
@@ -470,12 +493,17 @@ class InferenceEngine:
                 seg_buf = jnp.concatenate(
                     [seg_new[:, None], seg_buf[:, :-1]], axis=1
                 )
-            d = (depth_u8.astype(dtype) / 255.0)[..., None]
-            if d.ndim == 3:
-                d = d[None]
-            depth_buf = jnp.concatenate(
-                [d[:, None], depth_buf[:, :-1]], axis=1
-            )
+            if cfg.add_depth_inputs:
+                d = (depth_u8.astype(dtype) / 255.0)[..., None]
+                if d.ndim == 3:
+                    d = d[None]
+                depth_buf = jnp.concatenate(
+                    [d[:, None], depth_buf[:, :-1]], axis=1
+                )
+            # else: depth_buf is a (B, 1, 1, 1, 1) placeholder carried
+            # through untouched — fuse never reads it, and skipping the
+            # roll saves B*T*H*W HBM write traffic per frame on the
+            # non-s2d (flow) path
             if cfg.add_optflow_inputs:
                 frame_buf = jnp.concatenate(
                     [x[:, None], frame_buf[:, :-1]], axis=1
@@ -625,7 +653,12 @@ class InferenceEngine:
             )
         else:
             self.seg_buf = self._put(jnp.zeros((B, T, H, W, C), dtype), 2)
-        self.depth_buf = self._put(jnp.zeros((B, T, H, W, 1), dtype), 2)
+        if self.cfg.add_depth_inputs:
+            self.depth_buf = self._put(
+                jnp.zeros((B, T, H, W, 1), dtype), 2
+            )
+        else:  # placeholder: never read, never rolled (see ingest)
+            self.depth_buf = jnp.zeros((B, 1, 1, 1, 1), dtype)
         self.frame_buf = self._put(
             jnp.zeros(
                 (B, T if self.cfg.add_optflow_inputs else 1, H, W, 3), dtype
@@ -803,6 +836,11 @@ def _staged_fetch_loop(dispatch_seq, on_skip, consume, need_mask, K, jnp):
 
     for payload, handles in dispatch_seq:
         if handles is None:  # warmup frame — keep row order
+            # drain pending work BEFORE staging: stage() first would
+            # overwrite a non-empty `staged` chunk and silently drop its
+            # frames (only reachable if a source emits warmup frames
+            # mid-stream, but keep the helper correct for any sequence)
+            fetch_staged()
             stage()
             fetch_staged()
             on_skip(payload)

@@ -398,3 +398,26 @@ def test_video_cli_requires_model_or_artifact(tmp_path):
             "--expt_savedir", str(tmp_path),
             "--expt_name", "x",
         ])
+
+
+def test_artifact_engine_rejects_flow_flag_mismatch(tmp_path):
+    """A flow-less artifact served under a flow-enabled config (or vice
+    versa) is a silent model-semantics swap — it must raise like every
+    other header/config mismatch."""
+    from mfcnet_tpu.serve import ArtifactEngine
+    from mfcnet_tpu.serve.export import LoadedServing, load_exported
+    from mfcnet_tpu.track.tracker import TrackerConfig
+
+    _, _, path = _tiny_and_artifact(tmp_path, "full")
+    loaded = load_exported(path)
+    meta = dict(loaded.meta)
+    meta["add_optflow_inputs"] = False
+    relabeled = LoadedServing(meta, loaded.exported)
+
+    cfg = TrackerConfig(
+        num_input_frames=3, num_classes=5, input_height=64,
+        input_width=64, overlay=False, mode="full",
+        add_optflow_inputs=True,
+    )
+    with pytest.raises(ValueError, match="add_optflow_inputs"):
+        ArtifactEngine(relabeled, cfg)

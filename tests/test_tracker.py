@@ -799,3 +799,94 @@ def test_threaded_iter_semantics():
     next(it)
     it.close()
     assert len(produced) < 100
+
+
+def test_keypoint_tracker_grows_past_frame_count_hint():
+    """CAP_PROP_FRAME_COUNT is metadata and routinely wrong: more frames
+    than hinted must not crash (storage grows), fewer must keep the
+    reference's NaN-padded hint-length CSV shape."""
+    from mfcnet_tpu.track.tracker import KeypointTracker, TrackerConfig
+
+    cfg = TrackerConfig(input_height=32, input_width=32, overlay=False)
+    mask = np.zeros((32, 32), np.uint8)
+    heat = np.zeros((32, 32), np.float32)
+
+    tr = KeypointTracker(2, cfg)  # hint undercounts: 6 frames arrive
+    tr.skip()
+    tr.skip()
+    for _ in range(4):
+        tr.update(mask, heat, heat)
+    assert tr.count == 6
+    assert len(tr.rows) == 6
+
+    tr2 = KeypointTracker(8, cfg)  # hint overcounts: 3 frames arrive
+    for _ in range(3):
+        tr2.update(mask, heat, heat)
+    assert len(tr2.rows) == 8
+    assert np.isnan(tr2.rows[3:]).all()
+
+    tr3 = KeypointTracker(0, cfg)  # zero/unknown hint
+    tr3.skip()
+    tr3.update(mask, heat, heat)
+    assert len(tr3.rows) == 2
+
+
+def test_update_device_replicates_left_prev_bug():
+    """The device-decode tracker must keep the same (buggy, when
+    cfg.replicate_left_prev_bug) previous-tip bookkeeping as the host
+    path, or host- and device-decode CSVs diverge on left 2-tip
+    assignment (reference :299 stores cy into cx_prev for the left side
+    and never updates cy_prev)."""
+    from mfcnet_tpu.track.tracker import KeypointTracker, TrackerConfig
+
+    def one_frame(bug):
+        cfg = TrackerConfig(
+            input_height=64, input_width=64, overlay=False,
+            decode="device", replicate_left_prev_bug=bug,
+        )
+        tr = KeypointTracker(4, cfg)
+        # [side][tip1, tip2, base][x, y, valid]; both sides 2 tips
+        kps = np.array([
+            [[10.0, 10.0, 1], [30.0, 12.0, 1], [20.0, 20.0, 1]],
+            [[40.0, 40.0, 1], [50.0, 42.0, 1], [45.0, 45.0, 1]],
+        ])
+        row = tr.update_device(kps)
+        return tr, row
+
+    tr, row = one_frame(bug=True)
+    # host semantics: left cx_prev holds the Y values, cy_prev stays 0
+    assert np.allclose(tr.left.cx_prev, row[1:4:2])
+    assert np.allclose(tr.left.cy_prev, [0.0, 0.0])
+    # right side is bookkept correctly regardless
+    assert np.allclose(tr.right.cx_prev, row[4:8:2])
+    assert np.allclose(tr.right.cy_prev, row[5:8:2])
+
+    tr, row = one_frame(bug=False)
+    assert np.allclose(tr.left.cx_prev, row[0:4:2])
+    assert np.allclose(tr.left.cy_prev, row[1:4:2])
+
+
+def test_staged_fetch_loop_midstream_warmup_keeps_all_frames():
+    """A None-handles step arriving while a chunk is staged AND another
+    is pending must not drop the staged chunk (fetch before re-staging)."""
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.track.tracker import _staged_fetch_loop
+
+    consumed, skipped = [], []
+
+    def seq():
+        for i in range(3):  # stages (0,1) at K=2, then 2 pending
+            yield i, (np.full((2, 2), i, np.uint8), np.full((3,), i, np.float32))
+        yield "warmup", None  # mid-stream None with staged + pending
+        for i in range(3, 5):
+            yield i, (np.full((2, 2), i, np.uint8), np.full((3,), i, np.float32))
+
+    _staged_fetch_loop(
+        seq(),
+        on_skip=skipped.append,
+        consume=lambda p, m, a, h: consumed.append((p, int(a[0]))),
+        need_mask=True, K=2, jnp=jnp,
+    )
+    assert consumed == [(i, i) for i in range(5)]
+    assert skipped == ["warmup"]
