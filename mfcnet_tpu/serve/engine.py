@@ -70,37 +70,14 @@ class ArtifactEngine:
         self._jnp = jnp
         self.num_streams = max(1, int(num_streams))
 
-        thr = float(cfg.score_detection_threshold)
-        C = cfg.num_classes
+        from mfcnet_tpu.track.outputs import outputs_from_probs
 
         @jax.jit
         def post(probs):
-            # mirror InferenceEngine._outputs exactly (reference
-            # score-threshold semantics :282-289; decode branches)
-            if thr > 0:
-                mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
-                for cls in range(1, C):
-                    mask = jnp.where(
-                        probs[..., cls] > thr, jnp.uint8(cls), mask
-                    )
-            else:
-                mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            if cfg.decode == "device":
-                import functools
-
-                from mfcnet_tpu.track.decode_device import (
-                    decode_keypoints_device,
-                )
-
-                dec = functools.partial(
-                    decode_keypoints_device,
-                    area_threshold_x10=int(cfg.area_threshold * 10),
-                )
-                return mask, dec(probs, pred=mask.astype(jnp.int32))
-            heats = jnp.stack(
-                [probs[..., 2], probs[..., 4]], axis=-1
-            ).astype(jnp.float16)
-            return mask, heats
+            # the ONE definition of probs -> (mask, aux), shared with
+            # InferenceEngine._outputs so artifact and live serving
+            # cannot drift (their row parity is test-pinned)
+            return outputs_from_probs(probs, cfg)
 
         self._post = post
         self.reset()

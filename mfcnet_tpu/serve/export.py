@@ -89,21 +89,11 @@ def make_serving_fn(
     std = jnp.asarray([0.229, 0.224, 0.225], cdtype)
 
     def compute_flow(frames_norm):
-        # reference v3:264-271 — provider on half-res frames, flow
-        # rescaled x2 bilinear align_corners=True and divided by the 0.5
-        # resize factor; all B*(T-1) pairs as one batched forward.
-        from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
+        # reference v3 half-res flow semantics — the ONE definition,
+        # shared with InferenceEngine so live and artifact flow match
+        from mfcnet_tpu.track.outputs import flow_for_window
 
-        B, T, H, W = frames_norm.shape[:4]
-        H2, W2 = H // 2, W // 2
-        half = resize_nearest(frames_norm, H2, W2)
-        a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
-            (B * (T - 1), H2, W2, 3)
-        )
-        b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
-        fl = flow_model.apply(flow_vars, a, b)
-        fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
-        return fl.reshape((B, T - 1, H, W, 2))
+        return flow_for_window(frames_norm, flow_model, flow_vars)
 
     if add_depth_inputs:
 

@@ -1,0 +1,83 @@
+"""Per-frame output block shared by the live and artifact engines.
+
+One definition of "probabilities -> (class mask, aux)" so the live
+InferenceEngine and the exported-artifact ArtifactEngine cannot drift
+apart — their bit-for-bit row parity is pinned in
+tests/test_artifact_tracking.py, and this module is the reason a future
+semantics change lands in both at once.
+
+Reference semantics: per-class score threshold with higher classes
+overwriting (test_multiframe_segmentation_on_videos_v3.py:282-289),
+argmax otherwise.
+"""
+
+from __future__ import annotations
+
+
+def outputs_from_probs(probs, cfg):
+    """(..., H, W, C) class probabilities -> ``(mask, aux)``.
+
+    ``mask``: (..., H, W) uint8 class IDs (thresholded or argmax).
+    ``aux``: decode-mode dependent —
+      * ``cfg.decode == 'device'``: (..., 2, 3, 3) keypoint rows from
+        :func:`mfcnet_tpu.track.decode_device.decode_keypoints_device`
+        (18 floats/frame on the host link);
+      * host decode: (..., H, W, 2) f16 tip heatmaps (classes 2 and 4 —
+        the sigma=4 smoothing and local-max comparison downstream are
+        insensitive at f16 granularity).
+
+    Traced code — call under jit with static ``cfg``.
+    """
+    import jax.numpy as jnp
+
+    thr = float(cfg.score_detection_threshold)
+    if thr > 0:
+        mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
+        for cls in range(1, probs.shape[-1]):
+            mask = jnp.where(probs[..., cls] > thr, jnp.uint8(cls), mask)
+    else:
+        mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    if cfg.decode == "device":
+        import functools
+
+        from mfcnet_tpu.track.decode_device import decode_keypoints_device
+
+        dec = functools.partial(
+            decode_keypoints_device,
+            area_threshold_x10=int(cfg.area_threshold * 10),
+        )
+        return mask, dec(probs, pred=mask.astype(jnp.int32))
+    heats = jnp.stack(
+        [probs[..., 2], probs[..., 4]], axis=-1
+    ).astype(jnp.float16)
+    return mask, heats
+
+
+def flow_for_window(frames_norm, flow_model, flow_variables):
+    """Reference-v3 flow channels for one frame window, shared by the
+    live engine and the serving export.
+
+    (B, T, H, W, 3) normalized frames (newest first) -> (B, T-1, H, W, 2)
+    flow. Reference test_multiframe_segmentation_on_videos_v3.py:264-271:
+    the provider runs on 0.5x nearest-resized frames pairing the NEWEST
+    frame with each previous one, and the flow is rescaled x2 (bilinear,
+    align_corners=True) and divided by the 0.5 resize factor. All
+    B*(T-1) pairs run as ONE batched forward — every op in the provider
+    is per-sample at eval (convs, instance norm, BN with running stats),
+    so this is numerically identical to the reference's per-pair loop at
+    a fraction of the dispatches.
+    """
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
+
+    B, T, H, W = frames_norm.shape[:4]
+    H2, W2 = H // 2, W // 2
+    half = resize_nearest(frames_norm, H2, W2)
+    a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
+        (B * (T - 1), H2, W2, 3)
+    )
+    b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
+    fl = flow_model.apply(flow_variables, a, b)
+    fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
+    return fl.reshape((B, T - 1, H, W, 2))

@@ -443,29 +443,12 @@ class InferenceEngine:
         mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 
-        H2, W2 = H // 2, W // 2
-
         def compute_flow(frames_norm):
-            """(B, T, H, W, 3) normalized frames -> (B, T-1, H, W, 2) flow
-            (reference v3: flow(newest_half, frame_i_half), upscaled x2
-            bilinear align_corners=True, values /0.5).
+            # reference v3 half-res flow semantics — shared with the
+            # serving export so live and artifact flow cannot drift
+            from mfcnet_tpu.track.outputs import flow_for_window
 
-            All B·(T-1) pairs run as ONE batched forward — every op in
-            the provider is per-sample at eval (convs, instance norm, BN
-            with running stats), so this is numerically identical to the
-            reference's per-pair loop at a fraction of the dispatches."""
-            from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
-
-            Tn = cfg.num_input_frames
-            Bn = frames_norm.shape[0]
-            half = resize_nearest(frames_norm, H2, W2)
-            a = jnp.repeat(half[:, :1], Tn - 1, axis=1).reshape(
-                (Bn * (Tn - 1), H2, W2, 3)
-            )
-            b = half[:, 1:Tn].reshape((Bn * (Tn - 1), H2, W2, 3))
-            fl = flow_model.apply(flow_variables, a, b)
-            fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
-            return fl.reshape((Bn, Tn - 1, H, W, 2))
+            return flow_for_window(frames_norm, flow_model, flow_variables)
 
         # streaming fast path: with no flow/depth inputs the per-frame seg
         # ring buffer lives in the space-to-depth domain (zero layout
@@ -532,38 +515,15 @@ class InferenceEngine:
                 probs = _jax.lax.with_sharding_constraint(
                     probs, self._replicated
                 )
-            if cfg.score_detection_threshold > 0:
-                # per-class score threshold, higher classes overwrite
-                # (reference :282-289), computed on device
-                mask = jnp.zeros(probs.shape[:-1], jnp.uint8)
-                for cls in range(1, probs.shape[-1]):
-                    mask = jnp.where(
-                        probs[..., cls] > cfg.score_detection_threshold,
-                        jnp.uint8(cls), mask,
-                    )
-            else:
-                mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            if cfg.decode == "device":
-                import functools as _ft
+            # threshold/argmax mask + decode-mode aux — shared with
+            # ArtifactEngine so live and artifact serving cannot drift.
+            # (Batched streams decode in one lockstep pass inside: leading
+            # dims are native in decode_keypoints_device; a vmap here
+            # would turn the Pallas/XLA fallback cond into a select that
+            # executes BOTH decode paths every frame.)
+            from mfcnet_tpu.track.outputs import outputs_from_probs
 
-                from mfcnet_tpu.track.decode_device import (
-                    decode_keypoints_device,
-                )
-
-                dec = _ft.partial(
-                    decode_keypoints_device,
-                    area_threshold_x10=int(cfg.area_threshold * 10),
-                )
-                # batched streams decode in one lockstep pass (leading
-                # dims are native in decode_keypoints_device); vmap here
-                # would turn the Pallas/XLA fallback cond into a select
-                # that executes BOTH decode paths every frame
-                kps = dec(probs, pred=mask.astype(jnp.int32))
-                return mask, kps
-            heats = jnp.stack(
-                [probs[..., 2], probs[..., 4]], axis=-1
-            ).astype(jnp.float16)
-            return mask, heats
+            return outputs_from_probs(probs, cfg)
 
         @jax.jit
         def fuse(seg_buf, depth_buf, frame_buf):
