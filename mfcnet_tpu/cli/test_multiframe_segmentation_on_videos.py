@@ -188,10 +188,11 @@ def main(argv=None):
         logger.warning(
             "--decode device: base centroids use the on-device polygon-"
             "moment approximation (<~2 px vs the host cv2 decode on "
-            "adversarial masks, well under 1 px on compact blobs); "
-            "near-ties between the two largest components auto-fall back "
-            "to the exact host decode. Use --decode host for bit-exact "
-            "reference parity."
+            "adversarial masks, well under 1 px on compact blobs); tips "
+            "apply the host's top-2/area component gate on device; any "
+            "ambiguous decision (base near-tie or tip-gate boundary) "
+            "auto-falls back to the exact host decode for that side. "
+            "Use --decode host for bit-exact reference parity."
         )
 
     flow_model = flow_variables = None
@@ -339,10 +340,11 @@ def _main_artifact(args, out_dir, logger, num_classes):
         logger.warning(
             "--decode device: base centroids use the on-device polygon-"
             "moment approximation (<~2 px vs the host cv2 decode on "
-            "adversarial masks, well under 1 px on compact blobs); "
-            "near-ties between the two largest components auto-fall back "
-            "to the exact host decode. Use --decode host for bit-exact "
-            "reference parity."
+            "adversarial masks, well under 1 px on compact blobs); tips "
+            "apply the host's top-2/area component gate on device; any "
+            "ambiguous decision (base near-tie or tip-gate boundary) "
+            "auto-falls back to the exact host decode for that side. "
+            "Use --decode host for bit-exact reference parity."
         )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:

@@ -89,10 +89,16 @@ def track_singleframe_video(video_path, step_fn, cfg, out_dir, logger=None):
         if not ret:
             break
         frame = cv2.resize(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB), (W, H))
-        mask_array, aux = step_fn(frame)
+        out = step_fn(frame)
+        mask_array, aux = out[0], out[1]
         disp = render_overlay(frame, mask_array) if cfg.overlay else None
         if cfg.decode == "device":
-            tracker.update_device(aux, mask_array, disp)
+            tracker.update_device(
+                aux, mask_array, disp,
+                heat_provider=(
+                    (lambda h=out[2]: h) if len(out) > 2 else None
+                ),
+            )
         else:
             tracker.update(mask_array, aux[..., 1], aux[..., 0], disp)
         if writer is not None:
@@ -225,6 +231,7 @@ def main(argv=None):
                 )
         else:
             mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        heats = jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
         if args.decode == "device":
             from mfcnet_tpu.track.decode_device import (
                 decode_keypoints_device,
@@ -234,14 +241,19 @@ def main(argv=None):
                 probs, int(args.area_threshold * 10),
                 pred=mask.astype(jnp.int32),
             )
-        else:
-            # f32 heats: the host path is the exact OpenCV-parity decode
-            aux = jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
-        return mask, aux
+            # f32 heats ride along as a device handle, fetched only on a
+            # tie-flagged side (exact host re-decode)
+            return mask, aux, heats
+        # f32 heats: the host path is the exact OpenCV-parity decode
+        return mask, heats
 
     def step_fn(frame):
-        mask, aux = dev_step(put(np.asarray(frame)))
-        return np.asarray(mask), np.asarray(aux).astype(np.float32)
+        out = dev_step(put(np.asarray(frame)))
+        return (
+            np.asarray(out[0]),
+            np.asarray(out[1]).astype(np.float32),
+            *out[2:],
+        )
 
     cfg = TrackerConfig(
         num_input_frames=1, num_classes=num_classes, input_height=H,
@@ -257,9 +269,11 @@ def main(argv=None):
         logger.warning(
             "--decode device: base centroids use the on-device polygon-"
             "moment approximation (<~2 px vs the host cv2 decode on "
-            "adversarial masks); near-ties between the two largest "
-            "components auto-fall back to the exact host decode. Use "
-            "--decode host for bit-exact reference parity."
+            "adversarial masks); tips apply the host's top-2/area "
+            "component gate on device; any ambiguous decision (base "
+            "near-tie or tip-gate boundary) auto-falls back to the "
+            "exact host decode for that side. Use --decode host for "
+            "bit-exact reference parity."
         )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:
@@ -309,6 +323,7 @@ def _main_artifact(args, out_dir, logger, num_classes):
                 )
         else:
             mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        heats = jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
         if args.decode == "device":
             import functools
 
@@ -320,13 +335,17 @@ def _main_artifact(args, out_dir, logger, num_classes):
                 decode_keypoints_device,
                 area_threshold_x10=int(args.area_threshold * 10),
             )
-            return mask, dec(probs, pred=mask.astype(jnp.int32))
-        return mask, jnp.stack([probs[..., 2], probs[..., 4]], axis=-1)
+            return mask, dec(probs, pred=mask.astype(jnp.int32)), heats
+        return mask, heats
 
     def step_fn(frame):
         probs = loaded(np.asarray(frame)[None])[0]
-        mask, aux = post(probs)
-        return np.asarray(mask), np.asarray(aux).astype(np.float32)
+        out = post(probs)
+        return (
+            np.asarray(out[0]),
+            np.asarray(out[1]).astype(np.float32),
+            *out[2:],
+        )
 
     cfg = TrackerConfig(
         num_input_frames=1, num_classes=num_classes, input_height=H,
@@ -342,9 +361,11 @@ def _main_artifact(args, out_dir, logger, num_classes):
         logger.warning(
             "--decode device: base centroids use the on-device polygon-"
             "moment approximation (<~2 px vs the host cv2 decode on "
-            "adversarial masks); near-ties between the two largest "
-            "components auto-fall back to the exact host decode. Use "
-            "--decode host for bit-exact reference parity."
+            "adversarial masks); tips apply the host's top-2/area "
+            "component gate on device; any ambiguous decision (base "
+            "near-tie or tip-gate boundary) auto-falls back to the "
+            "exact host decode for that side. Use --decode host for "
+            "bit-exact reference parity."
         )
     videos = list_video_files(args.videos_dir)
     if args.num_videos > 0:

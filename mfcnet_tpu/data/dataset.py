@@ -46,7 +46,16 @@ class MultiFrameDataset:
         return self.N
 
     def window_indices(self, idx: int) -> List[int]:
-        """Frame indices [newest, ..., oldest] with video-boundary clamping."""
+        """Frame indices [newest, ..., oldest] with video-boundary clamping.
+
+        Reference quirk preserved (src/dataset_jigsaws.py:20-40): the
+        ``(idx - i) % N`` wrap clamps at a video boundary only because
+        the wrapped index lands in a DIFFERENT video (parent dir). In a
+        dataset holding exactly ONE video, idx=0's window therefore
+        wraps to the video's LAST frames instead of clamping — identical
+        to the reference's behavior, kept for bit-parity. Real training
+        folds always contain multiple videos, so the quirk is confined
+        to single-video datasets."""
         out = []
         last_valid = -1
         parent = self.file_names[idx].parent

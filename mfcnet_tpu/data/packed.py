@@ -156,7 +156,10 @@ class PackedMultiFrameDataset:
 
     def window_indices(self, idx: int) -> List[int]:
         """Same clamp as MultiFrameDataset.window_indices, keyed on the
-        packed video ids (reference src/dataset_jigsaws.py:20-40)."""
+        packed video ids (reference src/dataset_jigsaws.py:20-40) —
+        including the reference's single-video wrap quirk documented
+        there (a one-video pack wraps idx=0's window to the video tail
+        instead of clamping, exactly like the reference)."""
         out = []
         last_valid = -1
         vid = self.video_ids[idx]

@@ -212,13 +212,19 @@ def _onehot_stats_kernel(cid_ref, vals_ref, acc_ref, *, K: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def base_stats_pallas(mask, K: int = 256, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("K", "interpret", "return_cid")
+)
+def base_stats_pallas(mask, K: int = 256, interpret: bool = False,
+                      return_cid: bool = False):
     """mask: (..., H, W) bool class masks -> (stats, ncomp):
     stats (..., 8, K) f32 with rows [pixel count, boundary count, sum w,
     sum w*x, sum w*y] per dense component id of the HOLE-FILLED mask
     (w = 1 interior / 0.5 boundary, x/y in pixels); ncomp (...,) int32
     component count (> K means slot aliasing — use the XLA fallback).
+    With ``return_cid`` a third output carries the (..., H, W) int32
+    dense-component-id image (-1 outside the filled mask; ids match the
+    stats slot axis) — the per-pixel key for component-gated masking.
 
     Two kernels with an XLA elementwise stage between: hole-fill +
     labels + dense ids (:func:`_flood_cc_cid_kernel`), then value planes
@@ -281,7 +287,7 @@ def base_stats_pallas(mask, K: int = 256, interpret: bool = False):
         [ones, bnd, w, w * col, w * row], axis=1
     ).reshape(B, 5, n)
 
-    P = 512
+    P = 4096
     npad = (-n) % P
     cid_flat = jnp.pad(
         cid.reshape(B, n), ((0, 0), (0, npad)), constant_values=-1
@@ -304,10 +310,13 @@ def base_stats_pallas(mask, K: int = 256, interpret: bool = False):
         **kw,
     )(cid_flat, vals)
     stats = stats5.at[:, 5, 0].set(ncomp.astype(jnp.float32))
-    return (
+    out = (
         stats.reshape(lead + (8, K)),
         ncomp.reshape(lead),
     )
+    if return_cid:
+        out = out + (cid.reshape(lead + (H, W)),)
+    return out
 
 
 @functools.partial(

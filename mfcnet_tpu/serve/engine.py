@@ -151,5 +151,4 @@ class ArtifactEngine:
         out = self.step_async(frame_u8, depth_u8)
         if out is None:
             return None
-        mask, aux = out
-        return np.asarray(mask), np.asarray(aux)
+        return tuple(np.asarray(v) for v in out)

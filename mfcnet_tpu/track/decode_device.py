@@ -5,13 +5,15 @@ The reference decodes on host with OpenCV contours + scipy filters
 probabilities shipped to host every frame (~2.7 MB at 480x640). This module
 decodes on-device and ships 14 floats per instrument side:
 
-  * tips: gaussian(σ=4) smooth -> circular-footprint local maxima ∧ blob ->
-    top-2 peaks by smoothed value (fixed-shape ``top_k``; matches the
-    host contour-centroid decode whenever each tip is a single connected
-    local-max blob, which is the operating regime after NMS)
-  * base: class-pixel centroid gated by pixel count >= area_threshold
-    (the host path uses the largest contour's moment centroid; identical
-    when one blob dominates — the deviation is documented and the host
+  * tips: component-area gate (top-2 components with outer-contour area
+    >= threshold — the host refine_tip_segmentation semantics, via the
+    same lockstep label/stats pass as the bases) -> gaussian(σ=4) smooth
+    -> circular-footprint local maxima ∧ kept components -> top-2 peaks
+    by smoothed value (fixed-shape ``top_k``); ambiguous component
+    rankings raise the side's tie flag for the exact host fallback
+  * base: largest-component centroid by exact-for-simple-polygons Pick
+    area, gated by area >= threshold (the residual approximation and
+    its tie-flag fallback are documented at decode_base_device; the host
     path remains the exact-parity mode).
 
 Output layout per side: [tip1_x, tip1_y, tip1_valid, tip2_x, tip2_y,
@@ -29,17 +31,23 @@ import jax.numpy as jnp
 from mfcnet_tpu.ops.peaks import gaussian_blur, local_maxima
 
 
-def decode_tips_device(heatmap, blob, max_peaks: int = 2):
+def decode_tips_device(heatmap, blob, max_peaks: int = 2, refined=None):
     """Top-``max_peaks`` local maxima of the masked smoothed heatmap.
 
-    heatmap, blob: (H, W) float / bool. Returns (max_peaks, 3) rows of
-    (x, y, valid).
+    heatmap, blob: (..., H, W) float / bool. Returns (..., max_peaks, 3)
+    rows of (x, y, valid). Host semantics
+    (test_multiframe_segmentation_on_videos_v3.py:27-42 + the local-max
+    decode): the heat is zeroed outside the RAW tip mask before the σ=4
+    smoothing, and maxima are restricted to ``refined`` — the component-
+    area-gated mask (see :func:`refine_keep_from_areas`); pass
+    ``refined=None`` for the ungated primitive (maxima anywhere in
+    ``blob``).
     """
-    H, W = heatmap.shape
+    W = heatmap.shape[-1]
     masked = jnp.where(blob, heatmap, 0.0)
     sm = gaussian_blur(masked, 4.0)
-    lm = local_maxima(sm) & blob
-    vals = jnp.where(lm, sm, -jnp.inf).reshape(-1)
+    lm = local_maxima(sm) & (blob if refined is None else refined)
+    vals = jnp.where(lm, sm, -jnp.inf).reshape(heatmap.shape[:-2] + (-1,))
     top_vals, top_idx = jax.lax.top_k(vals, max_peaks)
     xs = (top_idx % W).astype(jnp.float32)
     ys = (top_idx // W).astype(jnp.float32)
@@ -268,6 +276,168 @@ def _decode_base_xla(class_mask, area_threshold, tie_rel, tie_abs):
     n = H * W
     B = math.prod(lead)
     m = class_mask.reshape(B, H, W)
+    counts, bnd_counts, sw, swx, swy, _ = _xla_component_stats(m, n)
+    out = _base_rows_from_stats(
+        counts, bnd_counts, sw, swx, swy,
+        area_threshold, tie_rel, tie_abs,
+    )
+    return out.reshape(lead + (4,)) if lead else out[0]
+
+
+def refine_keep_from_areas(areas, ids, area_threshold,
+                           tie_rel: float = 0.02, tie_abs: float = 2.0):
+    """Component-area gate shared by both decode implementations.
+
+    Host semantics (refine_tip_segmentation, reference
+    test_multiframe_segmentation_on_videos_v3.py:32-42): rank components
+    by outer-contour area, keep the TOP-2, and keep each only if its
+    area >= threshold.
+
+    areas: (..., K) per-component Pick's-theorem areas (empty slots
+    negative); ids: (..., H, W) per-pixel component key into that slot
+    axis (-1 / sentinel outside). Returns ``(keep, tie)`` — keep
+    (..., H, W) bool pixels of kept components, tie (...,) bool flagging
+    decisions the Pick-area approximation could get wrong vs cv2: a
+    near-tie at the #2/#3 ranking boundary, or any of the top-3 areas
+    within ``tie_abs`` of the threshold (gate flips)."""
+    top3, top3_idx = jax.lax.top_k(areas, 3)
+    a1, a2, a3 = top3[..., 0], top3[..., 1], top3[..., 2]
+    i1 = top3_idx[..., 0][..., None, None]
+    i2 = top3_idx[..., 1][..., None, None]
+    keep = (
+        ((ids == i1) & (a1 >= area_threshold)[..., None, None])
+        | ((ids == i2) & (a2 >= area_threshold)[..., None, None])
+    )
+
+    def near(v):
+        return (v >= 0) & (jnp.abs(v - area_threshold) <= tie_abs)
+
+    tie = (
+        ((a2 > 0) & (a3 >= area_threshold - tie_abs)
+         & (a2 - a3 <= tie_abs + tie_rel * jnp.maximum(a2, 0.0)))
+        | near(a1) | near(a2) | near(a3)
+    )
+    return keep, tie
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_keypoints_device(probs, area_threshold_x10: int = 100,
+                            pred=None):
+    """Full per-frame decode on device.
+
+    probs: (..., H, W, C>=5) class probabilities (toolpose layout:
+    1=r-base, 2=r-tip, 3=l-base, 4=l-tip); leading dims (batched video
+    streams) are decoded in one lockstep pass — do NOT ``jax.vmap`` this
+    function over streams: vmap turns the rare-overflow ``lax.cond``
+    into a ``select`` that executes the slow XLA fallback every frame
+    (measured 93 -> 13 fps aggregate at B=4).
+    ``pred``: optional (..., H, W) class-ID map to decode from instead of
+    argmax(probs) — pass the score-thresholded mask so device decode
+    matches the host path's semantics when --score_detection_threshold
+    > 0 (reference test_multiframe_segmentation_on_videos_v3.py:282-289).
+
+    All four class blobs (2 sides x base/tip) go through ONE lockstep
+    label/stats pass; tip heatmap maxima are restricted to the top-2
+    tip components with area >= threshold, matching the host
+    refine_tip_segmentation gate (reference :32-42) — a sub-threshold
+    speck of the tip class can no longer emit a spurious second tip.
+
+    Returns (..., 2, 3, 3): [side (left, right)][tip1, tip2, base]
+    [x, y, valid]. The base row's valid field is 0 (no detection),
+    1 (detection), or 2 (detection with an approximation-sensitive
+    decision on this side — a base near-tie OR an ambiguous tip
+    component gate — the caller should fall back to the exact host
+    decode for this side)."""
+    area_threshold = area_threshold_x10 / 10.0
+    if pred is None:
+        pred = jnp.argmax(probs, axis=-1)
+    lead = probs.shape[:-3]
+    H, W = probs.shape[-3:-1]
+    # [l-base, r-base, l-tip, r-tip] labeled/summed in one lockstep pass
+    masks4 = jnp.stack(
+        [pred == 3, pred == 1, pred == 4, pred == 2], axis=-3
+    )
+    heats = jnp.stack([probs[..., 4], probs[..., 2]], axis=-3)
+
+    if jax.default_backend() == "cpu":
+        return _decode_keypoints_xla(masks4, heats, area_threshold)
+
+    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas
+
+    K = 256
+    stats, ncomp, cid = base_stats_pallas(masks4, K=K, return_cid=True)
+    rows = _keypoints_from_stats(
+        masks4, heats,
+        stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
+        stats[..., 3, :], stats[..., 4, :], cid, area_threshold,
+    )
+    # > K components would alias stats slots: exact (rare) fallback
+    return jax.lax.cond(
+        jnp.any(ncomp > K),
+        lambda: _decode_keypoints_xla(masks4, heats, area_threshold),
+        lambda: rows,
+    )
+
+
+def _keypoints_from_stats(masks4, heats, counts, bndc, sw, swx, swy, ids,
+                          area_threshold,
+                          tie_rel: float = 0.02, tie_abs: float = 2.0):
+    """Shared tail: per-component sums over the [l-base, r-base, l-tip,
+    r-tip] stack (+ per-pixel component keys ``ids``) -> (..., 2, 3, 3)
+    keypoint rows. Works for both the Pallas (K slots) and XLA (n+1
+    buckets) stats layouts."""
+    base = _base_rows_from_stats(
+        counts[..., :2, :], bndc[..., :2, :], sw[..., :2, :],
+        swx[..., :2, :], swy[..., :2, :],
+        area_threshold, tie_rel, tie_abs,
+    )  # (..., 2, 4): (x, y, valid, tie)
+    tip_areas = (
+        counts[..., 2:, :] - 0.5 * bndc[..., 2:, :] - 1.0
+    )  # (..., 2, K)
+    keep, tip_tie = refine_keep_from_areas(
+        tip_areas, ids[..., 2:, :, :], area_threshold, tie_rel, tie_abs
+    )
+    blobs = masks4[..., 2:, :, :]
+    tips = decode_tips_device(
+        heats, blobs, refined=blobs & keep
+    )  # (..., 2, 2, 3)
+    side_tie = jnp.minimum(
+        base[..., 3] + tip_tie.astype(jnp.float32) * base[..., 2], 1.0
+    )
+    base_rows = jnp.stack(
+        [base[..., 0], base[..., 1], base[..., 2] + side_tie], axis=-1
+    )  # (..., 2, 3) valid 0/1/2
+    return jnp.concatenate(
+        [tips, base_rows[..., None, :]], axis=-2
+    )
+
+
+def _decode_keypoints_xla(masks4, heats, area_threshold,
+                          tie_rel: float = 0.02, tie_abs: float = 2.0):
+    """XLA formulation (CPU path + overflow fallback) of the combined
+    4-blob decode: explicit labels + vmapped segment sums keyed by the
+    component root pixel (bucket axis n+1, per-pixel key = label)."""
+    H, W = masks4.shape[-2:]
+    lead4 = masks4.shape[:-2]
+    n = H * W
+    B = math.prod(lead4)
+    m = masks4.reshape(B, H, W)
+    counts, bndc, sw, swx, swy, lab = _xla_component_stats(m, n)
+    shape_stats = lead4 + (n + 1,)
+    return _keypoints_from_stats(
+        masks4, heats,
+        counts.reshape(shape_stats), bndc.reshape(shape_stats),
+        sw.reshape(shape_stats), swx.reshape(shape_stats),
+        swy.reshape(shape_stats),
+        lab.reshape(lead4 + (H, W)), area_threshold, tie_rel, tie_abs,
+    )
+
+
+def _xla_component_stats(m, n):
+    """(B, H, W) bool -> per-label sums (B, n+1) x5 + labels (B, n):
+    hole-filled component pixel/boundary counts and Green's-theorem
+    centroid weights, background bucket (label n) zeroed."""
+    B, H, W = m.shape
     filled = fill_holes(m)
     lab = _connected_components_xla(filled).reshape(B, n)
     ones = filled.reshape(B, n).astype(jnp.float32)
@@ -282,66 +452,12 @@ def _decode_base_xla(class_mask, area_threshold, tie_rel, tie_abs):
     ) & filled
     bnd = (filled & ~interior4).reshape(B, n).astype(jnp.float32)
     bnd_counts = seg(bnd, lab)
-    # zero the background bucket (label n); empty buckets are zero and
-    # the shared tail's area formula maps them to -1 (never selected)
     counts = counts.at[:, n].set(0.0)
     bnd_counts = bnd_counts.at[:, n].set(0.0)
     w = jnp.where(interior4, 1.0, 0.5).reshape(B, n) * ones
     xs = jnp.arange(n, dtype=jnp.float32) % W
     ys = jnp.floor(jnp.arange(n, dtype=jnp.float32) / W)
-    sw = seg(w, lab)
-    swx = seg(w * xs, lab)
-    swy = seg(w * ys, lab)
-    out = _base_rows_from_stats(
-        counts, bnd_counts, sw, swx, swy,
-        area_threshold, tie_rel, tie_abs,
-    )
-    return out.reshape(lead + (4,)) if lead else out[0]
-
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def decode_keypoints_device(probs, area_threshold_x10: int = 100,
-                            pred=None):
-    """Full per-frame decode on device.
-
-    probs: (..., H, W, C>=5) class probabilities (toolpose layout:
-    1=r-base, 2=r-tip, 3=l-base, 4=l-tip); leading dims (batched video
-    streams) are decoded in one lockstep pass — do NOT ``jax.vmap`` this
-    function over streams: vmap turns ``decode_base_device``'s
-    rare-overflow ``lax.cond`` into a ``select`` that executes the slow
-    XLA fallback every frame (measured 93 -> 13 fps aggregate at B=4).
-    ``pred``: optional (..., H, W) class-ID map to decode from instead of
-    argmax(probs) — pass the score-thresholded mask so device decode
-    matches the host path's semantics when --score_detection_threshold
-    > 0 (reference test_multiframe_segmentation_on_videos_v3.py:282-289).
-
-    Returns (..., 2, 3, 3): [side (left, right)][tip1, tip2, base]
-    [x, y, valid]. The base row's valid field is 0 (no detection),
-    1 (detection), or 2 (detection with a NEAR-TIE between the two
-    largest components — the caller should fall back to the exact host
-    decode for this side; see decode_base_device)."""
-    area_threshold = area_threshold_x10 / 10.0
-    if pred is None:
-        pred = jnp.argmax(probs, axis=-1)
-    lead = probs.shape[:-3]
-    # both sides' base components labeled in one lockstep batch
-    base = decode_base_device(
-        jnp.stack([pred == 3, pred == 1], axis=-3), area_threshold
-    )  # (..., 2, 4): left, right
-    base_rows = jnp.stack(
-        [base[..., 0], base[..., 1], base[..., 2] + base[..., 3]],
-        axis=-1,
-    )  # (..., 2, 3) valid 0/1/2
-    H, W = probs.shape[-3:-1]
-    heats = jnp.stack(
-        [probs[..., 4], probs[..., 2]], axis=-3
-    ).reshape((-1, H, W))
-    blobs = jnp.stack(
-        [pred == 4, pred == 2], axis=-3
-    ).reshape((-1, H, W))
-    tips = jax.vmap(decode_tips_device)(heats, blobs).reshape(
-        lead + (2, 2, 3)
-    )
-    return jnp.concatenate(
-        [tips, base_rows[..., None, :]], axis=-2
+    return (
+        counts, bnd_counts, seg(w, lab), seg(w * xs, lab),
+        seg(w * ys, lab), lab,
     )

@@ -18,13 +18,16 @@ def outputs_from_probs(probs, cfg):
     """(..., H, W, C) class probabilities -> ``(mask, aux)``.
 
     ``mask``: (..., H, W) uint8 class IDs (thresholded or argmax).
-    ``aux``: decode-mode dependent —
-      * ``cfg.decode == 'device'``: (..., 2, 3, 3) keypoint rows from
+    Decode-mode dependent tail —
+      * ``cfg.decode == 'device'``: ``(mask, kps, heats)`` — kps
+        (..., 2, 3, 3) keypoint rows from
         :func:`mfcnet_tpu.track.decode_device.decode_keypoints_device`
-        (18 floats/frame on the host link);
-      * host decode: (..., H, W, 2) f16 tip heatmaps (classes 2 and 4 —
-        the sigma=4 smoothing and local-max comparison downstream are
-        insensitive at f16 granularity).
+        (18 floats/frame on the host link) plus the f16 tip heats as a
+        DEVICE-resident extra the tracker fetches lazily only when a
+        side's tie flag demands the exact host re-decode;
+      * host decode: ``(mask, heats)`` — (..., H, W, 2) f16 tip
+        heatmaps (classes 2 and 4 — the sigma=4 smoothing and local-max
+        comparison downstream are insensitive at f16 granularity).
 
     Traced code — call under jit with static ``cfg``.
     """
@@ -37,6 +40,9 @@ def outputs_from_probs(probs, cfg):
             mask = jnp.where(probs[..., cls] > thr, jnp.uint8(cls), mask)
     else:
         mask = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    heats = jnp.stack(
+        [probs[..., 2], probs[..., 4]], axis=-1
+    ).astype(jnp.float16)
     if cfg.decode == "device":
         import functools
 
@@ -46,10 +52,7 @@ def outputs_from_probs(probs, cfg):
             decode_keypoints_device,
             area_threshold_x10=int(cfg.area_threshold * 10),
         )
-        return mask, dec(probs, pred=mask.astype(jnp.int32))
-    heats = jnp.stack(
-        [probs[..., 2], probs[..., 4]], axis=-1
-    ).astype(jnp.float16)
+        return mask, dec(probs, pred=mask.astype(jnp.int32)), heats
     return mask, heats
 
 

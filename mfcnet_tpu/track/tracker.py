@@ -226,18 +226,22 @@ class KeypointTracker:
         return row
 
     def update_device(self, kps, mask_array=None, disp_image=None,
-                      mask_provider=None):
+                      mask_provider=None, heat_provider=None):
         """Update from on-device decoded keypoints (2, 3, 3):
         [side l/r][tip1, tip2, base][x, y, valid]. Applies the same
         distance gate and 2-tip temporal assignment as the host path.
 
-        A base valid field of 2 flags a NEAR-TIE between the two largest
-        components (decode_base_device): the device Pick-area ranking
-        could disagree with cv2's there, so the base is recomputed with
-        the exact host contour decode from the class mask —
-        ``mask_array`` directly, or fetched lazily via ``mask_provider``
-        (a zero-arg callable; lets the fast path skip the mask transfer
-        on the overwhelming majority of frames with no tie)."""
+        A base valid field of 2 flags an approximation-sensitive side
+        (a base near-tie between the two largest components, or an
+        ambiguous tip component gate — see decode_keypoints_device): the
+        device Pick-area ranking could disagree with cv2 there, so the
+        whole side is re-decoded with the exact host path from the class
+        mask + tip heat — ``mask_array`` directly or via
+        ``mask_provider``, and the f16 tip heats via ``heat_provider``
+        (zero-arg callables; the fast path skips those transfers on the
+        overwhelming majority of frames with no tie). Without a heat
+        source only the base is host-recomputed (pre-heat-plumbing
+        behavior)."""
         row = self._next_row()
         for side, state, arr in (
             ("left", self.left, kps[0]),
@@ -249,10 +253,24 @@ class KeypointTracker:
             if bvalid <= 0:
                 state.detected_tips = 0
                 continue
-            if bvalid >= 2:  # near-tie -> exact host fallback
+            if bvalid >= 2:  # ambiguous -> exact host re-decode
                 m = mask_array
                 if m is None and mask_provider is not None:
                     m = np.asarray(mask_provider())
+                h = (
+                    np.asarray(heat_provider())
+                    if heat_provider is not None else None
+                )
+                if m is not None and h is not None:
+                    # full host side decode (same f16 heat quantization
+                    # as the --decode host pipeline ships)
+                    heat = (
+                        h[..., 1] if side == "left" else h[..., 0]
+                    ).astype(np.float32)
+                    decode_side_keypoints(
+                        side, m, heat, state, self.cfg, row, disp_image
+                    )
+                    continue
                 if m is not None:
                     from mfcnet_tpu.track.decode import calc_base_centroid
 
@@ -687,12 +705,12 @@ class InferenceEngine:
         )
 
     def step(self, frame_u8, depth_u8=None):
-        """Synchronous step: (mask, aux) numpy arrays, or None in warmup."""
+        """Synchronous step: (mask, aux[, *extras]) numpy arrays, or None
+        in warmup (device-decode mode adds the f16 tip heats)."""
         out = self.step_async(frame_u8, depth_u8)
         if out is None:
             return None
-        mask, aux = out
-        return np.asarray(mask), np.asarray(aux)
+        return tuple(np.asarray(v) for v in out)
 
 
 class _ThreadedIter:
@@ -755,17 +773,19 @@ def _staged_fetch_loop(dispatch_seq, on_skip, consume, need_mask, K, jnp):
     """Shared device->host fetch pipeline for the tracking drivers.
 
     ``dispatch_seq`` yields (payload, handles_or_None) per frame step;
-    handles are the engine's (mask, aux) device arrays. Outputs are
-    STACKED on device in chunks of K and fetched in one transfer each,
-    amortizing round-trip latency K-fold; the previous chunk is fetched
-    before the current one is staged, so fetch overlaps device compute.
-    Per-frame mask handles stay alive so the rare near-tie host decode
-    fallback can fetch a single mask lazily. Keypoint rows are identical
-    for any K. ``consume(payload, mask_np|None, aux_np, mask_handle)``
+    handles are the engine's (mask, aux[, *extras]) device arrays.
+    Outputs are STACKED on device in chunks of K and fetched in one
+    transfer each, amortizing round-trip latency K-fold; the previous
+    chunk is fetched before the current one is staged, so fetch overlaps
+    device compute. Per-frame mask and extra handles (e.g. the tip heats
+    in device-decode mode) stay alive UNFETCHED so the rare near-tie
+    host-decode fallback can pull a single frame's data lazily.
+    Keypoint rows are identical for any K.
+    ``consume(payload, mask_np|None, aux_np, mask_handle, extras)``
     runs host-side per frame; ``on_skip(payload)`` handles warmup frames
     (flushed first to preserve row order)."""
     cur = []       # (payload, handles) dispatched, not yet stacked
-    staged = None  # (payloads, masks|None, auxs, mask_handles)
+    staged = None  # (payloads, masks|None, auxs, mask_handles, extras)
 
     def stage():
         nonlocal staged, cur
@@ -775,14 +795,15 @@ def _staged_fetch_loop(dispatch_seq, on_skip, consume, need_mask, K, jnp):
         mask_handles = [h[0] for _, h in cur]
         masks = jnp.stack(mask_handles) if need_mask else None
         auxs = jnp.stack([h[1] for _, h in cur])
+        extras = [h[2:] for _, h in cur]  # lazy, never stacked/fetched
         cur = []
-        staged = (payloads, masks, auxs, mask_handles)
+        staged = (payloads, masks, auxs, mask_handles, extras)
 
     def fetch_staged():
         nonlocal staged
         if staged is None:
             return
-        payloads, masks, auxs, mask_handles = staged
+        payloads, masks, auxs, mask_handles, extras = staged
         staged = None
         masks_np = np.asarray(masks) if masks is not None else None
         auxs_np = np.asarray(auxs)
@@ -792,6 +813,7 @@ def _staged_fetch_loop(dispatch_seq, on_skip, consume, need_mask, K, jnp):
                 masks_np[k] if masks_np is not None else None,
                 auxs_np[k],
                 mask_handles[k],
+                extras[k],
             )
 
     for payload, handles in dispatch_seq:
@@ -852,7 +874,8 @@ def _track_stream(
     K = max(1, cfg.fetch_batch)
     jnp = engine._jnp
 
-    def consume_row(frame, mask_array, aux, mask_provider=None):
+    def consume_row(frame, mask_array, aux, mask_provider=None,
+                    heat_provider=None):
         nonlocal frames_done
         disp = (
             render_overlay(np.asarray(frame), mask_array)
@@ -860,7 +883,8 @@ def _track_stream(
         )
         if cfg.decode == "device":
             tracker.update_device(aux, mask_array, disp,
-                                  mask_provider=mask_provider)
+                                  mask_provider=mask_provider,
+                                  heat_provider=heat_provider)
         else:
             heats = aux.astype(np.float32)
             tracker.update(mask_array, heats[..., 1], heats[..., 0], disp)
@@ -875,9 +899,14 @@ def _track_stream(
     _staged_fetch_loop(
         dispatch(),
         on_skip=lambda frame: tracker.skip(),
-        consume=lambda frame, mask_np, aux_np, mask_handle: consume_row(
-            frame, mask_np, aux_np,
-            mask_provider=(lambda h=mask_handle: h),
+        consume=lambda frame, mask_np, aux_np, mask_handle, extras: (
+            consume_row(
+                frame, mask_np, aux_np,
+                mask_provider=(lambda h=mask_handle: h),
+                heat_provider=(
+                    (lambda h=extras[0]: h) if extras else None
+                ),
+            )
         ),
         need_mask=need_mask, K=K, jnp=jnp,
     )
@@ -1135,7 +1164,8 @@ def track_on_frame_streams(
 
         pool = ThreadPoolExecutor(max_workers=min(B, 8))
 
-    def _consume_one(b, idx, frame_batch, masks_np, aux_np, mask_handle):
+    def _consume_one(b, idx, frame_batch, masks_np, aux_np, mask_handle,
+                     heat_handle=None):
         disp = (
             render_overlay(np.asarray(frame_batch[b]), masks_np[b])
             if cfg.overlay else None
@@ -1149,6 +1179,10 @@ def track_on_frame_streams(
                     None if mask_handle is None
                     else (lambda h=mask_handle, bb=b: h[bb])
                 ),
+                heat_provider=(
+                    None if heat_handle is None
+                    else (lambda h=heat_handle, bb=b: h[bb])
+                ),
             )
         else:
             heats = aux_np[b].astype(np.float32)
@@ -1158,21 +1192,24 @@ def track_on_frame_streams(
         if writers is not None:
             writers[b].write(cv2.cvtColor(disp, cv2.COLOR_RGB2BGR))
 
-    def consume_step(idx, frame_batch, masks_np, aux_np, mask_handle=None):
+    def consume_step(idx, frame_batch, masks_np, aux_np, mask_handle=None,
+                     heat_handle=None):
         """One lockstep frame across all streams still active at idx."""
         nonlocal frames_done
         active = [b for b in range(B) if idx < Ns[b]]
         if pool is not None:
             list(pool.map(
                 lambda b: _consume_one(
-                    b, idx, frame_batch, masks_np, aux_np, mask_handle
+                    b, idx, frame_batch, masks_np, aux_np, mask_handle,
+                    heat_handle,
                 ),
                 active,
             ))
         else:
             for b in active:
                 _consume_one(
-                    b, idx, frame_batch, masks_np, aux_np, mask_handle
+                    b, idx, frame_batch, masks_np, aux_np, mask_handle,
+                    heat_handle,
                 )
         frames_done += len(active)
 
@@ -1190,9 +1227,12 @@ def track_on_frame_streams(
     _staged_fetch_loop(
         dispatch(),
         on_skip=on_skip,
-        consume=lambda payload, mask_np, aux_np, mask_handle: consume_step(
-            payload[0], payload[1], mask_np, aux_np,
-            mask_handle=mask_handle,
+        consume=lambda payload, mask_np, aux_np, mask_handle, extras: (
+            consume_step(
+                payload[0], payload[1], mask_np, aux_np,
+                mask_handle=mask_handle,
+                heat_handle=extras[0] if extras else None,
+            )
         ),
         need_mask=need_mask, K=K, jnp=jnp,
     )

@@ -362,3 +362,147 @@ def test_decode_keypoints_device_batched_matches_single():
                                     pred=jnp.asarray(pred[b]))
         )
         np.testing.assert_array_equal(batched_pred[b], single_pred)
+
+
+def test_device_tips_component_area_gate_matches_host():
+    """A sub-threshold speck of the tip class must not emit a spurious
+    second tip: the host drops contours with area < threshold and keeps
+    only the top-2 (refine_tip_segmentation, reference :32-42); the
+    device decode applies the same component gate."""
+    from mfcnet_tpu.track.decode import refine_tip_segmentation
+    from mfcnet_tpu.track.decode_device import decode_keypoints_device
+
+    H, W = 64, 80
+    pred = np.zeros((H, W), np.int32)
+    pred[40:52, 30:42] = 3       # left base (144 px)
+    pred[20:27, 30:37] = 4       # real left tip blob (49 px)
+    pred[30, 50:53] = 4          # 3-px speck of the tip class
+    probs = np.zeros((H, W, 5), np.float32)
+    probs[..., 4] = (
+        _gaussian_blob(H, W, 23, 33, amp=1.0)
+        + _gaussian_blob(H, W, 30, 51, amp=0.9)
+    )
+    kps = np.asarray(
+        decode_keypoints_device(
+            jnp.asarray(probs), 100, pred=jnp.asarray(pred)
+        )
+    )
+    # exactly one valid tip (the speck's peak is gated), no tie flag
+    assert kps[0, 0, 2] == 1.0 and kps[0, 1, 2] == 0.0
+    assert kps[0, 2, 2] == 1.0
+
+    # host reference finds the same single tip
+    tip_mask = 255 * (pred == 4).astype(np.uint8)
+    heat = probs[..., 4].copy()
+    heat[tip_mask == 0] = 0
+    refined = refine_tip_segmentation(tip_mask, 10.0)
+    cx, cy = determine_local_maxima_and_estimate_centroids(
+        heat, refined > 0, create_circular_mask(10, 10).astype(np.float64)
+    )
+    assert len(cx) == 1
+    assert abs(kps[0, 0, 0] - cx[0]) <= 1.0
+    assert abs(kps[0, 0, 1] - cy[0]) <= 1.0
+
+
+def test_tip_component_tie_falls_back_to_exact_host_side_decode():
+    """An ambiguous tip component ranking (near-equal #2/#3 areas) flags
+    the side (base valid == 2); the tracker then re-decodes the WHOLE
+    side with the exact host path from the lazily fetched mask + heats,
+    producing rows identical to a pure host-decode tracker."""
+    import dataclasses
+
+    from mfcnet_tpu.track.decode_device import decode_keypoints_device
+    from mfcnet_tpu.track.tracker import KeypointTracker, TrackerConfig
+
+    H, W = 64, 80
+    pred = np.zeros((H, W), np.int32)
+    pred[38:50, 28:40] = 3       # left base
+    pred[12:19, 16:23] = 4       # tip blob A (49 px)
+    pred[12:17, 44:49] = 4       # tip blob B (25 px)
+    pred[28:33, 60:65] = 4       # tip blob C (25 px) — ties with B
+    probs = np.zeros((H, W, 5), np.float32)
+    probs[..., 4] = (
+        _gaussian_blob(H, W, 15, 19, amp=1.0)
+        + _gaussian_blob(H, W, 14, 46, amp=0.8)
+        + _gaussian_blob(H, W, 30, 62, amp=0.7)
+    )
+    kps = np.asarray(
+        decode_keypoints_device(
+            jnp.asarray(probs), 100, pred=jnp.asarray(pred)
+        )
+    )
+    assert kps[0, 2, 2] == 2.0  # left side flagged ambiguous
+
+    mask_u8 = pred.astype(np.uint8)
+    heats = np.stack(
+        [probs[..., 2], probs[..., 4]], axis=-1
+    ).astype(np.float16)
+    cfg = TrackerConfig(
+        num_classes=5, input_height=H, input_width=W, overlay=False,
+        decode="device", dist_threshold=60.0,
+    )
+    tr_dev = KeypointTracker(1, cfg)
+    fetched = []
+
+    def heat_provider():
+        fetched.append(True)
+        return heats
+
+    tr_dev.update_device(
+        kps, mask_provider=lambda: mask_u8, heat_provider=heat_provider
+    )
+    assert fetched  # the lazy heat fetch happened
+
+    tr_host = KeypointTracker(
+        1, dataclasses.replace(cfg, decode="host")
+    )
+    tr_host.update(
+        mask_u8,
+        heats[..., 1].astype(np.float32),
+        heats[..., 0].astype(np.float32),
+    )
+    np.testing.assert_array_equal(tr_dev.rows, tr_host.rows)
+
+
+def test_combined_keypoints_pallas_stats_match_xla_path():
+    """The TPU path of decode_keypoints_device (ONE lockstep Pallas
+    stats pass over [l-base, r-base, l-tip, r-tip] + the shared tail,
+    interpret mode on CPU) must produce the same keypoint rows as the
+    XLA path on multi-blob frames including sub-threshold tip specks."""
+    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_xla,
+        _keypoints_from_stats,
+    )
+
+    H, W = 48, 64
+    rng = np.random.default_rng(7)
+    frames = []
+    for _ in range(3):
+        pred = np.zeros((H, W), np.int32)
+        for cls in (1, 2, 3, 4):
+            for _ in range(rng.integers(1, 4)):
+                cy, cx = rng.integers(8, H - 8), rng.integers(8, W - 8)
+                h, w = rng.integers(2, 9), rng.integers(2, 9)
+                pred[cy : cy + h, cx : cx + w] = cls
+        probs = rng.random((H, W, 5)).astype(np.float32)
+        frames.append((pred, probs))
+
+    for pred, probs in frames:
+        masks4 = jnp.stack(
+            [pred == 3, pred == 1, pred == 4, pred == 2], axis=-3
+        )
+        heats = jnp.stack(
+            [probs[..., 4], probs[..., 2]], axis=-3
+        )
+        stats, ncomp, cid = base_stats_pallas(
+            masks4, K=64, interpret=True, return_cid=True
+        )
+        assert int(np.asarray(ncomp).max()) <= 64
+        got = np.asarray(_keypoints_from_stats(
+            masks4, heats,
+            stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
+            stats[..., 3, :], stats[..., 4, :], cid, 10.0,
+        ))
+        want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -885,7 +885,7 @@ def test_staged_fetch_loop_midstream_warmup_keeps_all_frames():
     _staged_fetch_loop(
         seq(),
         on_skip=skipped.append,
-        consume=lambda p, m, a, h: consumed.append((p, int(a[0]))),
+        consume=lambda p, m, a, h, extras: consumed.append((p, int(a[0]))),
         need_mask=True, K=2, jnp=jnp,
     )
     assert consumed == [(i, i) for i in range(5)]
