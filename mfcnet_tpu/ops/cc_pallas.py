@@ -112,6 +112,98 @@ def _propagate(val0, inside, conn: int, op, identity):
     return out
 
 
+def _propagate_cls(val0, fcls, inside, conn: int, op, identity):
+    """Class-aware fixpoint propagation: like :func:`_propagate`, but
+    values flow only between neighbors with EQUAL ``fcls`` (int32 class
+    image; background <= 0) — a single pass labels every class's blobs
+    at once without ever merging touching blobs of different classes.
+
+    The segmented scans need DIRECTIONAL resets here: a pixel does not
+    receive from its predecessor (forward) / successor (backward) when
+    the class changes at that edge, which is an edge property, not the
+    symmetric pixel property (background) of the plain propagation."""
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+
+    def edge_reset(axis, sign):
+        nb = _shift(fcls, sign, axis, jnp.int32(-1))
+        return jnp.where((fcls != nb) | ~inside, one, zero)
+
+    resets = {
+        (1, 1): edge_reset(1, 1), (1, -1): edge_reset(1, -1),
+        (0, 1): edge_reset(0, 1), (0, -1): edge_reset(0, -1),
+    }
+    val0 = jnp.where(inside, val0, identity)
+
+    def seg(l, axis):
+        fwd = _seg_scan(l, resets[(axis, 1)], axis, False, identity, op)
+        bwd = _seg_scan(l, resets[(axis, -1)], axis, True, identity, op)
+        return jnp.where(inside, op(fwd, bwd), identity)
+
+    def diag(l):
+        def tap(dy, dx):
+            lv = _shift(_shift(l, dy, 0, identity), dx, 1, identity)
+            cv = _shift(_shift(fcls, dy, 0, jnp.int32(-1)), dx, 1,
+                        jnp.int32(-1))
+            return jnp.where(cv == fcls, lv, identity)
+
+        d = op(op(tap(1, 1), tap(1, -1)), op(tap(-1, 1), tap(-1, -1)))
+        return jnp.where(inside, op(l, d), identity)
+
+    def body(carry):
+        l, _ = carry
+        l2 = l if conn == 4 else diag(l)
+        l2 = seg(l2, 1)
+        l2 = seg(l2, 0)
+        return l2, jnp.any(l2 != l)
+
+    out, _ = lax.while_loop(
+        lambda c: c[1], body, (val0, jnp.bool_(True))
+    )
+    return out
+
+
+def _seg_or_scan_bits(v, blk, axis: int, reverse: bool):
+    """Inclusive segmented BITWISE-OR scan with PER-BIT blockers: bit c
+    of ``v`` propagates along ``axis`` but never through (or into) a
+    pixel whose ``blk`` has bit c set — four independent flood domains
+    ride one int32 lane (the per-class background flood fills of the
+    union decode run bit-parallel instead of as four grid steps)."""
+    size = v.shape[axis]
+    f = blk
+    s = 1
+    sign = -1 if reverse else 1
+    allb = jnp.int32(0xF)
+    while s < size:
+        vs = _shift(v, sign * s, axis, jnp.int32(0))
+        fs = _shift(f, sign * s, axis, allb)
+        v = v | (vs & ~f)
+        f = f | fs
+        s <<= 1
+    return v
+
+
+def _propagate_bits(seed, blk):
+    """4-connectivity fixpoint of the bit-parallel segmented OR flood."""
+
+    def sweep(v, axis):
+        v = (
+            _seg_or_scan_bits(v, blk, axis, False)
+            | _seg_or_scan_bits(v, blk, axis, True)
+        )
+        return v & ~blk
+
+    def body(carry):
+        v, _ = carry
+        v2 = sweep(sweep(v, 1), 0)
+        return v2, jnp.any(v2 != v)
+
+    out, _ = lax.while_loop(
+        lambda c: c[1], body, (seed & ~blk, jnp.bool_(True))
+    )
+    return out
+
+
 def _cc_kernel(mask_ref, lab_ref, *, conn: int, H: int, W: int):
     mi = mask_ref[0].astype(jnp.int32)  # int8 0/1 input (VMEM budget)
     fg = mi == 1
@@ -191,7 +283,123 @@ def _flood_cc_cid_kernel(mask_ref, cid_ref, filled_ref, meta_ref, *,
     meta_ref[0] = jnp.where(mio == 0, nroots.astype(jnp.float32), 0.0)
 
 
-def _onehot_stats_kernel(cid_ref, vals_ref, acc_ref, *, K: int):
+def _union_flood_cc_cid_kernel(ucls_ref, cid_ref, he_ref, cide_ref,
+                               meta_ref, *, H: int, W: int, K: int):
+    """Hole filling + labels + dense component ids for ALL FOUR class
+    blobs of one frame in a single VMEM pass (vs one grid step per blob
+    in :func:`_flood_cc_cid_kernel` — the four argmax class masks are
+    mutually disjoint, so one class image carries them all):
+
+      1. the four per-class background flood fills run BIT-PARALLEL
+         (:func:`_propagate_bits`): bit c spreads from the border
+         through every pixel that is not class c, exactly the
+         ``pred != c`` flood domain of the per-class kernel;
+      2. per-pixel "unreached" flood bits classify the geometry: a
+         pixel with exactly ONE unreached bit e is enclosed by class
+         e's blob. Hole BACKGROUND absorbs into the enclosing class
+         (it is part of that class's hole-filled component); CONTAINED
+         FOREGROUND (a blob of class c inside class e's hole — common
+         on real masks: specks of one class inside another's blob)
+         keeps its OWN component in a shifted class namespace c+4, so
+         both the speck component (class-c ranking) and the enclosing
+         component exist in one image. Only pixels with >= 2 unreached
+         bits (nested rings of different classes — the per-class
+         filled masks overlap twice over) are unrepresentable and
+         raise the CONFLICT flag for the exact per-class fallback;
+      3. 8-conn CC labels + dense-id spread via CLASS-AWARE propagation
+         (:func:`_propagate_cls`) on the 8-class image ``h`` — touching
+         blobs of different classes stay separate, and dense ids are
+         assigned in raster order of the component roots. The root of a
+         hole-filled blob is its topmost-leftmost pixel, which is
+         always on the outer ring, so within each class the slot order
+         (and therefore every top-k tie-break downstream) is identical
+         to the per-class kernel's;
+      4. a second propagation spreads the ENCLOSING component's id
+         into contained foreground (over the relaxed image where
+         contained pixels take the enclosing class), so the caller can
+         add contained pixels to the enclosing component's stats with
+         one extra one-hot matmul — exact per-class hole-filled stats
+         without a second label pass.
+
+    Outputs: cid (1, H, W) int32 own-component id (-1 outside h > 0),
+    he (1, H, W) int32 = h * 8 + e where h in 0..8 (0 background,
+    1..4 outer/absorbed class, 5..8 contained class c+4) and e in 0..4
+    (enclosing class, 0 if none), cide (1, H, W) int32 enclosing
+    component id at contained pixels (-1 elsewhere), meta (1, 8, 128)
+    f32 with [0, 0] = component count and [0, 1] = conflict flag
+    (either nonzero at > K components / conflict means the caller must
+    use the exact fallback)."""
+    uc = ucls_ref[0].astype(jnp.int32)  # int8 0..4 input (VMEM budget)
+    n = jnp.int32(H * W)
+    row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    on_border = (
+        (row == 0) | (row == H - 1) | (col == 0) | (col == W - 1)
+    )
+
+    # bit c-1 of blk: pixel belongs to class c and blocks that flood
+    blk = jnp.where(
+        uc == 1, jnp.int32(1),
+        jnp.where(
+            uc == 2, jnp.int32(2),
+            jnp.where(uc == 3, jnp.int32(4),
+                      jnp.where(uc == 4, jnp.int32(8), jnp.int32(0))),
+        ),
+    )
+    seed = jnp.where(on_border, jnp.int32(0xF) & ~blk, jnp.int32(0))
+    reach = _propagate_bits(seed, blk)
+    unreached = (jnp.int32(0xF) & ~blk) & ~reach
+    conflict = jnp.any((unreached & (unreached - 1)) != 0)
+    e = jnp.where(
+        (unreached & 1) != 0, jnp.int32(1),
+        jnp.where(
+            (unreached & 2) != 0, jnp.int32(2),
+            jnp.where((unreached & 4) != 0, jnp.int32(3),
+                      jnp.where((unreached & 8) != 0, jnp.int32(4),
+                                jnp.int32(0))),
+        ),
+    )
+    h = jnp.where(
+        uc > 0, jnp.where(e > 0, uc + 4, uc), e
+    )
+    inside = h > 0
+
+    lab0 = jnp.where(inside, row * W + col, n)
+    lab = _propagate_cls(lab0, h, inside, 8, jnp.minimum, n)
+
+    is_root = inside & (lab == row * W + col)
+    root_i = jnp.where(is_root, 1, 0).astype(jnp.int32)
+    rank = _cumsum_2d_excl(root_i)
+    nroots = jnp.sum(root_i)
+    cid0 = jnp.where(is_root, rank, jnp.int32(-1))
+    cid = _propagate_cls(cid0, h, inside, 8, jnp.maximum, jnp.int32(-1))
+    cid = jnp.minimum(cid, K - 1)
+
+    # enclosing-component id at contained pixels: relax contained
+    # pixels to the enclosing class and max-spread the outer cids
+    # (outer/absorbed pixels hold their own id as the seed; contained
+    # pixels start at -1 and receive through the hole region)
+    h2 = jnp.where(h > 4, e, h)
+    cide = _propagate_cls(
+        jnp.where(h <= 4, cid, jnp.int32(-1)), h2, h2 > 0, 8,
+        jnp.maximum, jnp.int32(-1),
+    )
+
+    cid_ref[0] = cid
+    he_ref[0] = h * 8 + e
+    cide_ref[0] = jnp.where(h > 4, cide, jnp.int32(-1))
+    mio = lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128 + \
+        lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    meta_ref[0] = jnp.where(
+        mio == 0, nroots.astype(jnp.float32),
+        jnp.where(mio == 1,
+                  jnp.where(conflict, 1.0, 0.0).astype(jnp.float32),
+                  0.0),
+    )
+
+
+def _onehot_stats_kernel(cid_ref, vals_ref, acc_ref, *, K: int,
+                         rows: int = 5):
     """Accumulate per-component sums as an MXU one-hot matmul:
     acc[v, k] += sum_p vals[v, p] * [cid[p] == k]. Grid dim 1 walks
     pixel chunks of P; cid arrives pre-shaped (P, 1) so the one-hot
@@ -204,10 +412,10 @@ def _onehot_stats_kernel(cid_ref, vals_ref, acc_ref, *, K: int):
         acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
     cid = cid_ref[0]          # (P, 1) int32
-    vals = vals_ref[0]        # (5, P) f32
+    vals = vals_ref[0]        # (rows, P) f32
     kio = lax.broadcasted_iota(jnp.int32, (cid.shape[0], K), 1)
     onehot = jnp.where((kio == cid) & (cid >= 0), 1.0, 0.0)
-    acc_ref[0, :5] += jnp.dot(
+    acc_ref[0, :rows] += jnp.dot(
         vals, onehot, preferred_element_type=jnp.float32
     )
 
@@ -317,6 +525,168 @@ def base_stats_pallas(mask, K: int = 256, interpret: bool = False,
     if return_cid:
         out = out + (cid.reshape(lead + (H, W)),)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+def union_stats_pallas(ucls, K: int = 256, interpret: bool = False):
+    """Union (all-classes-in-one-pass) variant of
+    :func:`base_stats_pallas` for the per-frame keypoint decode.
+
+    ucls: (..., H, W) int in {0..4} — 0 background, 1..4 the four
+    MUTUALLY DISJOINT class blobs (they come from one argmax /
+    thresholded class map). One :func:`_union_flood_cc_cid_kernel` grid
+    step per FRAME replaces four per-blob steps — the label fixpoint
+    loops (the decode's dominant cost) run once over the union image
+    instead of once per blob.
+
+    Returns ``(stats, ccls, ncomp, conflict, cid)``:
+      * stats (..., 8, K) f32 — rows [pixel count, boundary count,
+        sum w, sum w*x, sum w*y] per dense UNION component id, hole
+        filled, EXACTLY matching each class's standalone hole-filled
+        mask: boundary/interior are containment-aware (a contained
+        blob of another class counts as inside its encloser), and
+        contained pixels are added to the enclosing component's sums
+        via a second one-hot matmul keyed by the enclosing id;
+      * ccls (..., K) int32 — each slot's class in 1..4 (0 for empty
+        slots): sliced by class this reproduces the per-class stats
+        layout, with raster slot order preserved within each class
+        (contained components rank within their OWN class);
+      * ncomp (...,) int32, conflict (...,) bool — either
+        ``ncomp > K`` or ``conflict`` means the one-image encoding
+        broke down (slot aliasing / >= 2-deep class nesting) and the
+        caller must use the exact per-class fallback;
+      * cid (..., H, W) int32 — per-pixel OWN-component slot key
+        (-1 outside the filled union).
+    """
+    H, W = ucls.shape[-2:]
+    lead = ucls.shape[:-2]
+    u = ucls.reshape((-1, H, W)).astype(jnp.int8)
+    B = u.shape[0]
+    n = H * W
+    kw = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            )
+        }
+    )
+    cid, he, cide, meta = pl.pallas_call(
+        functools.partial(_union_flood_cc_cid_kernel, H=H, W=W, K=K),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        **kw,
+    )(u)
+    ncomp = meta[:, 0, 0].astype(jnp.int32)
+    conflict = meta[:, 0, 1] > 0.5
+    h = he // 8
+    e = he - h * 8
+
+    # value planes in XLA (elementwise, fused). Boundary/interior per
+    # pixel p use p's OWN component's filled set: strict h equality,
+    # plus — for outer components — contained blobs of other classes
+    # (h_q > 4 with e_q == h_p), which per-class hole filling absorbs.
+    fb = h > 0
+
+    def nb(img, dy, dx):
+        pad = ((0, 0), (max(dy, 0), max(-dy, 0)),
+               (max(dx, 0), max(-dx, 0)))
+        shifted = jnp.pad(img, pad, constant_values=-1)
+        return shifted[
+            :, max(-dy, 0):max(-dy, 0) + H, max(-dx, 0):max(-dx, 0) + W
+        ]
+
+    def inside_for_own(dy, dx):
+        hq = nb(h, dy, dx)
+        eq = nb(e, dy, dx)
+        return (hq == h) | ((h <= 4) & (hq > 4) & (eq == h))
+
+    interior4 = (
+        fb
+        & inside_for_own(1, 0) & inside_for_own(-1, 0)
+        & inside_for_own(0, 1) & inside_for_own(0, -1)
+    )
+    row = jnp.arange(H, dtype=jnp.float32)[:, None]
+    col = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ones = jnp.where(fb, 1.0, 0.0)
+    bnd = jnp.where(fb & ~interior4, 1.0, 0.0)
+    w = jnp.where(interior4, 1.0, 0.5) * ones
+    owncls = jnp.where(h > 4, h - 4, h).astype(jnp.float32)
+    vals = jnp.stack(
+        [ones, bnd, w, w * col, w * row, owncls], axis=1
+    ).reshape(B, 6, n)
+    # contained pixels additionally contribute to the ENCLOSING
+    # component (always interior of it — they sit in a hole): plane 5
+    # carries e so the class row stays exactly class * count
+    cont = jnp.where(h > 4, 1.0, 0.0)
+    vals2 = jnp.stack(
+        [cont, jnp.zeros_like(cont), cont, cont * col, cont * row,
+         cont * e.astype(jnp.float32)], axis=1,
+    ).reshape(B, 6, n)
+
+    P = 4096
+    npad = (-n) % P
+    nprime = n + npad
+
+    def onehot_sums(keys, planes):
+        keys = jnp.pad(
+            keys.reshape(B, n), ((0, 0), (0, npad)), constant_values=-1
+        )[..., None]  # (B, n', 1)
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, npad)))
+        return pl.pallas_call(
+            functools.partial(_onehot_stats_kernel, K=K, rows=6),
+            grid=(B, nprime // P),
+            in_specs=[
+                pl.BlockSpec((1, P, 1), lambda b, c: (b, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 6, P), lambda b, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, K), lambda b, c: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, K), jnp.float32),
+            interpret=interpret,
+            **kw,
+        )(keys, planes)
+
+    stats = onehot_sums(cid, vals) + onehot_sums(cide, vals2)
+    # slot class = sum(class plane)/count (constant within a component,
+    # incl. contained additions whose plane carries the enclosing
+    # class; exact in f32 — count <= 3.1e5, sum <= 1.3e6 < 2^24)
+    counts = stats[:, 0, :]
+    ccls = jnp.where(
+        counts > 0,
+        jnp.round(stats[:, 5, :] / jnp.maximum(counts, 1.0)),
+        0.0,
+    ).astype(jnp.int32)
+    return (
+        stats.reshape(lead + (8, K)),
+        ccls.reshape(lead + (K,)),
+        ncomp.reshape(lead),
+        conflict.reshape(lead),
+        cid.reshape(lead + (H, W)),
+    )
 
 
 @functools.partial(

@@ -361,19 +361,48 @@ def decode_keypoints_device(probs, area_threshold_x10: int = 100,
 
     if jax.default_backend() == "cpu":
         return _decode_keypoints_xla(masks4, heats, area_threshold)
+    return _decode_keypoints_union(pred, masks4, heats, area_threshold)
 
-    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas
+
+def _decode_keypoints_union(pred, masks4, heats, area_threshold,
+                            interpret: bool = False):
+    """TPU path: the four class blobs are mutually disjoint (one
+    argmax/thresholded class map), so ONE union label pass per frame
+    (:func:`mfcnet_tpu.ops.cc_pallas.union_stats_pallas`) replaces the
+    four per-blob grid steps: encode them as a class image in the
+    masks4 blob order (1=l-base, 2=r-base, 3=l-tip, 4=r-tip) and slice
+    the union stats back per class. Raster slot order is preserved
+    within each class, so every top-k tie-break matches the per-blob
+    path; frames the union image cannot represent (nested holes across
+    classes, > K components) fall back to the exact XLA path."""
+    from mfcnet_tpu.ops.cc_pallas import union_stats_pallas
 
     K = 256
-    stats, ncomp, cid = base_stats_pallas(masks4, K=K, return_cid=True)
+    lead4 = masks4.shape[:-2]
+    H, W = masks4.shape[-2:]
+    ucls = jnp.where(
+        pred == 3, 1,
+        jnp.where(pred == 1, 2,
+                  jnp.where(pred == 4, 3, jnp.where(pred == 2, 4, 0))),
+    ).astype(jnp.int8)
+    stats, ccls, ncomp, conflict, cid = union_stats_pallas(
+        ucls, K=K, interpret=interpret
+    )
+    clsmask = ccls[..., None, :] == jnp.arange(
+        1, 5, dtype=ccls.dtype
+    )[:, None]  # (..., 4, K)
+
+    def per_cls(rowi):
+        return jnp.where(clsmask, stats[..., rowi, :][..., None, :], 0.0)
+
+    ids4 = jnp.broadcast_to(cid[..., None, :, :], lead4 + (H, W))
     rows = _keypoints_from_stats(
         masks4, heats,
-        stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
-        stats[..., 3, :], stats[..., 4, :], cid, area_threshold,
+        per_cls(0), per_cls(1), per_cls(2), per_cls(3), per_cls(4),
+        ids4, area_threshold,
     )
-    # > K components would alias stats slots: exact (rare) fallback
     return jax.lax.cond(
-        jnp.any(ncomp > K),
+        jnp.any(conflict) | jnp.any(ncomp > K),
         lambda: _decode_keypoints_xla(masks4, heats, area_threshold),
         lambda: rows,
     )

@@ -506,3 +506,183 @@ def test_combined_keypoints_pallas_stats_match_xla_path():
         ))
         want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def _masks4_heats(pred, probs):
+    masks4 = jnp.stack(
+        [pred == 3, pred == 1, pred == 4, pred == 2], axis=-3
+    )
+    heats = jnp.stack([probs[..., 4], probs[..., 2]], axis=-3)
+    return masks4, heats
+
+
+def test_union_decode_matches_xla_path():
+    """The union decode (ONE class-aware label pass per frame over the
+    disjoint 4-class image, interpret mode on CPU) must produce the
+    same keypoint rows as the per-blob XLA path on random multi-class
+    frames — including blobs of DIFFERENT classes touching edge-on and
+    diagonally (must not merge), same-class diagonal touches (must
+    merge), holes, border blobs, and sub-threshold specks."""
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_union,
+        _decode_keypoints_xla,
+    )
+
+    H, W = 48, 64
+    rng = np.random.default_rng(21)
+    frames = []
+    for _ in range(3):
+        pred = np.zeros((H, W), np.int32)
+        for cls in (1, 2, 3, 4):
+            for _ in range(rng.integers(1, 4)):
+                cy, cx = rng.integers(4, H - 10), rng.integers(4, W - 10)
+                h, w = rng.integers(2, 10), rng.integers(2, 10)
+                pred[cy : cy + h, cx : cx + w] = cls
+        frames.append(pred)
+
+    # hand-built adjacency torture frame
+    pred = np.zeros((H, W), np.int32)
+    pred[10:20, 10:20] = 1
+    pred[10:20, 20:30] = 3     # edge-on different-class neighbor
+    pred[20:26, 30:36] = 2     # diagonal touch with the class-3 blob
+    pred[30:40, 10:20] = 4
+    pred[30:40, 20:21] = 2     # 1-px different-class wall
+    pred[41:45, 21:25] = 4     # diagonal same-class touch across (40,20)
+    pred[0:5, 0:5] = 1         # border blob
+    pred[44, 60] = 4           # 1-px speck
+    # class-4 ring with a BACKGROUND hole (fillable in the union image)
+    pred[5:12, 40:47] = 4
+    pred[7:10, 42:45] = 0
+    frames.append(pred)
+
+    for pred in frames:
+        probs = rng.random((H, W, 5)).astype(np.float32)
+        predj = jnp.asarray(pred)
+        masks4, heats = _masks4_heats(predj, probs)
+        got = np.asarray(_decode_keypoints_union(
+            predj, masks4, heats, 10.0, interpret=True
+        ))
+        want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_union_decode_batched_matches_xla_path():
+    """Batched frames go through one lockstep union pass."""
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_union,
+        _decode_keypoints_xla,
+    )
+
+    H, W, B = 40, 56, 3
+    rng = np.random.default_rng(5)
+    pred = np.zeros((B, H, W), np.int32)
+    for b in range(B):
+        for cls in (1, 2, 3, 4):
+            cy, cx = rng.integers(4, H - 10), rng.integers(4, W - 10)
+            pred[b, cy : cy + 7, cx : cx + 6] = cls
+    pred[2] = 0  # one all-background frame in the batch
+    probs = rng.random((B, H, W, 5)).astype(np.float32)
+    predj = jnp.asarray(pred)
+    masks4, heats = _masks4_heats(predj, probs)
+    got = np.asarray(_decode_keypoints_union(
+        predj, masks4, heats, 10.0, interpret=True
+    ))
+    want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_union_decode_contained_blobs_match_exactly():
+    """Blobs of one class INSIDE another class's blob (or its hole) —
+    the common real-mask case of misclassified specks inside the
+    instrument silhouette — are handled exactly by the union encoding
+    WITHOUT falling back: the speck ranks as its own component of its
+    own class, the enclosing component's hole-filled stats include the
+    speck's pixels, and no conflict is raised."""
+    import cv2
+
+    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas, union_stats_pallas
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_union,
+        _decode_keypoints_xla,
+    )
+
+    H, W = 48, 64
+    rng = np.random.default_rng(3)
+    # class-1 speck inside a class-3 ring's hole; a class-2 speck
+    # embedded directly inside a solid class-4 blob; plus a normal
+    # outer blob of each class elsewhere
+    pred = np.zeros((H, W), np.int32)
+    pred[10:26, 10:26] = 3
+    pred[14:22, 14:22] = 0   # hole
+    pred[16:20, 16:20] = 1   # contained speck (class 1)
+    pred[8:30, 34:58] = 4
+    pred[14:20, 40:46] = 2   # speck directly inside the solid blob
+    pred[34:44, 6:18] = 1
+    pred[34:42, 26:34] = 2
+    pred[36:45, 40:50] = 3
+    pred[2:6, 38:44] = 4
+
+    ucls = jnp.asarray(np.choose(pred, [0, 2, 4, 1, 3]).astype(np.int8))
+    stats, ccls, ncomp, conflict, cid = union_stats_pallas(
+        ucls, K=64, interpret=True
+    )
+    assert not bool(np.asarray(conflict).any()), "containment must not conflict"
+
+    # per-class stats (sorted by count) equal the per-blob kernel's
+    stats = np.asarray(stats)
+    ccls_np = np.asarray(ccls)
+    for blob_cls, uc in ((3, 1), (1, 2), (4, 3), (2, 4)):
+        m = jnp.asarray((pred == blob_cls)[None])
+        ref_stats, ref_n = base_stats_pallas(m, K=64, interpret=True)
+        ref = np.asarray(ref_stats)[0, :5, : int(np.asarray(ref_n)[0])]
+        slots = np.nonzero(ccls_np == uc)[0]
+        got = stats[:5, slots]
+        order_ref = np.argsort(-ref[0])
+        order_got = np.argsort(-got[0])
+        np.testing.assert_allclose(
+            got[:, order_got], ref[:, order_ref], rtol=0, atol=1e-4
+        )
+
+    probs = rng.random((H, W, 5)).astype(np.float32)
+    predj = jnp.asarray(pred)
+    masks4, heats = _masks4_heats(predj, probs)
+    got = np.asarray(_decode_keypoints_union(
+        predj, masks4, heats, 10.0, interpret=True
+    ))
+    want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_union_decode_conflict_falls_back_exactly():
+    """Frames the union image cannot represent — >= 2-deep nesting of
+    different classes (a pixel enclosed by rings of two classes, i.e.
+    per-class FILLED masks overlapping twice over) — must raise the
+    kernel's conflict flag and fall back to the exact per-blob XLA
+    path."""
+    from mfcnet_tpu.ops.cc_pallas import union_stats_pallas
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_union,
+        _decode_keypoints_xla,
+    )
+
+    H, W = 48, 64
+    rng = np.random.default_rng(3)
+    # nested rings of two different classes around background
+    pred = np.zeros((H, W), np.int32)
+    pred[8:32, 30:54] = 2
+    pred[12:28, 34:50] = 0
+    pred[14:26, 36:48] = 4
+    pred[18:22, 40:44] = 0
+
+    ucls = jnp.asarray(np.choose(pred, [0, 2, 4, 1, 3]).astype(np.int8))
+    _, _, _, conflict, _ = union_stats_pallas(ucls, K=64, interpret=True)
+    assert bool(np.asarray(conflict).any()), "conflict not detected"
+
+    probs = rng.random((H, W, 5)).astype(np.float32)
+    predj = jnp.asarray(pred)
+    masks4, heats = _masks4_heats(predj, probs)
+    got = np.asarray(_decode_keypoints_union(
+        predj, masks4, heats, 10.0, interpret=True
+    ))
+    want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+    np.testing.assert_array_equal(got, want)
