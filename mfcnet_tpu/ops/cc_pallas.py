@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _shift(v, s: int, axis: int, fill):
     """Static shift by ``s`` (positive = toward higher indices) with fill."""
+    if s == 0:
+        return v
     size = v.shape[axis]
     if s >= size or -s >= size:
         return jnp.full_like(v, fill)
@@ -77,39 +79,13 @@ def _propagate(val0, inside, conn: int, op, identity):
     under ``op`` (jnp.minimum for CC labels, jnp.maximum for flood/rank
     spreading): per iteration a diagonal hand-off (8-conn), then
     segmented scans along rows and columns, until nothing changes.
-    ``identity`` must be op's neutral element; outside pixels hold it."""
-    reset = jnp.where(inside, jnp.int32(0), jnp.int32(1))
-    val0 = jnp.where(inside, val0, identity)
-
-    def seg(l, axis):
-        fwd = _seg_scan(l, reset, axis, False, identity, op)
-        bwd = _seg_scan(l, reset, axis, True, identity, op)
-        return jnp.where(inside, op(fwd, bwd), identity)
-
-    def diag(l):
-        d = op(
-            op(
-                _shift(_shift(l, 1, 0, identity), 1, 1, identity),
-                _shift(_shift(l, 1, 0, identity), -1, 1, identity),
-            ),
-            op(
-                _shift(_shift(l, -1, 0, identity), 1, 1, identity),
-                _shift(_shift(l, -1, 0, identity), -1, 1, identity),
-            ),
-        )
-        return jnp.where(inside, op(l, d), identity)
-
-    def body(carry):
-        l, _ = carry
-        l2 = l if conn == 4 else diag(l)
-        l2 = seg(l2, 1)
-        l2 = seg(l2, 0)
-        return l2, jnp.any(l2 != l)
-
-    out, _ = lax.while_loop(
-        lambda c: c[1], body, (val0, jnp.bool_(True))
+    ``identity`` must be op's neutral element; outside pixels hold it.
+    The single-region special case of :func:`_propagate_cls` (one class
+    covering ``inside``)."""
+    return _propagate_cls(
+        val0, jnp.where(inside, jnp.int32(1), jnp.int32(0)), inside,
+        conn, op, identity,
     )
-    return out
 
 
 def _propagate_cls(val0, fcls, inside, conn: int, op, identity):
@@ -362,6 +338,21 @@ def _union_flood_cc_cid_kernel(ucls_ref, cid_ref, he_ref, cide_ref,
     h = jnp.where(
         uc > 0, jnp.where(e > 0, uc + 4, uc), e
     )
+    # A same-class component may STRADDLE a containment boundary: the
+    # 4-conn flood seals a diagonally-porous enclosing wall, but the
+    # per-class 8-conn labeling connects through it, so one per-class
+    # component would be split between h = c (outer/absorbed) and
+    # h = c + 4 (contained) — unrepresentable in one image. Flag it
+    # (8-neighborhood contained-meets-outer of the same class; also
+    # catches a contained class-c speck beside a class-c enclosure's
+    # absorbed hole, which per-class hole filling would merge).
+    bigh = jnp.int32(9)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            hq = _shift(_shift(h, dy, 0, bigh), dx, 1, bigh)
+            conflict = conflict | jnp.any((h > 4) & (hq == h - 4))
     inside = h > 0
 
     lab0 = jnp.where(inside, row * W + col, n)
@@ -645,7 +636,8 @@ def union_stats_pallas(ucls, K: int = 256, interpret: bool = False):
          cont * e.astype(jnp.float32)], axis=1,
     ).reshape(B, 6, n)
 
-    P = 4096
+    # the (P, K) one-hot block must stay within the VMEM budget
+    P = 4096 if K <= 512 else 2048
     npad = (-n) % P
     nprime = n + npad
 

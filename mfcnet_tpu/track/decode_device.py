@@ -373,10 +373,23 @@ def _decode_keypoints_union(pred, masks4, heats, area_threshold,
     masks4 blob order (1=l-base, 2=r-base, 3=l-tip, 4=r-tip) and slice
     the union stats back per class. Raster slot order is preserved
     within each class, so every top-k tie-break matches the per-blob
-    path; frames the union image cannot represent (nested holes across
-    classes, > K components) fall back to the exact XLA path."""
-    from mfcnet_tpu.ops.cc_pallas import union_stats_pallas
+    path.
 
+    THREE-TIER fallback, each tier exact: frames the union image
+    cannot represent (>= 2-deep cross-class nesting, a same-class
+    component straddling a containment boundary, > K union components)
+    drop to the per-blob lockstep Pallas pass (~3.6 ms — noisy class
+    maps, e.g. from an untrained model, hit these geometries every
+    frame, and the first cut's direct drop to the XLA formulation cost
+    ~110 ms/frame there); only a per-blob component-count overflow
+    falls all the way back to the XLA path."""
+    from mfcnet_tpu.ops.cc_pallas import base_stats_pallas, union_stats_pallas
+
+    # one SHARED slot budget across all four classes; overflow drops to
+    # the per-blob tier (4 x 256 slots), never silently aliases. 256
+    # keeps the one-hot stats matmuls narrow — measured ~0.3 ms/frame
+    # cheaper than K=1024 on the e2e pipeline, and clean (trained-model)
+    # masks stay far below it
     K = 256
     lead4 = masks4.shape[:-2]
     H, W = masks4.shape[-2:]
@@ -401,9 +414,26 @@ def _decode_keypoints_union(pred, masks4, heats, area_threshold,
         per_cls(0), per_cls(1), per_cls(2), per_cls(3), per_cls(4),
         ids4, area_threshold,
     )
+
+    def per_blob_tier():
+        Kb = 256
+        stats, ncomp4, cid4 = base_stats_pallas(
+            masks4, K=Kb, return_cid=True, interpret=interpret
+        )
+        rows_pb = _keypoints_from_stats(
+            masks4, heats,
+            stats[..., 0, :], stats[..., 1, :], stats[..., 2, :],
+            stats[..., 3, :], stats[..., 4, :], cid4, area_threshold,
+        )
+        return jax.lax.cond(
+            jnp.any(ncomp4 > Kb),
+            lambda: _decode_keypoints_xla(masks4, heats, area_threshold),
+            lambda: rows_pb,
+        )
+
     return jax.lax.cond(
         jnp.any(conflict) | jnp.any(ncomp > K),
-        lambda: _decode_keypoints_xla(masks4, heats, area_threshold),
+        per_blob_tier,
         lambda: rows,
     )
 

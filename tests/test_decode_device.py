@@ -598,8 +598,6 @@ def test_union_decode_contained_blobs_match_exactly():
     WITHOUT falling back: the speck ranks as its own component of its
     own class, the enclosing component's hole-filled stats include the
     speck's pixels, and no conflict is raised."""
-    import cv2
-
     from mfcnet_tpu.ops.cc_pallas import base_stats_pallas, union_stats_pallas
     from mfcnet_tpu.track.decode_device import (
         _decode_keypoints_union,
@@ -685,4 +683,53 @@ def test_union_decode_conflict_falls_back_exactly():
         predj, masks4, heats, 10.0, interpret=True
     ))
     want = np.asarray(_decode_keypoints_xla(masks4, heats, 10.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_union_decode_straddling_component_conflicts_and_falls_back():
+    """An 8-connected same-class component that STRADDLES a containment
+    boundary — the enclosing wall is diagonally porous (4-conn sealed,
+    8-conn open), and the blob touches itself diagonally through that
+    corner — cannot be represented in the union image (one part would be
+    contained, the other outer). The kernel must flag it and the decode
+    must fall back to the exact per-blob path (review finding: the first
+    cut silently split the component)."""
+    from mfcnet_tpu.ops.cc_pallas import union_stats_pallas
+    from mfcnet_tpu.track.decode_device import (
+        _decode_keypoints_union,
+        _decode_keypoints_xla,
+    )
+
+    H, W = 32, 32
+    pred = np.zeros((H, W), np.int32)
+    # class-2 box ring with a diagonal jog at the top-left corner:
+    # remove (5,6) from the top wall, add (4,6) — the gap pixel (5,6)
+    # stays 4-conn enclosed but is 8-adjacent to outside bg
+    pred[5, 5:13] = 2
+    pred[12, 5:13] = 2
+    pred[5:13, 5] = 2
+    pred[5:13, 12] = 2
+    pred[5, 6] = 0
+    pred[4, 6] = 2
+    # class-3 blob straddling the porous corner: (5,6) inside the
+    # enclosure, (4,5) + a body outside, touching only diagonally
+    pred[5, 6] = 3
+    pred[4, 5] = 3
+    pred[2:5, 2:5] = 3
+    # plus normal blobs so every class decodes
+    pred[20:28, 4:12] = 1
+    pred[20:26, 20:26] = 4
+
+    ucls = jnp.asarray(np.choose(pred, [0, 2, 4, 1, 3]).astype(np.int8))
+    _, _, _, conflict, _ = union_stats_pallas(ucls, K=64, interpret=True)
+    assert bool(np.asarray(conflict).any()), "straddle conflict not detected"
+
+    rng = np.random.default_rng(9)
+    probs = rng.random((H, W, 5)).astype(np.float32)
+    predj = jnp.asarray(pred)
+    masks4, heats = _masks4_heats(predj, probs)
+    got = np.asarray(_decode_keypoints_union(
+        predj, masks4, heats, 4.0, interpret=True
+    ))
+    want = np.asarray(_decode_keypoints_xla(masks4, heats, 4.0))
     np.testing.assert_array_equal(got, want)
