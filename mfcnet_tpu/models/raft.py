@@ -10,10 +10,14 @@ SepConvGRU update loop with convex upsampling.
 TPU-first notes:
   * The all-pairs correlation volume is one big batched matmul
     (B, H*W, C) @ (B, C, H*W) on the MXU.
-  * Pyramid lookups are bilinear gathers batched over all pixels and all
-    81 offsets of a level at once.
-  * The update loop is ``jax.lax.scan`` over iterations — one compile,
-    no Python-loop unrolling.
+  * Pyramid lookups sample a 10x10 integer patch per pixel with two 0/1
+    one-hot einsums on the MXU (ops/warp.py::onehot_window_sample) — XLA
+    lowers the naive take_along_axis to a ~13.5 ms gather per lookup.
+  * The update loop is a Python loop unrolled into one jit: XLA's DCE
+    drops the 11 dead convex-upsample/mask heads (only the last
+    iteration's upsampled flow is returned), which a lax.scan could not.
+  * Per-image encoders are separate methods so video engines can cache
+    ``features`` across frames (flow_from_feature_ring).
 """
 
 from __future__ import annotations
@@ -235,24 +239,38 @@ def convex_upsample(flow, mask):
 
 class RAFT(nn.Module):
     """raft_large. __call__ returns the final upsampled flow (B, H, W, 2)
-    in pixels (the reference takes ``model(...)[-1]``, src/engine.py:49)."""
+    in pixels (the reference takes ``model(...)[-1]``, src/engine.py:49).
+
+    The per-image encoders and the recurrent flow solve are exposed as
+    separate methods so a video engine can CACHE ``features`` across
+    frames (the reference pairs the current frame with each previous
+    one, so a previous frame's fnet features are recomputed T-1 extra
+    times per frame in the stateless formulation; see
+    track/outputs.py::flow_from_feature_ring). ``__call__`` composes
+    the same methods — one definition of the math."""
 
     iters: int = 12
     corr_levels: int = 4
     corr_radius: int = 4
 
-    @nn.compact
-    def __call__(self, image1, image2, train: bool = False):
-        """Images: (B, H, W, 3) normalized to [-1, 1] by the caller contract
-        of torchvision RAFT (the engine wrapper handles scaling)."""
-        fnet = RAFTEncoder(256, "instance", name="fnet")
-        cnet = RAFTEncoder(256, "batch", name="cnet")
-        f1 = fnet(image1, train=False)
-        f2 = fnet(image2, train=False)
-        ctx = cnet(image1, train=False)
-        net = jnp.tanh(ctx[..., :128])
-        inp = nn.relu(ctx[..., 128:])
+    def setup(self):
+        self.fnet = RAFTEncoder(256, "instance")
+        self.cnet = RAFTEncoder(256, "batch")
+        self.update_block = UpdateBlock()
 
+    def features(self, image):
+        """(B, H, W, 3) -> (B, H/8, W/8, 256) correlation features."""
+        return self.fnet(image, train=False)
+
+    def context(self, image):
+        """(B, H, W, 3) -> (net0, inp): GRU init state + context feed."""
+        ctx = self.cnet(image, train=False)
+        return jnp.tanh(ctx[..., :128]), nn.relu(ctx[..., 128:])
+
+    def flow_from_features(self, f1, f2, net, inp):
+        """Recurrent flow solve from precomputed per-image encoders:
+        f1/f2 = ``features`` of image1/image2, (net, inp) = ``context``
+        of image1. Returns the upsampled flow (B, H, W, 2) in pixels."""
         pyramid = build_corr_pyramid(f1, f2, self.corr_levels)
         B, H8, W8, _ = f1.shape
         xs = jnp.arange(W8, dtype=jnp.float32)
@@ -261,18 +279,24 @@ class RAFT(nn.Module):
             jnp.meshgrid(xs, ys, indexing="xy"), axis=-1
         )[None].repeat(B, axis=0)
 
-        update = UpdateBlock(name="update_block")
-
         flow = jnp.zeros((B, H8, W8, 2), jnp.float32)
         up_flow = None
         for _ in range(self.iters):
             corr = lookup_corr(
                 pyramid, coords0 + flow, self.corr_radius
             )
-            net, delta, mask = update(net, inp, corr, flow)
+            net, delta, mask = self.update_block(net, inp, corr, flow)
             flow = flow + delta
             up_flow = convex_upsample(flow, mask)
         return up_flow
+
+    def __call__(self, image1, image2, train: bool = False):
+        """Images: (B, H, W, 3) normalized to [-1, 1] by the caller contract
+        of torchvision RAFT (the engine wrapper handles scaling)."""
+        f1 = self.features(image1)
+        f2 = self.features(image2)
+        net, inp = self.context(image1)
+        return self.flow_from_features(f1, f2, net, inp)
 
 
 def make_raft_flow_fn(

@@ -84,3 +84,61 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
     fl = flow_model.apply(flow_variables, a, b)
     fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
     return fl.reshape((B, T - 1, H, W, 2))
+
+
+def flow_ingest(frame_norm, flow_model, flow_variables):
+    """One frame's cacheable flow-provider encoder state.
+
+    (B, H, W, 3) normalized frame -> ``(features, net, inp)`` — the
+    0.5x-resolution fnet output (B, h, w, 256) plus the context
+    encoder's GRU init/feed (B, h, w, 128) x2. The stateless
+    :func:`flow_for_window` recomputes the previous frames' features on
+    every new frame (the reference pairs the CURRENT frame with each
+    previous one, so the flows themselves are not cacheable — but the
+    per-image encoders are); the incremental engine calls this once per
+    NEW frame and keeps a newest-first ring of the features.
+    """
+    from mfcnet_tpu.ops.resize import resize_nearest
+
+    H, W = frame_norm.shape[-3:-1]
+    half = resize_nearest(frame_norm, H // 2, W // 2)
+    f = flow_model.apply(flow_variables, half, method="features")
+    net, inp = flow_model.apply(flow_variables, half, method="context")
+    return f, net, inp
+
+
+def flow_from_feature_ring(feat_buf, net, inp, out_hw, flow_model,
+                           flow_variables):
+    """Reference-v3 flow for one window from CACHED per-frame features.
+
+    feat_buf: (B, T, h, w, 256) newest-first ring of
+    :func:`flow_ingest` features; (net, inp): the NEWEST frame's
+    context state; out_hw: the full-resolution (H, W) the flow is
+    rescaled to. Returns (B, T-1, H, W, 2) — the same quantity as
+    :func:`flow_for_window` (same ops on the same inputs; each previous
+    frame's fnet features were simply computed when that frame arrived
+    instead of being recomputed per pair, so results agree to
+    float-reassociation level — pinned in tests/test_tracker.py). The
+    T-1 recurrent solves run as ONE batched forward, and the newest
+    frame's encoders run once per frame instead of once per pair.
+    """
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.ops.resize import resize_bilinear
+
+    B, T = feat_buf.shape[:2]
+    H, W = out_hw
+    hw = feat_buf.shape[2:]
+    f1 = jnp.repeat(feat_buf[:, :1], T - 1, axis=1).reshape(
+        (B * (T - 1),) + hw
+    )
+    f2 = feat_buf[:, 1:T].reshape((B * (T - 1),) + hw)
+    rep = lambda v: jnp.repeat(
+        v[:, None], T - 1, axis=1
+    ).reshape((B * (T - 1),) + v.shape[1:])
+    fl = flow_model.apply(
+        flow_variables, f1, f2, rep(net), rep(inp),
+        method="flow_from_features",
+    )
+    fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
+    return fl.reshape((B, T - 1, H, W, 2))

@@ -506,8 +506,23 @@ class InferenceEngine:
             # roll saves B*T*H*W HBM write traffic per frame on the
             # non-s2d (flow) path
             if cfg.add_optflow_inputs:
-                frame_buf = jnp.concatenate(
-                    [x[:, None], frame_buf[:, :-1]], axis=1
+                # frame_buf is the flow-provider FEATURE ring
+                # (feat_buf, net, inp): the per-image encoders run once
+                # per NEW frame here instead of once per pair per frame
+                # in the stateless path (the flows themselves are not
+                # cacheable — the reference pairs the CURRENT frame
+                # with each previous one — but fnet features are)
+                from mfcnet_tpu.track.outputs import flow_ingest
+
+                feat_buf, _, _ = frame_buf
+                f_new, net, inp = flow_ingest(
+                    x, flow_model, flow_variables
+                )
+                frame_buf = (
+                    jnp.concatenate(
+                        [f_new[:, None], feat_buf[:, :-1]], axis=1
+                    ),
+                    net, inp,
                 )
             return seg_buf, depth_buf, frame_buf
 
@@ -559,7 +574,13 @@ class InferenceEngine:
                     {"depth": depth_buf} if cfg.add_depth_inputs else {}
                 )
                 if cfg.add_optflow_inputs:
-                    kwargs["optflow"] = compute_flow(frame_buf)
+                    from mfcnet_tpu.track.outputs import (
+                        flow_from_feature_ring,
+                    )
+
+                    kwargs["optflow"] = flow_from_feature_ring(
+                        *frame_buf, (H, W), flow_model, flow_variables
+                    )
                 logits = model.apply(
                     cvars, seg_buf, method="fuse_precomputed", **kwargs
                 )
@@ -599,6 +620,20 @@ class InferenceEngine:
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self._ingest_fuse = ingest_fuse
         self._shapes = (H, W, T, C, dtype)
+        # incremental + flow: the frame ring is replaced by a flow-
+        # provider FEATURE ring; its zero-frame seed must equal
+        # flow_ingest(zero frames) so warmup windows match the
+        # stateless path's zero-filled frame buffer exactly
+        self._flow_zero = None
+        if cfg.add_optflow_inputs and cfg.mode == "incremental":
+            from mfcnet_tpu.track.outputs import flow_ingest
+
+            self._flow_zero = jax.jit(
+                lambda: flow_ingest(
+                    jnp.zeros((B, H, W, 3), dtype),
+                    flow_model, flow_variables,
+                )
+            )()
         self._zero_depth = self._put(  # uploaded once
             jnp.zeros((H, W) if B == 1 else (B, H, W), jnp.uint8),
             0 if B == 1 else 1,
@@ -637,12 +672,21 @@ class InferenceEngine:
             )
         else:  # placeholder: never read, never rolled (see ingest)
             self.depth_buf = jnp.zeros((B, 1, 1, 1, 1), dtype)
-        self.frame_buf = self._put(
-            jnp.zeros(
-                (B, T if self.cfg.add_optflow_inputs else 1, H, W, 3), dtype
-            ),
-            2,
-        )
+        if self._flow_zero is not None:
+            fz, nz, iz = self._flow_zero
+            self.frame_buf = (
+                self._put(jnp.repeat(fz[:, None], T, axis=1), 2),
+                self._put(nz, 1),
+                self._put(iz, 1),
+            )
+        else:
+            self.frame_buf = self._put(
+                jnp.zeros(
+                    (B, T if self.cfg.add_optflow_inputs else 1, H, W, 3),
+                    dtype,
+                ),
+                2,
+            )
         self._frame_q = []
         self._depth_q = []
 

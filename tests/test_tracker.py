@@ -890,3 +890,45 @@ def test_staged_fetch_loop_midstream_warmup_keeps_all_frames():
     )
     assert consumed == [(i, i) for i in range(5)]
     assert skipped == ["warmup"]
+
+
+def test_flow_feature_ring_matches_stateless():
+    """The incremental engine's cached-feature flow
+    (outputs.flow_from_feature_ring over a ring of flow_ingest results)
+    computes the same quantity as the stateless flow_for_window — same
+    ops, each previous frame's encoders run when that frame arrived —
+    so the two agree to float-reassociation level."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.outputs import (
+        flow_for_window,
+        flow_from_feature_ring,
+        flow_ingest,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, B = 64, 64, 3, 2
+    flow_model = RAFT(iters=2)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(
+        rng.normal(size=(B, T, H, W, 3)).astype(np.float32)
+    )
+    want = np.asarray(flow_for_window(frames, flow_model, flow_vars))
+
+    feats = [
+        flow_ingest(frames[:, t], flow_model, flow_vars)
+        for t in range(T)
+    ]
+    feat_buf = jnp.stack([f for f, _, _ in feats], axis=1)
+    net, inp = feats[0][1], feats[0][2]
+    got = np.asarray(flow_from_feature_ring(
+        feat_buf, net, inp, (H, W), flow_model, flow_vars
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
