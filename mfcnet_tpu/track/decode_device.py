@@ -3,7 +3,7 @@
 The reference decodes on host with OpenCV contours + scipy filters
 (utils/localization_utils_v2.py). That path needs the full class
 probabilities shipped to host every frame (~2.7 MB at 480x640). This module
-decodes on-device and ships 14 floats per instrument side:
+decodes on-device and ships 9 floats per instrument side:
 
   * tips: component-area gate (top-2 components with outer-contour area
     >= threshold — the host refine_tip_segmentation semantics, via the

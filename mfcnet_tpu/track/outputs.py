@@ -65,10 +65,11 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
     the provider runs on 0.5x nearest-resized frames pairing the NEWEST
     frame with each previous one, and the flow is rescaled x2 (bilinear,
     align_corners=True) and divided by the 0.5 resize factor. All
-    B*(T-1) pairs run as ONE batched forward — every op in the provider
-    is per-sample at eval (convs, instance norm, BN with running stats),
-    so this is numerically identical to the reference's per-pair loop at
-    a fraction of the dispatches.
+    B*(T-1) pairs run as ONE batched forward, and the newest frame's
+    per-image encoders run ONCE per window instead of once per pair
+    (the pairs share image1; the encoders are per-sample at eval, so
+    results equal the reference's per-pair loop to float-reassociation
+    level).
     """
     import jax.numpy as jnp
 
@@ -77,11 +78,26 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
     B, T, H, W = frames_norm.shape[:4]
     H2, W2 = H // 2, W // 2
     half = resize_nearest(frames_norm, H2, W2)
-    a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
-        (B * (T - 1), H2, W2, 3)
-    )
     b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
-    fl = flow_model.apply(flow_variables, a, b)
+    if hasattr(flow_model, "flow_from_features"):
+        newest = half[:, 0]
+        f1 = flow_model.apply(flow_variables, newest, method="features")
+        net, inp = flow_model.apply(
+            flow_variables, newest, method="context"
+        )
+        rep = lambda v: jnp.repeat(
+            v[:, None], T - 1, axis=1
+        ).reshape((B * (T - 1),) + v.shape[1:])
+        f2 = flow_model.apply(flow_variables, b, method="features")
+        fl = flow_model.apply(
+            flow_variables, rep(f1), f2, rep(net), rep(inp),
+            method="flow_from_features",
+        )
+    else:  # providers without split encoders (e.g. UnFlow)
+        a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
+            (B * (T - 1), H2, W2, 3)
+        )
+        fl = flow_model.apply(flow_variables, a, b)
     fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
     return fl.reshape((B, T - 1, H, W, 2))
 
