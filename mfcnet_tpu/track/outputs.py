@@ -78,26 +78,26 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
     B, T, H, W = frames_norm.shape[:4]
     H2, W2 = H // 2, W // 2
     half = resize_nearest(frames_norm, H2, W2)
-    b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
     if hasattr(flow_model, "flow_from_features"):
         newest = half[:, 0]
         f1 = flow_model.apply(flow_variables, newest, method="features")
         net, inp = flow_model.apply(
             flow_variables, newest, method="context"
         )
-        rep = lambda v: jnp.repeat(
-            v[:, None], T - 1, axis=1
-        ).reshape((B * (T - 1),) + v.shape[1:])
-        f2 = flow_model.apply(flow_variables, b, method="features")
-        fl = flow_model.apply(
-            flow_variables, rep(f1), f2, rep(net), rep(inp),
-            method="flow_from_features",
+        prevs = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
+        f2 = flow_model.apply(flow_variables, prevs, method="features")
+        feat_buf = jnp.concatenate(
+            [f1[:, None], f2.reshape((B, T - 1) + f2.shape[1:])], axis=1
         )
-    else:  # providers without split encoders (e.g. UnFlow)
-        a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
-            (B * (T - 1), H2, W2, 3)
+        return flow_from_feature_ring(
+            feat_buf, net, inp, (H, W), flow_model, flow_variables
         )
-        fl = flow_model.apply(flow_variables, a, b)
+    # providers without split encoders (e.g. UnFlow)
+    a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
+        (B * (T - 1), H2, W2, 3)
+    )
+    b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
+    fl = flow_model.apply(flow_variables, a, b)
     fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
     return fl.reshape((B, T - 1, H, W, 2))
 

@@ -673,11 +673,22 @@ class InferenceEngine:
         else:  # placeholder: never read, never rolled (see ingest)
             self.depth_buf = jnp.zeros((B, 1, 1, 1, 1), dtype)
         if self._flow_zero is not None:
+            import jax
+
             fz, nz, iz = self._flow_zero
+            # the flow state is tiny (1/16-resolution features) and its
+            # height need not divide spatial_shards — REPLICATE it
+            # under a mesh instead of sharding (the flow solve at
+            # h/16 x w/16 is negligible next to the sharded fusion)
+            rep = (
+                (lambda x: jax.device_put(x, self._replicated))
+                if self._spatial is not None
+                else jnp.asarray
+            )
             self.frame_buf = (
-                self._put(jnp.repeat(fz[:, None], T, axis=1), 2),
-                self._put(nz, 1),
-                self._put(iz, 1),
+                rep(jnp.repeat(fz[:, None], T, axis=1)),
+                rep(nz),
+                rep(iz),
             )
         else:
             self.frame_buf = self._put(

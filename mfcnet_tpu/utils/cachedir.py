@@ -21,13 +21,23 @@ def machine_cache_dir(base: str) -> str:
     E.g. ``machine_cache_dir("/tmp/jax_test_cache")`` ->
     ``/tmp/jax_test_cache-1a2b3c4d5e6f``.
     """
+    # Hash the model-name and bugs lines TOO, not just the ISA flags:
+    # XLA:CPU bakes model-dependent tuning pseudo-features (e.g.
+    # +prefer-no-gather from the Downfall/GDS mitigation, visible only
+    # in cpuinfo's ``bugs`` line) into the AOT executable, so two
+    # machines with identical flag lines can still mismatch.
     fingerprint = platform.machine()
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    fingerprint = line.strip()
-                    break
+                if line.startswith(("flags", "Features", "model name",
+                                    "bugs")):
+                    parts.append(line.strip())
+                    if len(parts) == 3:
+                        break
+        if parts:
+            fingerprint = "|".join(sorted(parts))
     except OSError:
         fingerprint += platform.platform()
     tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]

@@ -932,3 +932,62 @@ def test_flow_feature_ring_matches_stateless():
         feat_buf, net, inp, (H, W), flow_model, flow_vars
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_spatial_sharded_with_flow_matches_unsharded():
+    """Spatial sharding + flow-conditioned incremental tracking: the
+    flow-provider FEATURE ring lives at 1/16 resolution whose height
+    need not divide spatial_shards (here 96/16 = 6 rows over 4 shards),
+    so the engine must REPLICATE the flow state under the mesh instead
+    of sharding it (review finding: sharding it raised at construction
+    for exactly this shape class). Masks/aux must match the unsharded
+    flow engine."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 96, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (5, H, W, 3), dtype=np.uint8)
+
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H, input_width=W,
+        dtype="float32", mode="incremental", add_optflow_inputs=True,
+    )
+    ref = InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                          flow_variables=flow_vars)
+    shd = InferenceEngine(model, variables, cfg, flow_model=flow_model,
+                          flow_variables=flow_vars, spatial_shards=4)
+    for t in range(5):
+        a = ref.step(frames[t])
+        b = shd.step(frames[t])
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a[0], b[0], err_msg=f"mask frame {t}")
+        np.testing.assert_allclose(
+            np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
+            atol=1e-3, err_msg=f"aux frame {t}",
+        )
