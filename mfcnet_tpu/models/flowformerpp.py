@@ -719,12 +719,13 @@ class FlowFormerPP(nn.Module):
 
 
 def make_ffpp_flow_fn(basic: bool = True, iters: int = 12, variables=None,
-                      rng=None):
+                      rng=None, model=None):
     """Frozen FlowFormer++ provider with the engine's frame-pair convention
     and the 0.225/0.5 input-range hack (src/engine.py:43,47)."""
     import numpy as np
 
-    model = FlowFormerPP(iters=iters)
+    if model is None:
+        model = FlowFormerPP(iters=iters)
     if variables is None:
         from mfcnet_tpu.utils.jitinit import jit_init
 
@@ -733,14 +734,17 @@ def make_ffpp_flow_fn(basic: bool = True, iters: int = 12, variables=None,
         variables = jit_init(model, rng, dummy, dummy)
 
     def flow_fn(frames):
+        """All T-1 pairs as ONE batched forward (every op is per-sample
+        at eval, so this equals the per-pair loop to float-reassociation
+        level — pinned in tests/test_flow.py)."""
         B, T, H, W, _ = frames.shape
         scaled = frames * (0.225 / 0.5)
-        flows = []
-        f0 = scaled[:, 0]
-        for i in range(1, T):
-            fi = scaled[:, i]
-            a, b = (fi, f0) if basic else (f0, fi)
-            flows.append(model.apply(variables, a, b))
-        return jnp.stack(flows, axis=1)
+        rest = scaled[:, 1:].reshape((B * (T - 1), H, W, 3))
+        f0 = jnp.repeat(scaled[:, :1], T - 1, axis=1).reshape(
+            (B * (T - 1), H, W, 3)
+        )
+        a, b = (rest, f0) if basic else (f0, rest)
+        fl = model.apply(variables, a, b)
+        return fl.reshape((B, T - 1, H, W, 2))
 
     return flow_fn

@@ -247,17 +247,25 @@ class MultiFrameNet(nn.Module):
 
         if self.variant == "basic":
             if optflow is not None:
-                frames = [seg[:, 0]]
-                depths = [depth[:, 0]] if depth is not None else None
-                for i in range(1, T):
-                    maps = seg[:, i]
-                    if depth is not None:
-                        maps = jnp.concatenate([maps, depth[:, i]], axis=-1)
-                    warped = flow_warp(maps, optflow[:, i - 1], grid_hw=grid_hw)
-                    frames.append(warped[..., :C])
-                    if depth is not None:
-                        depths.append(warped[..., C:])
-                parts = frames + (depths if depth is not None else [])
+                # all T-1 warps in ONE gather: the warp is index-rate
+                # bound, so the per-frame loop would pay its dispatch
+                # and table-build cost T-1 times for the same math
+                maps = seg[:, 1:]
+                if depth is not None:
+                    maps = jnp.concatenate([maps, depth[:, 1:]], axis=-1)
+                Cw = maps.shape[-1]
+                warped = flow_warp(
+                    maps.reshape((B * (T - 1), H, W, Cw)),
+                    optflow.reshape((B * (T - 1), H, W, 2)),
+                    grid_hw=grid_hw,
+                ).reshape((B, T - 1, H, W, Cw))
+                parts = [seg[:, 0]] + [
+                    warped[:, i, ..., :C] for i in range(T - 1)
+                ]
+                if depth is not None:
+                    parts += [depth[:, 0]] + [
+                        warped[:, i, ..., C:] for i in range(T - 1)
+                    ]
             else:
                 parts = [seg[:, i] for i in range(T)]
                 if depth is not None:

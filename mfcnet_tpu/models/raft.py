@@ -331,13 +331,32 @@ def make_raft_flow_fn(
         variables = jit_init(model, rng, dummy, dummy)
 
     def flow_fn(frames):
+        """All T-1 pairs as ONE batched recurrent solve, the shared
+        frame-0 encoders computed once (they were recomputed per pair in
+        the naive per-pair loop; every op is per-sample at eval, so the
+        result equals the loop to float-reassociation level — pinned in
+        tests/test_flow.py)."""
         B, T, H, W, _ = frames.shape
-        flows = []
         f0 = frames[:, 0]
-        for i in range(1, T):
-            fi = frames[:, i]
-            a, b = (fi, f0) if basic else (f0, fi)
-            flows.append(model.apply(variables, a, b))
-        return jnp.stack(flows, axis=1)
+        rest = frames[:, 1:].reshape((B * (T - 1), H, W, 3))
+
+        def rep(v):
+            return jnp.repeat(v[:, None], T - 1, axis=1).reshape(
+                (B * (T - 1),) + v.shape[1:]
+            )
+
+        f0_feat = model.apply(variables, f0, method="features")
+        rest_feat = model.apply(variables, rest, method="features")
+        if basic:  # image1 = frame_i, image2 = frame_0
+            f1, f2 = rest_feat, rep(f0_feat)
+            net, inp = model.apply(variables, rest, method="context")
+        else:  # image1 = frame_0, image2 = frame_i
+            f1, f2 = rep(f0_feat), rest_feat
+            net0, inp0 = model.apply(variables, f0, method="context")
+            net, inp = rep(net0), rep(inp0)
+        fl = model.apply(
+            variables, f1, f2, net, inp, method="flow_from_features"
+        )
+        return fl.reshape((B, T - 1, H, W, 2))
 
     return flow_fn

@@ -215,11 +215,13 @@ class UnFlow(nn.Module):
         return flow
 
 
-def make_unflow_flow_fn(basic: bool = True, variables=None, rng=None):
+def make_unflow_flow_fn(basic: bool = True, variables=None, rng=None,
+                        model=None):
     """Frozen UnFlow provider with the engine's frame-pair convention."""
     import numpy as np
 
-    model = UnFlow()
+    if model is None:
+        model = UnFlow()
     if variables is None:
         import jax as _jax
 
@@ -230,13 +232,16 @@ def make_unflow_flow_fn(basic: bool = True, variables=None, rng=None):
         variables = jit_init(model, rng, dummy, dummy)
 
     def flow_fn(frames):
+        """All T-1 pairs as ONE batched forward (every op is per-sample,
+        so this equals the per-pair loop to float-reassociation level —
+        pinned in tests/test_flow.py)."""
         B, T, H, W, _ = frames.shape
-        flows = []
-        f0 = frames[:, 0]
-        for i in range(1, T):
-            fi = frames[:, i]
-            a, b = (fi, f0) if basic else (f0, fi)
-            flows.append(model.apply(variables, a, b))
-        return jnp.stack(flows, axis=1)
+        rest = frames[:, 1:].reshape((B * (T - 1), H, W, 3))
+        f0 = jnp.repeat(frames[:, :1], T - 1, axis=1).reshape(
+            (B * (T - 1), H, W, 3)
+        )
+        a, b = (rest, f0) if basic else (f0, rest)
+        fl = model.apply(variables, a, b)
+        return fl.reshape((B, T - 1, H, W, 2))
 
     return flow_fn

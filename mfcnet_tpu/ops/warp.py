@@ -50,25 +50,33 @@ def grid_sample_bilinear(
     tx = (fx - x0)[..., None]
     ty = (fy - y0)[..., None]
 
-    def gather(ix, iy):
-        """Gather img[b, iy, ix, :]; OOB handling per padding_mode."""
-        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        flat = img.reshape(B, H * W, C)
-        idx = iyc * W + ixc  # (B, Ho, Wo)
-        vals = jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1
-        ).reshape(*idx.shape, C)
-        if padding_mode == "border":
-            return vals
-        return vals * valid[..., None].astype(img.dtype)
-
-    x0i, y0i = x0, y0
-    v00 = gather(x0i, y0i)
-    v01 = gather(x0i + 1, y0i)
-    v10 = gather(x0i, y0i + 1)
-    v11 = gather(x0i + 1, y0i + 1)
+    # ONE row-gather of a precomputed 2x2-patch table instead of four
+    # independent take_along_axis gathers: TPU gathers are index-rate
+    # bound, so 4x fewer indices with 4C contiguous values per index is
+    # ~4x faster, and the zero-padded table reproduces the per-tap
+    # zeros masking exactly. Row (u, v) of the table holds the 2x2
+    # patch whose base tap is (y0, x0) = (u - 1, v - 1) of the
+    # zero-padded image; bases outside [-1, size-1] have all four taps
+    # out of bounds and are masked to zero afterwards ('zeros' mode
+    # only — 'border' mode pre-clips fx/fy so bases are always valid).
+    Hp, Wp = H + 1, W + 1
+    P = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tbl = jnp.concatenate(
+        [P[:, :Hp, :Wp], P[:, :Hp, 1:], P[:, 1:, :Wp], P[:, 1:, 1:]],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C): taps [00, 01(x+1), 10(y+1), 11]
+    u0 = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1
+    v0 = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1
+    idx = u0 * Wp + v0  # (B, Ho, Wo)
+    vals = jnp.take_along_axis(
+        tbl.reshape(B, Hp * Wp, 4 * C), idx.reshape(B, -1, 1), axis=1
+    ).reshape(*idx.shape, 4, C)
+    if padding_mode != "border":
+        valid = (
+            (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+        )
+        vals = vals * valid[..., None, None].astype(img.dtype)
+    v00, v01, v10, v11 = (vals[..., k, :] for k in range(4))
 
     top = v00 * (1.0 - tx) + v01 * tx
     bot = v10 * (1.0 - tx) + v11 * tx

@@ -65,6 +65,81 @@ def test_raft_flow_fn_contract():
     assert flow.shape == (1, 2, 64, 64, 2)
 
 
+@pytest.mark.parametrize("basic", [True, False])
+def test_raft_flow_fn_batched_equals_pair_loop(basic):
+    """make_raft_flow_fn runs all T-1 pairs as one batched solve with the
+    shared frame-0 encoders computed once; it must equal the reference's
+    per-pair loop (src/engine.py:39-53) to float-reassociation level."""
+    from mfcnet_tpu.models.raft import RAFT, make_raft_flow_fn
+
+    T, H, W = 3, 64, 64
+    rngn = np.random.default_rng(7)
+    frames = jnp.asarray(
+        rngn.uniform(-1, 1, (2, T, H, W, 3)).astype(np.float32)
+    )
+    model = RAFT(iters=2)
+    z = jnp.zeros((1, H, W, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), z, z)
+    fn = make_raft_flow_fn(
+        basic=basic, iters=2, variables=variables, input_hw=(H, W)
+    )
+    got = np.asarray(jax.jit(fn)(frames))
+
+    f0 = frames[:, 0]
+    want = []
+    for i in range(1, T):
+        fi = frames[:, i]
+        a, b = (fi, f0) if basic else (f0, fi)
+        want.append(model.apply(variables, a, b))
+    want = np.asarray(jnp.stack(want, axis=1))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_unflow_flow_fn_batched_equals_pair_loop():
+    from mfcnet_tpu.models.unflow import UnFlow, make_unflow_flow_fn
+
+    T, H, W = 3, 64, 64
+    rngn = np.random.default_rng(8)
+    frames = jnp.asarray(
+        rngn.uniform(0, 1, (1, T, H, W, 3)).astype(np.float32)
+    )
+    model = UnFlow()
+    z = jnp.zeros((1, H, W, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), z, z)
+    fn = make_unflow_flow_fn(basic=True, variables=variables)
+    got = np.asarray(jax.jit(fn)(frames))
+    want = []
+    for i in range(1, T):
+        want.append(model.apply(variables, frames[:, i], frames[:, 0]))
+    want = np.asarray(jnp.stack(want, axis=1))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_ffpp_flow_fn_batched_equals_pair_loop():
+    from mfcnet_tpu.models.flowformerpp import (
+        FlowFormerPP,
+        make_ffpp_flow_fn,
+    )
+
+    T, H, W = 3, 64, 64
+    rngn = np.random.default_rng(9)
+    frames = jnp.asarray(
+        rngn.uniform(-1, 1, (1, T, H, W, 3)).astype(np.float32)
+    )
+    model = FlowFormerPP(iters=1, enc_dims=(16, 32), enc_depths=(2, 2),
+                         latent_dim=16, query_dim=8)
+    z = jnp.zeros((1, H, W, 3))
+    variables = jit_init(model, jax.random.PRNGKey(0), z, z)
+    fn = make_ffpp_flow_fn(basic=True, variables=variables, model=model)
+    got = np.asarray(jax.jit(fn)(frames))
+    scaled = frames * (0.225 / 0.5)
+    want = []
+    for i in range(1, T):
+        want.append(model.apply(variables, scaled[:, i], scaled[:, 0]))
+    want = np.asarray(jnp.stack(want, axis=1))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_flowformerpp_forward_shape():
     from mfcnet_tpu.models.flowformerpp import FlowFormerPP
 
