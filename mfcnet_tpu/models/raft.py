@@ -336,14 +336,14 @@ def make_raft_flow_fn(
         the naive per-pair loop; every op is per-sample at eval, so the
         result equals the loop to float-reassociation level — pinned in
         tests/test_flow.py)."""
+        from mfcnet_tpu.ops.pairs import repeat_for_pairs
+
         B, T, H, W, _ = frames.shape
         f0 = frames[:, 0]
         rest = frames[:, 1:].reshape((B * (T - 1), H, W, 3))
 
         def rep(v):
-            return jnp.repeat(v[:, None], T - 1, axis=1).reshape(
-                (B * (T - 1),) + v.shape[1:]
-            )
+            return repeat_for_pairs(v, T - 1)
 
         f0_feat = model.apply(variables, f0, method="features")
         rest_feat = model.apply(variables, rest, method="features")

@@ -235,11 +235,11 @@ def make_unflow_flow_fn(basic: bool = True, variables=None, rng=None,
         """All T-1 pairs as ONE batched forward (every op is per-sample,
         so this equals the per-pair loop to float-reassociation level —
         pinned in tests/test_flow.py)."""
+        from mfcnet_tpu.ops.pairs import repeat_for_pairs
+
         B, T, H, W, _ = frames.shape
         rest = frames[:, 1:].reshape((B * (T - 1), H, W, 3))
-        f0 = jnp.repeat(frames[:, :1], T - 1, axis=1).reshape(
-            (B * (T - 1), H, W, 3)
-        )
+        f0 = repeat_for_pairs(frames[:, 0], T - 1)
         a, b = (rest, f0) if basic else (f0, rest)
         fl = model.apply(variables, a, b)
         return fl.reshape((B, T - 1, H, W, 2))

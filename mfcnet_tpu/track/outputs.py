@@ -71,8 +71,7 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
     results equal the reference's per-pair loop to float-reassociation
     level).
     """
-    import jax.numpy as jnp
-
+    from mfcnet_tpu.ops.pairs import repeat_for_pairs
     from mfcnet_tpu.ops.resize import resize_bilinear, resize_nearest
 
     B, T, H, W = frames_norm.shape[:4]
@@ -86,16 +85,11 @@ def flow_for_window(frames_norm, flow_model, flow_variables):
         )
         prevs = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
         f2 = flow_model.apply(flow_variables, prevs, method="features")
-        feat_buf = jnp.concatenate(
-            [f1[:, None], f2.reshape((B, T - 1) + f2.shape[1:])], axis=1
+        return _flow_from_feature_pairs(
+            f1, f2, net, inp, T, (H, W), flow_model, flow_variables
         )
-        return flow_from_feature_ring(
-            feat_buf, net, inp, (H, W), flow_model, flow_variables
-        )
-    # providers without split encoders (e.g. UnFlow)
-    a = jnp.repeat(half[:, :1], T - 1, axis=1).reshape(
-        (B * (T - 1), H2, W2, 3)
-    )
+    # providers without split encoders (e.g. UnFlow, FlowFormer++)
+    a = repeat_for_pairs(half[:, 0], T - 1)
     b = half[:, 1:T].reshape((B * (T - 1), H2, W2, 3))
     fl = flow_model.apply(flow_variables, a, b)
     fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)
@@ -138,22 +132,32 @@ def flow_from_feature_ring(feat_buf, net, inp, out_hw, flow_model,
     T-1 recurrent solves run as ONE batched forward, and the newest
     frame's encoders run once per frame instead of once per pair.
     """
-    import jax.numpy as jnp
+    B, T = feat_buf.shape[:2]
+    f2 = feat_buf[:, 1:T].reshape((B * (T - 1),) + feat_buf.shape[2:])
+    return _flow_from_feature_pairs(
+        feat_buf[:, 0], f2, net, inp, T, out_hw, flow_model,
+        flow_variables,
+    )
 
+
+def _flow_from_feature_pairs(f1, f2, net, inp, T, out_hw, flow_model,
+                             flow_variables):
+    """Shared tail of the two feature paths: batched recurrent solve over
+    the T-1 (newest, previous) feature pairs + the v3 0.5x rescale.
+
+    f1: (B, h, w, C) newest-frame features; f2: (B*(T-1), h, w, C)
+    previous-frame features in pair order; (net, inp): (B, ...) newest
+    context state.
+    """
+    from mfcnet_tpu.ops.pairs import repeat_for_pairs
     from mfcnet_tpu.ops.resize import resize_bilinear
 
-    B, T = feat_buf.shape[:2]
+    B = f1.shape[0]
     H, W = out_hw
-    hw = feat_buf.shape[2:]
-    f1 = jnp.repeat(feat_buf[:, :1], T - 1, axis=1).reshape(
-        (B * (T - 1),) + hw
-    )
-    f2 = feat_buf[:, 1:T].reshape((B * (T - 1),) + hw)
-    rep = lambda v: jnp.repeat(
-        v[:, None], T - 1, axis=1
-    ).reshape((B * (T - 1),) + v.shape[1:])
     fl = flow_model.apply(
-        flow_variables, f1, f2, rep(net), rep(inp),
+        flow_variables,
+        repeat_for_pairs(f1, T - 1), f2,
+        repeat_for_pairs(net, T - 1), repeat_for_pairs(inp, T - 1),
         method="flow_from_features",
     )
     fl = resize_bilinear(fl / 0.5, H, W, align_corners=True)

@@ -476,6 +476,13 @@ class InferenceEngine:
             and cfg.mode == "incremental" and H % 4 == 0 and W % 4 == 0
         )
         self._use_s2d = use_s2d
+        # incremental flow path: providers exposing split per-image
+        # encoders (RAFT's features/context/flow_from_features) get the
+        # cached feature ring; others (UnFlow, FlowFormer++) keep a raw
+        # frame ring and run the stateless flow_for_window per fuse
+        flow_split = cfg.add_optflow_inputs and hasattr(
+            flow_model, "flow_from_features"
+        )
 
         @jax.jit
         def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
@@ -506,24 +513,33 @@ class InferenceEngine:
             # roll saves B*T*H*W HBM write traffic per frame on the
             # non-s2d (flow) path
             if cfg.add_optflow_inputs:
-                # frame_buf is the flow-provider FEATURE ring
-                # (feat_buf, net, inp): the per-image encoders run once
-                # per NEW frame here instead of once per pair per frame
-                # in the stateless path (the flows themselves are not
-                # cacheable — the reference pairs the CURRENT frame
-                # with each previous one — but fnet features are)
-                from mfcnet_tpu.track.outputs import flow_ingest
+                if flow_split:
+                    # frame_buf is the flow-provider FEATURE ring
+                    # (feat_buf, net, inp): the per-image encoders run
+                    # once per NEW frame here instead of once per pair
+                    # per frame in the stateless path (the flows
+                    # themselves are not cacheable — the reference pairs
+                    # the CURRENT frame with each previous one — but
+                    # fnet features are)
+                    from mfcnet_tpu.track.outputs import flow_ingest
 
-                feat_buf, _, _ = frame_buf
-                f_new, net, inp = flow_ingest(
-                    x, flow_model, flow_variables
-                )
-                frame_buf = (
-                    jnp.concatenate(
-                        [f_new[:, None], feat_buf[:, :-1]], axis=1
-                    ),
-                    net, inp,
-                )
+                    feat_buf, _, _ = frame_buf
+                    f_new, net, inp = flow_ingest(
+                        x, flow_model, flow_variables
+                    )
+                    frame_buf = (
+                        jnp.concatenate(
+                            [f_new[:, None], feat_buf[:, :-1]], axis=1
+                        ),
+                        net, inp,
+                    )
+                else:
+                    # providers without split encoders (UnFlow,
+                    # FlowFormer++): raw normalized-frame ring; fuse
+                    # runs the stateless flow_for_window over it
+                    frame_buf = jnp.concatenate(
+                        [x[:, None], frame_buf[:, :-1]], axis=1
+                    )
             return seg_buf, depth_buf, frame_buf
 
         def _outputs(probs):
@@ -574,13 +590,17 @@ class InferenceEngine:
                     {"depth": depth_buf} if cfg.add_depth_inputs else {}
                 )
                 if cfg.add_optflow_inputs:
-                    from mfcnet_tpu.track.outputs import (
-                        flow_from_feature_ring,
-                    )
+                    if flow_split:
+                        from mfcnet_tpu.track.outputs import (
+                            flow_from_feature_ring,
+                        )
 
-                    kwargs["optflow"] = flow_from_feature_ring(
-                        *frame_buf, (H, W), flow_model, flow_variables
-                    )
+                        kwargs["optflow"] = flow_from_feature_ring(
+                            *frame_buf, (H, W), flow_model,
+                            flow_variables,
+                        )
+                    else:
+                        kwargs["optflow"] = compute_flow(frame_buf)
                 logits = model.apply(
                     cvars, seg_buf, method="fuse_precomputed", **kwargs
                 )
@@ -620,20 +640,24 @@ class InferenceEngine:
         self._ingest, self._fuse, self._full = ingest, fuse, full
         self._ingest_fuse = ingest_fuse
         self._shapes = (H, W, T, C, dtype)
-        # incremental + flow: the frame ring is replaced by a flow-
-        # provider FEATURE ring; its zero-frame seed must equal
-        # flow_ingest(zero frames) so warmup windows match the
-        # stateless path's zero-filled frame buffer exactly
+        # incremental + flow with split encoders: the frame ring is
+        # replaced by a flow-provider FEATURE ring. Its seed entries are
+        # provably never read — step_async only fuses after T ingests
+        # (fused_dispatch ingests inside the same program before its
+        # fuse), by which point every seed entry has rolled out — so
+        # zeros of the right shape suffice; eval_shape gets the shapes
+        # without compiling or running the flow encoders at construction
         self._flow_zero = None
-        if cfg.add_optflow_inputs and cfg.mode == "incremental":
+        if flow_split and cfg.mode == "incremental":
             from mfcnet_tpu.track.outputs import flow_ingest
 
-            self._flow_zero = jax.jit(
-                lambda: flow_ingest(
-                    jnp.zeros((B, H, W, 3), dtype),
-                    flow_model, flow_variables,
-                )
-            )()
+            shapes = jax.eval_shape(
+                lambda z: flow_ingest(z, flow_model, flow_variables),
+                jax.ShapeDtypeStruct((B, H, W, 3), dtype),
+            )
+            self._flow_zero = tuple(
+                jnp.zeros(s.shape, s.dtype) for s in shapes
+            )
         self._zero_depth = self._put(  # uploaded once
             jnp.zeros((H, W) if B == 1 else (B, H, W), jnp.uint8),
             0 if B == 1 else 1,

@@ -335,6 +335,71 @@ def test_tracker_with_optical_flow(tmp_path):
             )
 
 
+def test_tracker_flow_provider_without_split_encoders():
+    """Regression: the incremental engine must keep working for flow
+    providers WITHOUT RAFT-style split encoders (UnFlow, FlowFormer++).
+    The feature-ring optimization hard-depended on
+    ``flow_from_features`` and crashed at engine construction for
+    UnFlow; providers without it now keep a raw-frame ring and run the
+    stateless flow_for_window per fuse — incremental and full modes
+    must agree like they do for RAFT."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.unflow import UnFlow
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 128, 128, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(3),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = UnFlow(corr_impl="shifts")
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    assert not hasattr(flow_model, "flow_from_features")
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (4, H, W, 3), dtype=np.uint8)
+    engines = {
+        mode: InferenceEngine(
+            model, variables,
+            TrackerConfig(num_input_frames=T, num_classes=C,
+                          input_height=H, input_width=W, dtype="float32",
+                          mode=mode, add_optflow_inputs=True),
+            flow_model=flow_model, flow_variables=flow_vars,
+        )
+        for mode in ("incremental", "full")
+    }
+    compared = 0
+    for t in range(4):
+        outs = {m: e.step(frames[t]) for m, e in engines.items()}
+        assert (outs["incremental"] is None) == (outs["full"] is None)
+        if outs["incremental"] is not None:
+            np.testing.assert_array_equal(
+                outs["incremental"][0], outs["full"][0],
+                err_msg=f"mask frame {t}",
+            )
+            np.testing.assert_allclose(
+                outs["incremental"][1], outs["full"][1], atol=5e-4,
+                err_msg=f"frame {t}",
+            )
+            compared += 1
+    assert compared == 4 - (T - 1)
+
+
 @pytest.mark.parametrize("mode,decode", [
     ("incremental", "host"),
     ("full", "host"),
