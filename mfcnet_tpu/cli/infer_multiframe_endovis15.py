@@ -94,7 +94,11 @@ def main(argv=None):
     if args.add_optflow_inputs:
         from mfcnet_tpu.cli.train_multiframe_detection import build_flow_fn
 
-        flow_fn = build_flow_fn(args.optflow_model, args.model_type)
+        flow_fn = build_flow_fn(
+            args.optflow_model, args.model_type,
+            (args.input_height, args.input_width),
+            weights_path=getattr(args, "load_wts_flow_model", None),
+        )
 
     eval_step = make_multiframe_eval_step(
         model, ["nll"], [1.0], args.metric_fns, args.num_classes,

@@ -43,24 +43,67 @@ from mfcnet_tpu.utils.jitinit import jit_init
 from mfcnet_tpu.utils.logging import init_logging
 
 
-def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640)):
+def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640),
+                  weights_path=None):
     """Frozen flow provider running inside the jitted step
     (reference: src/engine.py:39-53 — flow between each frame i and frame 0;
-    'Basic' model types get flow(frame_i -> frame_0))."""
-    if optflow_model == "RAFT":
-        from mfcnet_tpu.models.raft import make_raft_flow_fn
+    'Basic' model types get flow(frame_i -> frame_0)).
 
-        return make_raft_flow_fn(
-            basic=("Basic" in model_type), input_hw=input_hw
+    ``weights_path``: converted flow-model weights (msgpack, e.g. from
+    ``tools/parity_check.py --save``). The reference loads pretrained
+    flow weights implicitly (torchvision ``raft_large(pretrained=True)``,
+    ``ffpp_things.pth`` — train_multiframe_detection.py:77-93); without
+    them the frozen provider is random-init and the fusion head would
+    train against noise flow.
+    """
+
+    def _load(model, *dummies):
+        if weights_path is None:
+            return None
+        import jax
+        import numpy as np
+
+        from mfcnet_tpu.utils.checkpoint import load_params
+        from mfcnet_tpu.utils.jitinit import jit_init
+
+        tpl = jit_init(
+            model, jax.random.PRNGKey(0),
+            *(np.zeros(d, np.float32) for d in dummies),
         )
+        return {"params": load_params(weights_path,
+                                      template=tpl["params"])}
+
+    basic = "Basic" in model_type
+    if optflow_model == "RAFT":
+        from mfcnet_tpu.models.raft import RAFT, make_raft_flow_fn
+
+        # template init at the working resolution, matching the
+        # factory's own init (RAFT params are size-dependent below
+        # 64x64 at 1/8 scale)
+        pair = (1, *input_hw, 3)
+        return make_raft_flow_fn(
+            basic=basic, input_hw=input_hw,
+            variables=_load(RAFT(iters=12), pair, pair),
+        )
+    # UnFlow/FFPP params are size-independent; init at the factories'
+    # own 64x64 dummy size
+    pair = (1, 64, 64, 3)
     if optflow_model == "UnFlow":
-        from mfcnet_tpu.models.unflow import make_unflow_flow_fn
+        from mfcnet_tpu.models.unflow import UnFlow, make_unflow_flow_fn
 
-        return make_unflow_flow_fn(basic=("Basic" in model_type))
+        return make_unflow_flow_fn(
+            basic=basic, variables=_load(UnFlow(), pair, pair)
+        )
     if optflow_model == "FlowFormerPlusPlus":
-        from mfcnet_tpu.models.flowformerpp import make_ffpp_flow_fn
+        from mfcnet_tpu.models.flowformerpp import (
+            FlowFormerPP,
+            make_ffpp_flow_fn,
+        )
 
-        return make_ffpp_flow_fn(basic=("Basic" in model_type))
+        return make_ffpp_flow_fn(
+            basic=basic,
+            variables=_load(FlowFormerPP(iters=12), pair, pair),
+        )
     raise NotImplementedError(f"optflow model {optflow_model}")
 
 
@@ -258,7 +301,18 @@ def main(argv=None):
                     state = state.replace(ema_params=jax.tree.map(
                         lambda p: jax.numpy.array(p), state.params
                     ))
-            start_epoch = max(start_epoch, epoch)
+            # a complete-epoch checkpoint resumes AFTER its epoch; only
+            # a mid-epoch snapshot (batches_done in the sidecar)
+            # re-enters its epoch with a batch fast-forward. (The
+            # reference restarts AT the saved epoch — but it never
+            # restores optimizer state, so its "resume" is a manual
+            # re-run: utils/model_utils.py:14-39. Re-training a completed
+            # epoch on top of a state that already contains it would
+            # double-train it and shift every schedule boundary.)
+            start_epoch = max(
+                start_epoch,
+                epoch if resume_skip_batches else epoch + 1,
+            )
             logger.info(
                 f"Resumed from {ck} at epoch {epoch}"
                 + (
@@ -274,10 +328,22 @@ def main(argv=None):
         logger.info(f"Loaded model weights from {args.load_wts_model}")
 
     flow_fn = (
-        build_flow_fn(args.optflow_model, args.model_type, (H, W))
+        build_flow_fn(
+            args.optflow_model, args.model_type, (H, W),
+            weights_path=getattr(args, "load_wts_flow_model", None),
+        )
         if args.add_optflow_inputs
         else None
     )
+    if args.add_optflow_inputs and not getattr(
+        args, "load_wts_flow_model", None
+    ):
+        logger.warning(
+            "--add_optflow_inputs without --load_wts_flow_model: the "
+            "frozen flow provider is RANDOM-INIT (the reference trains "
+            "against pretrained flow); pass converted weights for a "
+            "real run."
+        )
 
     train_step = make_multiframe_train_step(
         model,
@@ -327,6 +393,7 @@ def main(argv=None):
     ckpt_writer = make_checkpointer(
         getattr(args, "ckpt_backend", "msgpack")
     )
+    epoch = start_epoch - 1  # interrupts before the loop: nothing trained
     try:
         with mesh_ctx:
             for epoch in range(start_epoch, args.num_epochs + 1):
@@ -382,20 +449,38 @@ def main(argv=None):
         # `--resume` continues exactly where the run was preempted.
         from mfcnet_tpu.train.engine import TrainInterrupted
 
-        extra = None
         if isinstance(e, TrainInterrupted):
             state = e.state
             extra = {"epoch": epoch, "batches_done": e.batches_done}
+        else:
+            # interrupt OUTSIDE train_one_epoch (validate / checkpoint
+            # save / before the loop): `state` is epoch-complete through
+            # `epoch`, so the sidecar records that — a fixed epoch like
+            # the snapshot's 999 FILENAME would make --resume start past
+            # num_epochs and silently train nothing
+            extra = {"epoch": epoch}
         if jax.process_index() == 0:
-            p = save_checkpoint(expt_dir / "ckpts", 999, state,
-                                extra=extra)
-            logger.info(
-                f"Interrupted; snapshot saved to {p}"
-                + (
-                    f" (epoch {epoch}, {extra['batches_done']} batches)"
-                    if extra else ""
+            try:
+                p = save_checkpoint(expt_dir / "ckpts", 999, state,
+                                    extra=extra)
+                logger.info(
+                    f"Interrupted; snapshot saved to {p}"
+                    + (
+                        f" (epoch {epoch}, "
+                        f"{extra['batches_done']} batches)"
+                        if "batches_done" in extra else f" (epoch {epoch})"
+                    )
                 )
-            )
+            except Exception as snap_err:
+                # the interrupt can land inside a train step whose
+                # donated input buffers are already invalidated — the
+                # state handed to us is then unreadable. Losing the
+                # snapshot is the pre-existing behavior; crashing inside
+                # the interrupt handler loses the clean shutdown too.
+                logger.error(
+                    f"Interrupt snapshot failed ({snap_err!r}); resume "
+                    "from the last periodic checkpoint instead."
+                )
         raise
     ckpt_writer.wait()
     getattr(ckpt_writer, "close", lambda: None)()

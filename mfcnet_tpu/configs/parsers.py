@@ -180,6 +180,14 @@ def _add_common(parser, multiframe: bool, train: bool):
     g.add_argument("--add_optflow_inputs", type=_str2bool, default=False)
     g.add_argument("--optflow_model", type=str, default="RAFT",
                    choices=["RAFT", "FlowFormerPlusPlus", "UnFlow"])
+    g.add_argument("--load_wts_flow_model", type=str, default=None,
+                   help="Converted flow-model weights (msgpack) for the "
+                        "frozen provider behind --add_optflow_inputs. "
+                        "The reference loads pretrained flow weights "
+                        "implicitly (torchvision raft_large pretrained / "
+                        "ffpp_things.pth); without this flag the "
+                        "provider runs RANDOM-INIT and a training run "
+                        "would learn against noise flow.")
     g.add_argument("--add_depth_inputs", type=_str2bool, default=False)
     # TPU-specific extras
     g.add_argument("--compute_dtype", type=str, default="float32",

@@ -80,6 +80,15 @@ def compute_losses(
     class_weights=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted-sum loss dispatcher (reference: src/loss.py:6-21)."""
+    if len(loss_fns) != len(loss_wts):
+        # the reference asserts this arity at startup
+        # (scripts/train_multiframe_detection.py:47-49); without it the
+        # zip silently DROPS loss terms (e.g. --loss_fns nll soft_jaccard
+        # with the default single-element --loss_wts trains on nll only)
+        raise ValueError(
+            f"{len(loss_fns)} loss_fns but {len(loss_wts)} loss_wts — "
+            "pass one weight per loss"
+        )
     total = 0.0
     parts: Dict[str, jnp.ndarray] = {}
     for fn, wt in zip(loss_fns, loss_wts):

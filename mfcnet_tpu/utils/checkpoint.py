@@ -293,14 +293,33 @@ def load_params(path, template=None):
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
-    """Newest checkpoint WITH its epoch ``.json`` sidecar. The sidecar is
-    written only after the data write commits (both backends), so
-    "sidecar present" is the completeness marker; a sidecar-less entry is
-    an in-flight or interrupted write and resuming from it would restart
-    at epoch 0."""
+    """Checkpoint at the furthest TRAINING POSITION, with its epoch
+    ``.json`` sidecar. The sidecar is written only after the data write
+    commits (both backends), so "sidecar present" is the completeness
+    marker; a sidecar-less entry is an in-flight or interrupted write and
+    resuming from it would restart at epoch 0.
+
+    Ordering is by the sidecar's position, not the filename: a
+    complete-epoch-``e`` checkpoint sits at (e+1, 0 batches) and a
+    mid-epoch interrupt snapshot ({"epoch": e, "batches_done": k}) at
+    (e, k). The interrupt snapshot's fixed ``model_999`` name would
+    otherwise stem-sort above every later real checkpoint forever (and
+    stem order itself breaks at epoch >= 1000)."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.exists():
         return None
+
+    def _position(p: Path):
+        try:
+            meta = json.loads(p.with_suffix(".json").read_text())
+            epoch = int(meta["epoch"])
+        except Exception:
+            return (-1, -1.0, p.stem)
+        bd = meta.get("batches_done")
+        if bd is not None:  # mid-epoch snapshot: inside epoch `epoch`
+            return (epoch, float(bd), p.stem)
+        return (epoch + 1, -1.0, p.stem)  # complete through `epoch`
+
     cands = sorted(
         (
             p
@@ -310,6 +329,6 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
             )
             if p.with_suffix(".json").exists()
         ),
-        key=lambda p: p.stem,
+        key=_position,
     )
     return cands[-1] if cands else None

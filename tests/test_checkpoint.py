@@ -49,6 +49,31 @@ def test_latest_checkpoint_skips_sidecarless(tmp_path):
     assert latest_checkpoint(tmp_path) is None
 
 
+def test_latest_checkpoint_orders_by_training_position(tmp_path):
+    """The interrupt snapshot's fixed model_999 name must not shadow
+    later real checkpoints: ordering is by the sidecar's training
+    position (complete epoch e = (e+1, 0); mid-epoch = (e, batches)),
+    not by filename stem."""
+    state = _tiny_state()
+    # mid-epoch interrupt snapshot at epoch 3
+    save_checkpoint(tmp_path, 999, state,
+                    extra={"epoch": 3, "batches_done": 5})
+    # the run was resumed and completed through epoch 10
+    save_checkpoint(tmp_path, 10, state)
+    assert latest_checkpoint(tmp_path).stem == "model_010"
+    # a mid-epoch snapshot INSIDE epoch 11 beats complete-epoch-10
+    (tmp_path / "model_999.json").write_text(
+        json.dumps({"epoch": 11, "batches_done": 2})
+    )
+    assert latest_checkpoint(tmp_path).stem == "model_999"
+    # complete epoch 11 beats the mid-epoch-11 snapshot
+    save_checkpoint(tmp_path, 11, state)
+    assert latest_checkpoint(tmp_path).stem == "model_011"
+    # numeric epochs beyond 999 don't fall to stem ordering
+    save_checkpoint(tmp_path, 1000, state)
+    assert latest_checkpoint(tmp_path).stem == "model_1000"
+
+
 def test_orbax_sidecar_written_at_commit(tmp_path):
     """The sidecar must appear WITHOUT any wait()/subsequent save() call —
     the post-finalization callback writes it when the async commit

@@ -205,3 +205,34 @@ def test_flowformerpp_realistic_resolution_lowering():
     assert "480" in str(lowered.out_info.shape) or tuple(
         lowered.out_info.shape
     ) == (1, 480, 640, 2)
+
+
+def test_build_flow_fn_loads_converted_weights(tmp_path):
+    """--load_wts_flow_model on the train/infer CLIs: build_flow_fn must
+    run the frozen provider with the CONVERTED weights, not a random
+    init (the reference loads pretrained flow implicitly —
+    train_multiframe_detection.py:77-93 — so a weightless provider
+    silently trains the fusion head against noise flow)."""
+    from mfcnet_tpu.cli.train_multiframe_detection import build_flow_fn
+    from mfcnet_tpu.models.unflow import UnFlow, make_unflow_flow_fn
+    from mfcnet_tpu.utils.checkpoint import save_params
+
+    m = UnFlow()
+    d = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jit_init(m, jax.random.PRNGKey(11), d, d)
+    path = tmp_path / "unflow.msgpack"
+    save_params(path, variables["params"])
+
+    fn = build_flow_fn(
+        "UnFlow", "TernausNetMulti-Basic", (64, 64),
+        weights_path=str(path),
+    )
+    frames = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 64, 64, 3)),
+        np.float32,
+    )
+    got = np.asarray(fn(frames))
+    want = np.asarray(
+        make_unflow_flow_fn(basic=True, variables=variables)(frames)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

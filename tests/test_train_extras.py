@@ -296,3 +296,23 @@ def test_train_cli_grad_accum_ema_and_ema_export(dataset, tmp_path):
     ])
     assert rc == 0
     assert load_exported(out).meta["ema"] is True
+
+
+def test_loss_arity_mismatch_raises():
+    """--loss_fns longer than --loss_wts used to be silently truncated
+    by zip (a requested loss term simply not trained on); the reference
+    asserts the arity at startup (train_multiframe_detection.py:47-49)
+    and so do we."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mfcnet_tpu.train.loss import compute_losses
+
+    lp = jnp.zeros((1, 4, 4, 5))
+    tg = jnp.zeros((1, 4, 4), jnp.int32)
+    with pytest.raises(ValueError, match="loss_wts"):
+        compute_losses(lp, tg, ["nll", "soft_jaccard"], [1.0], 5)
+    total, parts = compute_losses(
+        lp, tg, ["nll", "soft_jaccard"], [0.7, 0.3], 5
+    )
+    assert {"loss_nll", "loss_soft_jaccard"} <= set(parts)

@@ -164,6 +164,46 @@ def test_set_epoch_makes_shuffle_restart_invariant():
     assert batches(l2) == out1[2:]
 
 
+def test_cli_resume_continues_after_complete_epoch(tmp_path):
+    """Resuming from a complete-epoch checkpoint continues at the NEXT
+    epoch instead of re-training the saved one (the reference restarts
+    AT the saved epoch, but it never restores optimizer state —
+    utils/model_utils.py:14-39 — so re-training there is a fresh run,
+    while here it would double-train the epoch). Also covers the
+    validate-interrupt snapshot path, whose sidecar records the real
+    completed epoch with no batches_done."""
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+    from mfcnet_tpu.utils.checkpoint import latest_checkpoint
+
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=1, frames_per_video=4,
+        height=64, width=64,
+    )
+    common = [
+        "--data_dir", str(data_root),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path / "runs"),
+        "--expt_name", "complete_resume",
+        "--batch_size", "2",
+        "--num_workers", "1",
+        "--save_freq", "10",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+    ]
+    # epochs 0..1, 2 batches each -> step 4; final checkpoint epoch 1
+    s1 = main(common + ["--num_epochs", "1"])
+    assert int(s1.step) == 4
+    ck = latest_checkpoint(tmp_path / "runs" / "complete_resume" / "ckpts")
+    assert json.loads(ck.with_suffix(".json").read_text()) == {"epoch": 1}
+    # extend to num_epochs=2: exactly epoch 2 trains (2 more steps);
+    # the old max(start, epoch) would re-train epoch 1 too (4 steps)
+    s2 = main(common + ["--num_epochs", "2", "--resume", "true"])
+    assert int(s2.step) == int(s1.step) + 2
+
+
 def test_cli_resumes_mid_epoch_from_snapshot(tmp_path):
     """The train CLI reads batches_done from the snapshot sidecar and
     runs exactly the remaining batches of the interrupted epoch."""
