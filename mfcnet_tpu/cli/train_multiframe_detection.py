@@ -380,10 +380,20 @@ def main(argv=None):
             # augment_train_batch).
             batch = shard_host_local_batch(mesh, batch)
             return augment_train_batch(batch, k, tcfg)
-        out = augment_train_batch(batch, k, tcfg)
-        # shard_multiframe_batch == shard_batch on a 1-D data mesh; on a
-        # data x spatial mesh it additionally splits the height axis
-        return shard_multiframe_batch(mesh, out) if mesh is not None else out
+        if mesh is not None:
+            # single host with a mesh: shard the raw uint8 batch over the
+            # data axis BEFORE augmenting (like the multi-host branch), so
+            # the per-sample transform work spreads across the mesh and
+            # only 1/N of the f32 result transfers per device — instead of
+            # augmenting the whole batch on one device and resharding the
+            # result. Raw (pre-resize) frame heights need not divide the
+            # spatial axis, so the height split is applied after:
+            # shard_multiframe_batch == shard_batch on a 1-D data mesh; on
+            # a data x spatial mesh it additionally splits the height axis
+            batch = shard_batch(mesh, batch)
+            out = augment_train_batch(batch, k, tcfg)
+            return shard_multiframe_batch(mesh, out)
+        return augment_train_batch(batch, k, tcfg)
 
     import contextlib
 
