@@ -62,16 +62,37 @@ def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640),
             return None
         import jax
         import numpy as np
+        from flax import serialization
 
-        from mfcnet_tpu.utils.checkpoint import load_params
         from mfcnet_tpu.utils.jitinit import jit_init
 
         tpl = jit_init(
             model, jax.random.PRNGKey(0),
             *(np.zeros(d, np.float32) for d in dummies),
         )
-        return {"params": load_params(weights_path,
-                                      template=tpl["params"])}
+        raw = serialization.msgpack_restore(
+            Path(weights_path).read_bytes()
+        )
+        # Accept BOTH weight file shapes: a checkpoint-style payload
+        # ({'params', 'batch_stats', ...} — what tools/parity_check.py
+        # --save writes) and a bare params tree (save_params output).
+        ckpt_style = isinstance(raw, dict) and "params" in raw
+        raw_params = raw["params"] if ckpt_style else raw
+        out = {"params": serialization.from_state_dict(
+            tpl["params"], raw_params
+        )}
+        # RAFT's context encoder reads the batch_stats collection
+        # (use_running_average=True); dropping it makes the first flow
+        # forward raise ScopeCollectionNotFound. Restore it whenever the
+        # model has one; fall back to init stats (mean 0 / var 1) only
+        # for bare-params files that cannot carry it.
+        if "batch_stats" in tpl:
+            raw_bs = raw.get("batch_stats") if ckpt_style else None
+            out["batch_stats"] = (
+                serialization.from_state_dict(tpl["batch_stats"], raw_bs)
+                if raw_bs else tpl["batch_stats"]
+            )
+        return out
 
     basic = "Basic" in model_type
     if optflow_model == "RAFT":
@@ -281,9 +302,16 @@ def main(argv=None):
             # the interrupted run)
             import json as _json
 
+            # "mid-epoch" is signalled by the KEY being present, not by
+            # its value: a snapshot taken before the first batch of
+            # epoch e completes writes batches_done=0 and must re-enter
+            # epoch e (truthiness would skip the whole untrained epoch —
+            # latest_checkpoint._position uses the same presence rule)
+            mid_epoch = False
             meta_path = Path(str(ck)).with_suffix(".json")
             if meta_path.exists():
                 meta = _json.loads(meta_path.read_text())
+                mid_epoch = "batches_done" in meta
                 resume_skip_batches = int(meta.get("batches_done", 0))
             state = state.replace(
                 params=payload["params"],
@@ -311,13 +339,13 @@ def main(argv=None):
             # double-train it and shift every schedule boundary.)
             start_epoch = max(
                 start_epoch,
-                epoch if resume_skip_batches else epoch + 1,
+                epoch if mid_epoch else epoch + 1,
             )
             logger.info(
                 f"Resumed from {ck} at epoch {epoch}"
                 + (
                     f" (mid-epoch: skipping {resume_skip_batches} batches)"
-                    if resume_skip_batches else ""
+                    if mid_epoch else ""
                 )
             )
     elif args.load_wts_model:
@@ -404,6 +432,12 @@ def main(argv=None):
         getattr(args, "ckpt_backend", "msgpack")
     )
     epoch = start_epoch - 1  # interrupts before the loop: nothing trained
+    # last epoch whose training FINISHED (state is complete through it).
+    # The loop variable alone overstates progress when an interrupt
+    # lands between the loop head and train_one_epoch's batch loop
+    # (set_epoch / prefetcher construction): `epoch` is already the new
+    # in-progress epoch there, but the state has not trained it.
+    completed_epoch = start_epoch - 1
     try:
         with mesh_ctx:
             for epoch in range(start_epoch, args.num_epochs + 1):
@@ -426,6 +460,7 @@ def main(argv=None):
                     args.loss_fns,
                     skip_batches=skip,
                 )
+                completed_epoch = epoch
                 validate(
                     val_loader,
                     state,
@@ -463,12 +498,13 @@ def main(argv=None):
             state = e.state
             extra = {"epoch": epoch, "batches_done": e.batches_done}
         else:
-            # interrupt OUTSIDE train_one_epoch (validate / checkpoint
-            # save / before the loop): `state` is epoch-complete through
-            # `epoch`, so the sidecar records that — a fixed epoch like
-            # the snapshot's 999 FILENAME would make --resume start past
-            # num_epochs and silently train nothing
-            extra = {"epoch": epoch}
+            # interrupt OUTSIDE train_one_epoch's batch loop (validate /
+            # checkpoint save / loop head / before the loop): the state
+            # is epoch-complete through `completed_epoch` — NOT the loop
+            # variable, which already names the next in-progress epoch
+            # when the interrupt lands in set_epoch or prefetcher
+            # construction, and would make --resume skip that epoch
+            extra = {"epoch": completed_epoch}
         if jax.process_index() == 0:
             try:
                 p = save_checkpoint(expt_dir / "ckpts", 999, state,
@@ -476,9 +512,10 @@ def main(argv=None):
                 logger.info(
                     f"Interrupted; snapshot saved to {p}"
                     + (
-                        f" (epoch {epoch}, "
+                        f" (epoch {extra['epoch']}, "
                         f"{extra['batches_done']} batches)"
-                        if "batches_done" in extra else f" (epoch {epoch})"
+                        if "batches_done" in extra
+                        else f" (epoch {extra['epoch']})"
                     )
                 )
             except Exception as snap_err:

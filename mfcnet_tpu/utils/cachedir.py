@@ -40,5 +40,20 @@ def machine_cache_dir(base: str) -> str:
             fingerprint = "|".join(sorted(parts))
     except OSError:
         fingerprint += platform.platform()
+    # ... and STILL that is not enough: round-3 artifacts show
+    # cpu_aot_loader feature mismatches (+prefer-no-gather) between two
+    # VMs whose cpuinfo lines hash identically — XLA's tuning
+    # pseudo-features can depend on state cpuinfo doesn't expose
+    # (microcode / mitigation runtime status). Key by boot id too:
+    # within one boot the cache is reused (the case that matters —
+    # repeated pytest/bench/dryrun runs); across boots we eat one cold
+    # compile instead of risking a SIGILL from a foreign AOT executable.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            fingerprint += "|" + f.read().strip()
+    except OSError:
+        pass
     tag = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+    if base.endswith(f"-{tag}"):  # idempotent on already-keyed paths
+        return base
     return f"{base}-{tag}"

@@ -236,3 +236,48 @@ def test_build_flow_fn_loads_converted_weights(tmp_path):
         make_unflow_flow_fn(basic=True, variables=variables)(frames)
     )
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_build_flow_fn_raft_checkpoint_payload_with_batch_stats(tmp_path):
+    """RAFT (the default --optflow_model) through build_flow_fn with a
+    checkpoint-style weights file, the exact shape tools/parity_check.py
+    --save writes ({'params','batch_stats','opt_state','step'}).
+
+    Two regressions pinned at once: (1) _load used to drop the
+    batch_stats collection, so RAFT's BatchNorm context encoder
+    (use_running_average=True) raised ScopeCollectionNotFound at the
+    first flow forward; (2) it passed the whole checkpoint payload to
+    from_state_dict against a bare params template, which raised
+    ValueError on the documented parity_check --save workflow."""
+    from flax import serialization
+
+    from mfcnet_tpu.cli.train_multiframe_detection import build_flow_fn
+    from mfcnet_tpu.models.raft import RAFT, make_raft_flow_fn
+
+    m = RAFT(iters=2)
+    d = np.zeros((1, 64, 64, 3), np.float32)
+    variables = dict(jit_init(m, jax.random.PRNGKey(5), d, d))
+    # perturb the running stats so the test FAILS if they are silently
+    # replaced by init stats (mean 0 / var 1) instead of loaded
+    variables["batch_stats"] = jax.tree.map(
+        lambda x: x + 0.37, variables["batch_stats"]
+    )
+    path = tmp_path / "raft_ckpt.msgpack"
+    path.write_bytes(serialization.msgpack_serialize({
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables["batch_stats"]),
+        "opt_state": {}, "step": 0,
+    }))
+
+    fn = build_flow_fn(
+        "RAFT", "TernausNetMulti-Basic", (64, 64), weights_path=str(path)
+    )
+    frames = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(6), (1, 3, 64, 64, 3)),
+        np.float32,
+    )
+    got = np.asarray(fn(frames))
+    want = np.asarray(
+        make_raft_flow_fn(basic=True, variables=variables)(frames)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

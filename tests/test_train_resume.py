@@ -245,3 +245,46 @@ def test_cli_resumes_mid_epoch_from_snapshot(tmp_path):
     # resumes at epoch 1 skipping 1 batch (1 step) + full epoch 2
     # (2 steps) on top of the snapshot's 4
     assert int(s2.step) == int(s1.step) + 1 + 2
+
+def test_cli_resume_batches_done_zero_reenters_epoch(tmp_path):
+    """A preemption snapshot taken BEFORE the first batch of an epoch
+    completes (batches_done=0 — a long window that includes first-step
+    compilation) must resume INSIDE that epoch, not skip it. The
+    mid-epoch signal is the sidecar KEY's presence; the old truthiness
+    check treated bd=0 like a complete-epoch checkpoint and silently
+    skipped the entire untrained epoch."""
+    from mfcnet_tpu.cli.train_multiframe_detection import main
+    from mfcnet_tpu.data.synthetic import make_jigsaws_like_dataset
+    from mfcnet_tpu.utils.checkpoint import save_checkpoint
+
+    data_root = make_jigsaws_like_dataset(
+        tmp_path / "data", num_videos=1, frames_per_video=4,
+        height=64, width=64,
+    )
+    common = [
+        "--data_dir", str(data_root),
+        "--dataset", "JIGSAWS",
+        "--expt_savedir", str(tmp_path / "runs"),
+        "--expt_name", "bd0resume",
+        "--batch_size", "2",
+        "--num_workers", "1",
+        "--save_freq", "10",
+        "--input_height", "32",
+        "--input_width", "32",
+        "--model_scale", "0.1",
+        "--class_weights", "1", "1", "1", "1", "1",
+    ]
+    s1 = main(common + ["--num_epochs", "1"])
+    assert int(s1.step) == 4  # epochs 0..1, 2 batches each
+    # forge: epoch 2 interrupted before its first batch finished
+    ckdir = tmp_path / "runs" / "bd0resume" / "ckpts"
+    save_checkpoint(ckdir, 999, s1,
+                    extra={"epoch": 2, "batches_done": 0})
+
+    s2 = main(common + [
+        "--num_epochs", "2", "--resume", "true",
+        "--load_wts_model", str(ckdir / "model_999.msgpack"),
+    ])
+    # epoch 2 trains in full (2 steps); the truthiness bug would start
+    # at epoch 3 > num_epochs and train nothing
+    assert int(s2.step) == int(s1.step) + 2
