@@ -779,7 +779,32 @@ def convert_flowformerpp(sd: Dict[str, np.ndarray], depth: int = 3):
     The GMA RelPosEmb tables (memory_decoder.att.pos_emb.*) are present in
     checkpoints but unused by the default forward (gma.py:60-72) — dropped
     here. Unused timm leftovers (svt.norm / final-stage remnants) are
-    ignored by construction since only referenced keys are read."""
+    ignored by construction since only referenced keys are read.
+
+    Checkpoints trained with the reference's OPTIONAL branches are
+    rejected up front (their parameters would be silently dropped and
+    the converted model would compute a different function): NATTEN
+    neighborhood attention (``.rpb`` tables — NA.py:97), SK update
+    blocks (``.conv_list.`` PCBlocks — sk.py:9), and the quarter
+    refinement upsampler (``quater_upsampler.`` — quater_upsampler.py).
+    See the scope note in mfcnet_tpu/models/flowformerpp.py."""
+    _BRANCH_MARKERS = {
+        ".rpb": "NATTEN neighborhood attention "
+                "(vertical_encoder_attn=NA/NA-twins, NA.py:97)",
+        ".conv_list.": "SK update blocks (gma=GMA-SK, sk.py:9)",
+        "quater_upsampler.": "quarter refinement upsampler "
+                             "(quater_refine=True, quater_upsampler.py)",
+    }
+    for marker, what in _BRANCH_MARKERS.items():
+        hits = [k for k in sd if marker in k]
+        if hits:
+            raise NotImplementedError(
+                f"FlowFormer++ checkpoint contains {what} parameters "
+                f"(e.g. {hits[0]!r}): this optional reference branch is "
+                "not implemented — converting would silently drop these "
+                "weights. See the scope note in "
+                "mfcnet_tpu/models/flowformerpp.py."
+            )
     cpe = "memory_encoder.cost_perceiver_encoder"
     dec = "memory_decoder"
     perceiver = {

@@ -718,6 +718,118 @@ class FlowFormerPP(nn.Module):
         return up_flow
 
 
+# ---------------------------------------------------------------------------
+# reference-config validation (scope enforcement)
+# ---------------------------------------------------------------------------
+# Structural knobs of the reference percostformer3 config (ffpp_cfg_
+# things.py) whose NON-DEFAULT values select code paths this port does
+# not implement (see the module docstring's scope note). A user porting
+# a non-default reference config must get a diagnosis here, not a
+# silently wrong default-path forward.
+_STRUCTURAL_DEFAULTS = {
+    "vertical_encoder_attn": "twins",
+    "gma": "GMA",
+    "use_patch": False,
+    "r_16": -1,
+    "quater_refine": False,
+    "pretrain_mode": False,
+    "use_rpe": False,
+    "flow_or_pe": "and",
+    "cross_attn": "all",
+    "pe": "linear",
+    "patch_embed": "single",
+    "use_convertor": False,
+    "detach_local": False,
+    "no_sc": False,
+    "cost_heads_num": 1,
+    "dropout": 0.0,
+    "droppath": 0.0,
+}
+_REJECT_DETAIL = {
+    "vertical_encoder_attn": (
+        "NA / NA-twins need NATTEN neighborhood attention, whose CUDA "
+        "sources are absent even from the reference "
+        "(PerCostFormer3/NA.py:9-20)"
+    ),
+    "gma": (
+        "GMA-SK selects the SK update blocks (PerCostFormer3/sk.py); "
+        "None selects the no-GMA BasicUpdateBlock — only 'GMA' is "
+        "implemented"
+    ),
+    "use_patch": (
+        "cost-patch queries (PerCostFormer3/decoder.py:164,313)"
+    ),
+    "r_16": (
+        "1/16-scale auxiliary cost maps "
+        "(PerCostFormer3/encoder.py:407, decoder.py:334-339)"
+    ),
+    "quater_refine": (
+        "quarter-resolution refinement upsampler "
+        "(PerCostFormer3/quater_upsampler.py:31-119)"
+    ),
+    "pretrain_mode": "masked-cost pretraining mode (dead for inference)",
+}
+
+
+def validate_reference_config(cfg) -> None:
+    """Reject a reference FlowFormer++ config that enables an
+    unimplemented branch (raises NotImplementedError naming the knob).
+
+    ``cfg``: a dict or attribute-style object (e.g. a yacs CfgNode),
+    optionally nested under ``percostformer3`` as in the reference's
+    ffpp_cfg_things.py. Knobs not present are treated as defaults."""
+
+    def _get(c, k, default=None):
+        if isinstance(c, dict):
+            return c.get(k, default)
+        return getattr(c, k, default)
+
+    inner = _get(cfg, "percostformer3")
+    if inner is not None:
+        cfg = inner
+    for knob, default in _STRUCTURAL_DEFAULTS.items():
+        val = _get(cfg, knob, default)
+        # r_16 is "off" for any value <= 0 (the reference tests > 0)
+        ok = (val <= 0) if knob == "r_16" else (val == default)
+        if not ok:
+            detail = _REJECT_DETAIL.get(
+                knob, "a non-default structural branch"
+            )
+            raise NotImplementedError(
+                f"FlowFormer++ config sets {knob}={val!r} (default "
+                f"{default!r}): this selects {detail}. This port "
+                "implements the default 'things' path only — see the "
+                "scope note at the top of "
+                "mfcnet_tpu/models/flowformerpp.py."
+            )
+
+
+def ffpp_from_reference_config(cfg, iters: int | None = None):
+    """Build a :class:`FlowFormerPP` from a reference-style config,
+    validating it first (structural deviations raise) and mapping the
+    dimension knobs onto this port's fields."""
+    validate_reference_config(cfg)
+
+    def _get(c, k, default):
+        if isinstance(c, dict):
+            inner = c.get("percostformer3", c)
+            return inner.get(k, default) if isinstance(inner, dict) \
+                else getattr(inner, k, default)
+        inner = getattr(c, "percostformer3", c)
+        return getattr(inner, k, default)
+
+    return FlowFormerPP(
+        iters=iters if iters is not None
+        else int(_get(cfg, "decoder_depth", 12)),
+        latent_dim=int(_get(cfg, "cost_latent_dim", 128)),
+        latent_tokens=int(_get(cfg, "cost_latent_token_num", 8)),
+        query_dim=int(_get(cfg, "query_latent_dim", 64)),
+        vert_c_dim=int(_get(cfg, "vert_c_dim", 64)),
+        perceiver_depth=int(_get(cfg, "encoder_depth", 3)),
+        cost_embed_dim=int(_get(cfg, "cost_latent_input_dim", 64)),
+    )
+
+
 def make_ffpp_flow_fn(basic: bool = True, iters: int = 12, variables=None,
                       rng=None, model=None):
     """Frozen FlowFormer++ provider with the engine's frame-pair convention
