@@ -345,7 +345,12 @@ def main():
             if args.flow == "RAFT":
                 from mfcnet_tpu.models.raft import RAFT
 
-                flow_model = RAFT(iters=12)
+                # bf16: fused Pallas update iterations (the XLA convs
+                # are relayout-bound at 30x40 — ops/raft_update_pallas)
+                flow_model = RAFT(
+                    iters=12,
+                    fused_update=args.dtype == "bfloat16",
+                )
             else:
                 from mfcnet_tpu.models.flowformerpp import FlowFormerPP
 

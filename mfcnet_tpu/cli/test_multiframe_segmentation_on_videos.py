@@ -201,7 +201,14 @@ def main(argv=None):
         # :342-352); supply converted weights via --load_wts_flow_model
         from mfcnet_tpu.models.raft import RAFT
 
-        flow_model = RAFT(iters=12)
+        # bf16 runs route the 12 update iterations through the fused
+        # Pallas kernel (ops/raft_update_pallas.py — the XLA convs are
+        # relayout-bound at half-res 1/8 scale); f32 runs keep the
+        # exact XLA path for bit-parity work
+        flow_model = RAFT(
+            iters=12,
+            fused_update=args.compute_dtype == "bfloat16",
+        )
         flow_variables = jit_init(
             flow_model, jax.random.PRNGKey(1),
             np.zeros((1, H // 2, W // 2, 3), np.float32),

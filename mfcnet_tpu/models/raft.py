@@ -252,6 +252,14 @@ class RAFT(nn.Module):
     iters: int = 12
     corr_levels: int = 4
     corr_radius: int = 4
+    # run the 12 update iterations through the fused Pallas kernel
+    # (ops/raft_update_pallas.py) instead of XLA convs. The XLA lowering
+    # is relayout-bound at 1/8-res tracker sizes (~0.53 ms/iter vs the
+    # kernel's matmul floor); outputs agree to ``fused_dtype`` matmul
+    # precision (f32: ~1e-4; bfloat16: sub-pixel flow drift — the
+    # engine's product envelope, pinned in tests/test_flow.py).
+    fused_update: bool = False
+    fused_dtype: str = "bfloat16"
 
     def setup(self):
         self.fnet = RAFTEncoder(256, "instance")
@@ -271,6 +279,19 @@ class RAFT(nn.Module):
         """Recurrent flow solve from precomputed per-image encoders:
         f1/f2 = ``features`` of image1/image2, (net, inp) = ``context``
         of image1. Returns the upsampled flow (B, H, W, 2) in pixels."""
+        if self.fused_update and not self.is_initializing():
+            import jax.numpy as _jnp
+
+            from mfcnet_tpu.ops.raft_update_pallas import (
+                fused_flow_from_features,
+            )
+
+            return fused_flow_from_features(
+                {"params": self.variables["params"]}, f1, f2, net, inp,
+                iters=self.iters, corr_levels=self.corr_levels,
+                corr_radius=self.corr_radius,
+                compute_dtype=_jnp.dtype(self.fused_dtype).type,
+            )
         pyramid = build_corr_pyramid(f1, f2, self.corr_levels)
         B, H8, W8, _ = f1.shape
         xs = jnp.arange(W8, dtype=jnp.float32)

@@ -458,6 +458,13 @@ class InferenceEngine:
         from mfcnet_tpu.utils.jitinit import cast_floats
 
         cvars = cast_floats(variables, dtype)
+        # the frozen flow provider follows the engine compute dtype too:
+        # at tracker sizes the f32 conv path is ~2-4x slower on the MXU
+        # and the flow feeds a 0.5x->x2 rescaled input channel, well
+        # inside the bf16 envelope (tests/test_flow.py pins the fused-
+        # update drift; f32 engines keep the provider exact)
+        if flow_variables is not None:
+            flow_variables = cast_floats(flow_variables, dtype)
         mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 

@@ -281,3 +281,30 @@ def test_build_flow_fn_raft_checkpoint_payload_with_batch_stats(tmp_path):
         make_raft_flow_fn(basic=True, variables=variables)(frames)
     )
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_raft_fused_update_bf16_envelope():
+    """RAFT(fused_update=True) — the engine's bf16 product path through
+    the fused Pallas update kernel — stays within a sub-pixel envelope
+    of the exact f32 XLA path on the same weights. (Exact f32-mode
+    kernel parity is pinned separately in tests/test_ops.py; this pins
+    the bf16 matmul precision envelope end to end through
+    flow_from_features, 6 iterations.)"""
+    from mfcnet_tpu.models.raft import RAFT
+
+    exact = RAFT(iters=6)
+    fused = RAFT(iters=6, fused_update=True, fused_dtype="bfloat16")
+    d = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jit_init(exact, jax.random.PRNGKey(0), d, d)
+
+    rng = np.random.default_rng(8)
+    img1 = jnp.asarray(rng.random((2, 64, 64, 3), np.float32)) * 2 - 1
+    img2 = jnp.asarray(rng.random((2, 64, 64, 3), np.float32)) * 2 - 1
+    want = np.asarray(exact.apply(variables, img1, img2))
+    got = np.asarray(fused.apply(variables, img1, img2))
+    assert got.shape == want.shape
+    err = np.abs(got - want)
+    # random-init flow magnitudes are O(1) px; bf16 matmuls across 6
+    # recurrent iterations stay well under a pixel
+    assert err.max() < 0.5, f"max flow drift {err.max():.3f} px"
+    assert np.median(err) < 0.05, f"median drift {np.median(err):.4f}"

@@ -330,3 +330,82 @@ def test_conv3x3_pallas_direct_parity():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
         )
+
+
+def test_raft_update_pallas_parity():
+    """Fused RAFT update kernel == models/raft.py::UpdateBlock (the
+    relayout-bound 12x-per-frame hot loop it replaces), f32 compute, on
+    an uneven token count (N % 8 != 0 exercises the pad path)."""
+    import jax
+
+    from mfcnet_tpu.models.raft import UpdateBlock
+    from mfcnet_tpu.ops.raft_update_pallas import (
+        fused_update_step,
+        pack_update_weights,
+    )
+
+    B, H8, W8, L = 2, 9, 13, 4
+    rng = np.random.default_rng(0)
+    corr = jnp.asarray(
+        rng.standard_normal((B, H8, W8, L * 81)).astype(np.float32)
+    )
+    inp = jax.nn.relu(jnp.asarray(
+        rng.standard_normal((B, H8, W8, 128)).astype(np.float32)))
+    net = jnp.tanh(jnp.asarray(
+        rng.standard_normal((B, H8, W8, 128)).astype(np.float32)))
+    flow = jnp.asarray(
+        rng.standard_normal((B, H8, W8, 2)).astype(np.float32))
+
+    ub = UpdateBlock()
+    variables = ub.init(jax.random.PRNGKey(3), net, inp, corr, flow)
+    want_net, want_delta, _mask = ub.apply(variables, net, inp, corr, flow)
+
+    packed = pack_update_weights(
+        variables["params"], compute_dtype=jnp.float32
+    )
+    got_net, got_delta = fused_update_step(
+        variables["params"], packed, corr, inp, net, flow,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_net), np.asarray(want_net), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_delta), np.asarray(want_delta),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_raft_fused_flow_from_features_parity():
+    """fused_flow_from_features == model.apply(method='flow_from_
+    features') end to end (pyramid + 12 lookups + fused updates + mask
+    head + convex upsample), f32 compute."""
+    import jax
+
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.ops.raft_update_pallas import (
+        fused_flow_from_features,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    model = RAFT(iters=4)
+    d = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jit_init(model, jax.random.PRNGKey(7), d, d)
+
+    rng = np.random.default_rng(5)
+    img1 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32)) * 2 - 1
+    img2 = jnp.asarray(rng.random((1, 64, 64, 3), np.float32)) * 2 - 1
+    f1 = model.apply(variables, img1, method="features")
+    f2 = model.apply(variables, img2, method="features")
+    net, inp = model.apply(variables, img1, method="context")
+
+    want = model.apply(
+        variables, f1, f2, net, inp, method="flow_from_features"
+    )
+    got = fused_flow_from_features(
+        variables, f1, f2, net, inp, iters=4,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
