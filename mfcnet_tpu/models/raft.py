@@ -122,6 +122,105 @@ def build_corr_pyramid(f1, f2, num_levels: int = 4):
     return pyramid
 
 
+def build_blocked_pyramid(pyramid):
+    """Pack the correlation pyramid into ONE block-diagonal volume for
+    :func:`lookup_corr_blocked`.
+
+    The per-level lookup einsums are op-overhead bound at tracker scale
+    (~4.6 ms/frame in-engine for 12 iterations x 4 levels x 2 einsums +
+    per-level slicing, vs ~0.05 ms of FLOPs). Packing level l's
+    (B, N, Hl, Wl) maps into the (offH_l, offW_l) diagonal block of a
+    (B*N, sum_H, sum_W) volume lets ALL levels run as one einsum pair
+    per iteration: level-l window one-hots only touch level-l rows/cols,
+    so cross-level products are exactly zero. Built once per solve (the
+    pyramid is iteration-invariant); iterations pay two einsums total.
+
+    MEASURED NEGATIVE at tracker scale (240x320 half-res, B=2): the
+    blocked lookup's 10x padded FLOPs + full-volume HBM reads per
+    iteration cost more than the per-level op overhead they save —
+    flow-conditioned e2e regressed 42.1 -> 40.0 fps/chip when wired into
+    the solve loops, so they use the per-level :func:`lookup_corr`.
+    Kept (with its parity test) for larger batch counts, where the
+    op-overhead share grows.
+
+    Returns (bd, offsets) with offsets = tuple of (offH, offW, Hl, Wl).
+    """
+    B = pyramid[0].shape[0]
+    n = B * pyramid[0].shape[1]
+    offs = []
+    oh = ow = 0
+    for corr in pyramid:
+        Hl, Wl = corr.shape[-2], corr.shape[-1]
+        offs.append((oh, ow, Hl, Wl))
+        oh += Hl
+        ow += Wl
+    bd = jnp.zeros((n, oh, ow), pyramid[0].dtype)
+    for corr, (o_h, o_w, Hl, Wl) in zip(pyramid, offs):
+        bd = bd.at[:, o_h : o_h + Hl, o_w : o_w + Wl].set(
+            corr.reshape(n, Hl, Wl)
+        )
+    return bd, tuple(offs)
+
+
+def lookup_corr_blocked(bd, offsets, coords, radius: int = 4):
+    """:func:`lookup_corr` over a :func:`build_blocked_pyramid` volume —
+    identical output channels, one einsum pair for all levels.
+
+    The window selection matrices are bilinear HAT weights
+    (relu(1 - |pos - center|)): weight (1-frac)/frac on the two
+    straddling integers, zero elsewhere including out of range — the
+    same per-tap weights as the 4-corner formulation, reassociated
+    (grid_sample zeros-padding semantics preserved).
+    """
+    import jax
+
+    B, H, W, _ = coords.shape
+    K = 2 * radius + 1
+    L = len(offsets)
+    n = B * H * W
+    flat = coords.reshape(n, 2)
+    sumH = bd.shape[1]
+    sumW = bd.shape[2]
+    ar = jnp.arange(K, dtype=jnp.float32) - radius
+
+    ry_blocks, cx_blocks = [], []
+    for lvl, (o_h, o_w, Hl, Wl) in enumerate(offsets):
+        c = flat / (2.0**lvl)
+        rows_c = c[:, 1:2] + ar  # (n, K) window-center y per b
+        cols_c = c[:, 0:1] + ar
+        # hats against the level's ABSOLUTE block rows/cols
+        hrows = jnp.arange(Hl, dtype=jnp.float32)
+        hcols = jnp.arange(Wl, dtype=jnp.float32)
+        ry = jnp.maximum(1.0 - jnp.abs(rows_c[..., None] - hrows), 0.0)
+        cxm = jnp.maximum(1.0 - jnp.abs(cols_c[..., None] - hcols), 0.0)
+        ry_blocks.append(jnp.pad(
+            ry, ((0, 0), (0, 0), (o_h, sumH - o_h - Hl))
+        ))
+        cx_blocks.append(jnp.pad(
+            cxm, ((0, 0), (0, 0), (o_w, sumW - o_w - Wl))
+        ))
+    Ry = jnp.concatenate(ry_blocks, axis=1).astype(bd.dtype)  # (n,LK,sumH)
+    Cx = jnp.concatenate(cx_blocks, axis=1).astype(bd.dtype)  # (n,LK,sumW)
+
+    t1 = jnp.einsum(
+        "nbh,nhw->nbw", Ry, bd,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    o = jnp.einsum(
+        "nbw,naw->nba", t1, Cx,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (n, L*K [y], L*K [x]); off-diagonal level blocks are exactly 0
+    out = []
+    for lvl in range(L):
+        blk = o[:, lvl * K : (lvl + 1) * K, lvl * K : (lvl + 1) * K]
+        # x on the slow axis (torchvision channel order), like
+        # onehot_window_sample
+        out.append(blk.transpose(0, 2, 1).reshape(B, H, W, K * K))
+    return jnp.concatenate(out, axis=-1)
+
+
 def lookup_corr(pyramid, coords, radius: int = 4):
     """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
 

@@ -53,6 +53,14 @@ class TrackerConfig:
     dist_threshold: float = 40.0
     mode: str = "incremental"  # 'incremental' | 'full'
     decode: str = "host"  # 'host' (exact parity) | 'device' (fixed-shape)
+    #: device-decode only: re-decode a tie-flagged side with the exact
+    #: host path (lazy mask/heat fetch + sync). Trained checkpoints flag
+    #: ~0.25% of frames (r3 envelope: 1/400 adversarial masks); leave on
+    #: for production. Random-init fixtures emit speckle masks that flag
+    #: nearly EVERY frame, serializing the pipeline on per-frame mask
+    #: transfers — benchmarks on synthetic weights disable this and
+    #: accept the device approximation for flagged sides.
+    decode_tie_fallback: bool = True
     #: frames per device->host result fetch. 1 = synchronous per-frame
     #: readback; K>1 stacks K frames' outputs on device and fetches them
     #: in ONE transfer, amortizing the round-trip latency K-fold (the
@@ -988,9 +996,13 @@ def _track_stream(
         consume=lambda frame, mask_np, aux_np, mask_handle, extras: (
             consume_row(
                 frame, mask_np, aux_np,
-                mask_provider=(lambda h=mask_handle: h),
+                mask_provider=(
+                    (lambda h=mask_handle: h)
+                    if cfg.decode_tie_fallback else None
+                ),
                 heat_provider=(
-                    (lambda h=extras[0]: h) if extras else None
+                    (lambda h=extras[0]: h)
+                    if extras and cfg.decode_tie_fallback else None
                 ),
             )
         ),
@@ -1262,11 +1274,13 @@ def track_on_frame_streams(
                 masks_np[b] if masks_np is not None else None,
                 disp,
                 mask_provider=(
-                    None if mask_handle is None
+                    None
+                    if mask_handle is None or not cfg.decode_tie_fallback
                     else (lambda h=mask_handle, bb=b: h[bb])
                 ),
                 heat_provider=(
-                    None if heat_handle is None
+                    None
+                    if heat_handle is None or not cfg.decode_tie_fallback
                     else (lambda h=heat_handle, bb=b: h[bb])
                 ),
             )

@@ -308,3 +308,28 @@ def test_raft_fused_update_bf16_envelope():
     # recurrent iterations stay well under a pixel
     assert err.max() < 0.5, f"max flow drift {err.max():.3f} px"
     assert np.median(err) < 0.05, f"median drift {np.median(err):.4f}"
+
+
+def test_lookup_corr_blocked_matches_per_level():
+    """Block-diagonal all-levels lookup == the per-level lookup (zeros
+    padding, channel order, x-slow-axis layout) on random pyramids and
+    coords incl. out-of-range centers."""
+    from mfcnet_tpu.models.raft import (
+        build_blocked_pyramid,
+        build_corr_pyramid,
+        lookup_corr,
+        lookup_corr_blocked,
+    )
+
+    rng = np.random.default_rng(23)
+    B, H8, W8, C = 2, 12, 16, 32
+    f1 = jnp.asarray(rng.standard_normal((B, H8, W8, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H8, W8, C)), jnp.float32)
+    pyramid = build_corr_pyramid(f1, f2, 4)
+    coords = jnp.asarray(
+        rng.uniform(-3, max(H8, W8) + 2, (B, H8, W8, 2)), jnp.float32
+    )
+    want = np.asarray(lookup_corr(pyramid, coords, 4))
+    bd, offs = build_blocked_pyramid(pyramid)
+    got = np.asarray(lookup_corr_blocked(bd, offs, coords, 4))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

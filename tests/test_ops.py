@@ -409,3 +409,66 @@ def test_raft_fused_flow_from_features_parity():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
     )
+
+
+def test_banded_warp_matches_gather_paths():
+    """grid_sample_bilinear_banded == grid_sample_bilinear whenever the
+    flow stays inside the band (identity grid AND the reference's
+    cropped 576x720 quirk grid via flow_warp), and falls back EXACTLY
+    when any sample leaves the slab."""
+    import jax
+
+    from mfcnet_tpu.ops.warp import (
+        flow_warp,
+        grid_sample_bilinear,
+        grid_sample_bilinear_banded,
+    )
+
+    rng = np.random.default_rng(17)
+    B, H, W, C = 2, 64, 48, 5
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+
+    # bounded random grid around identity (|dy| < 6 px)
+    base_x = (2.0 * jnp.arange(W) / (W - 1) - 1.0)[None, None, :]
+    base_y = (2.0 * jnp.arange(H) / (H - 1) - 1.0)[None, :, None]
+    dx = jnp.asarray(rng.uniform(-9, 9, (B, H, W)), jnp.float32)
+    dy = jnp.asarray(rng.uniform(-5.5, 5.5, (B, H, W)), jnp.float32)
+    gx = base_x + dx / ((W - 1) / 2.0)
+    gy = base_y + dy / ((H - 1) / 2.0)
+
+    want = np.asarray(grid_sample_bilinear(img, gx, gy))
+    got = np.asarray(grid_sample_bilinear_banded(
+        img, gx, gy, band=16, max_dy=8
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+    # out-of-image samples are zero through the banded path too
+    gy_oob = gy + 3.0  # way below the image for most rows
+    want2 = np.asarray(grid_sample_bilinear(img, gx, gy_oob))
+    got2 = np.asarray(grid_sample_bilinear_banded(
+        img, gx, gy_oob, band=16, max_dy=8
+    ))
+    np.testing.assert_allclose(got2, want2, atol=2e-6, rtol=1e-6)
+
+    # fallback: one pixel's vertical displacement exceeds max_dy but is
+    # inside the image -> the cond must route to the exact gather path
+    dy_big = dy.at[0, 30, 20].set(20.0)
+    gy_big = base_y + dy_big / ((H - 1) / 2.0)
+    want3 = np.asarray(grid_sample_bilinear(img, gx, gy_big))
+    got3 = np.asarray(grid_sample_bilinear_banded(
+        img, gx, gy_big, band=16, max_dy=8
+    ))
+    np.testing.assert_allclose(got3, want3, atol=2e-6, rtol=1e-6)
+
+    # flow_warp (reference 576x720 quirk grid): banded path is wired in
+    # and matches the plain gather formulation
+    flow = jnp.stack([dx, dy], axis=-1)
+    want4 = np.asarray(grid_sample_bilinear(
+        img,
+        (2.0 * jnp.arange(W) / (720 - 1) - 1.0)[None, None, :]
+        + flow[..., 0] / ((W - 1) / 2.0),
+        (2.0 * jnp.arange(H) / (576 - 1) - 1.0)[None, :, None]
+        + flow[..., 1] / ((H - 1) / 2.0),
+    ))
+    got4 = np.asarray(flow_warp(img, flow, grid_hw=(576, 720)))
+    np.testing.assert_allclose(got4, want4, atol=2e-6, rtol=1e-6)
