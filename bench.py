@@ -565,7 +565,12 @@ def main():
             row["note"] = (row.get("note", "") + (
                 "; depth-conditioned (BASELINE config 4): precomputed "
                 "depth maps as a 4th input channel, synthetic uint8 "
-                "stand-ins here"
+                "stand-ins here. NOTE: with random-init weights the "
+                "depth channel fragments the argmax masks into "
+                "worst-case speckle, driving the device decode's "
+                "data-dependent component loops to their envelope "
+                "(~480 ms/frame profiled) — a fixture artifact, not a "
+                "depth-path cost (the train row shows depth adds ~2%)"
             )).lstrip("; ")
         if S > 1:
             row["note"] = (

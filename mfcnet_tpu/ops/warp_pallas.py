@@ -85,16 +85,84 @@ def _warp_band_kernel(lo_ref, slab_ref, fx_ref, fy_ref, out_ref,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("band", "bounds", "interpret"),
-)
+def _banded_warp_reference(img, fx, fy, bounds, band):
+    """Pure-jnp transcription of the kernel's hat math — the autodiff
+    backward for :func:`banded_warp_pallas` (pallas_call has no JVP
+    rule; the train step differentiates through the Basic head's warp,
+    so the kernel needs a custom VJP — same pattern as
+    correlation_pallas). Exactly the same weights/zeros semantics as
+    the kernel; only used under differentiation."""
+    B, H, W, C = img.shape
+    Ho = fx.shape[1]
+    nb = len(bounds)
+    S = max(hi - lo for lo, hi in bounds)
+    bounds = tuple((lo, lo + S) for lo, _ in bounds)
+    pt = max(0, -min(lo for lo, _ in bounds))
+    pb = max(0, max(hi for _, hi in bounds) - H)
+    dt = img.dtype
+    imgp = jnp.pad(img, ((0, 0), (pt, pb), (0, 0), (0, 0)))
+    xs = jnp.arange(W, dtype=jnp.float32)
+    outs = []
+    for b, (lo, hi) in enumerate(bounds):
+        r0, r1 = b * band, min((b + 1) * band, Ho)
+        nbp = (r1 - r0) * W
+        fx_b = fx[:, r0:r1].reshape(B, nbp, 1)
+        fy_b = fy[:, r0:r1].reshape(B, nbp, 1)
+        colhot = jnp.maximum(1.0 - jnp.abs(xs - fx_b), 0.0).astype(dt)
+        slab = imgp[:, lo + pt : hi + pt]
+        slabT = slab.transpose(0, 2, 1, 3).reshape(B, W, S * C)
+        tmp = jnp.einsum(
+            "bnw,bwk->bnk", colhot, slabT,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, nbp, S, C)
+        abs_rows = jnp.arange(S, dtype=jnp.float32) + lo
+        rowhot = jnp.maximum(
+            1.0 - jnp.abs(abs_rows - fy_b), 0.0
+        ).astype(dt)
+        out_b = jnp.einsum(
+            "bns,bnsc->bnc", rowhot, tmp.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(out_b.reshape(B, r1 - r0, W, C).astype(dt))
+    return jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def banded_warp_pallas(img, fx, fy, bounds, band: int,
                        interpret: bool | None = None):
     """Banded bilinear warp: img (B, H, W, C), fx/fy (B, Ho, W) absolute
     source coords, bounds = static tuple of per-band (lo, hi) slab row
     ranges (see grid_sample_bilinear_banded). Returns (B, Ho, W, C) in
-    img.dtype. The caller is responsible for the band-bound guard."""
+    img.dtype. The caller is responsible for the band-bound guard.
+    Pallas forward; XLA-autodiff backward through the identical hat-math
+    reference (training differentiates the Basic head's warp)."""
+    return _banded_warp_fwd_impl(img, fx, fy, bounds, band, interpret)
+
+
+def _banded_warp_fwd(img, fx, fy, bounds, band, interpret):
+    out = _banded_warp_fwd_impl(img, fx, fy, bounds, band, interpret)
+    return out, (img, fx, fy)
+
+
+def _banded_warp_bwd(bounds, band, interpret, res, g):
+    img, fx, fy = res
+    _, vjp = jax.vjp(
+        lambda i, x, y: _banded_warp_reference(i, x, y, bounds, band),
+        img, fx, fy,
+    )
+    return vjp(g)
+
+
+banded_warp_pallas.defvjp(_banded_warp_fwd, _banded_warp_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("band", "bounds", "interpret"),
+)
+def _banded_warp_fwd_impl(img, fx, fy, bounds, band: int,
+                          interpret: bool | None = None):
+    """The Pallas forward (see banded_warp_pallas)."""
     B, H, W, C = img.shape
     Ho = fx.shape[1]
     nb = len(bounds)

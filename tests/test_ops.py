@@ -472,3 +472,34 @@ def test_banded_warp_matches_gather_paths():
     ))
     got4 = np.asarray(flow_warp(img, flow, grid_hw=(576, 720)))
     np.testing.assert_allclose(got4, want4, atol=2e-6, rtol=1e-6)
+
+
+def test_banded_warp_gradients_match_gather():
+    """Training differentiates the Basic head's warp: the banded-warp
+    custom VJP must match the gather formulation's autodiff for all
+    three inputs (maps, and the flow via fx/fy)."""
+    import jax
+
+    from mfcnet_tpu.ops.warp import flow_warp, grid_sample_bilinear
+
+    rng = np.random.default_rng(31)
+    B, H, W, C = 1, 32, 24, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-4, 4, (B, H, W, 2)), jnp.float32)
+
+    def loss_banded(m, f):
+        return jnp.sum(flow_warp(m, f, grid_hw=(576, 720)) ** 2)
+
+    def loss_gather(m, f):
+        xs = (2.0 * jnp.arange(W) / (720 - 1) - 1.0)[None, None, :]
+        ys = (2.0 * jnp.arange(H) / (576 - 1) - 1.0)[None, :, None]
+        gx = xs + f[..., 0] / ((W - 1) / 2.0)
+        gy = ys + f[..., 1] / ((H - 1) / 2.0)
+        return jnp.sum(grid_sample_bilinear(m, gx, gy) ** 2)
+
+    gm, gf = jax.grad(loss_banded, argnums=(0, 1))(img, flow)
+    wm, wf = jax.grad(loss_gather, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(wm),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(wf),
+                               atol=1e-3, rtol=1e-3)
