@@ -144,6 +144,20 @@ def main():
                          "window; 'full': the complete ~40-min sweep over "
                          "every BASELINE.md config (builder sessions). "
                          "true/false are aliases for full/none")
+    ap.add_argument("--weights", default=None,
+                    choices=["closure", "packed"],
+                    help="how jitted programs receive model weights. "
+                         "'closure' bakes them in as XLA constants: best "
+                         "steady-state fps (compile-time weight prep) "
+                         "but a ~416 MB serialized executable that costs "
+                         "200-500 s to load per process through this "
+                         "harness's tunnel. 'packed' passes shape-"
+                         "grouped stacked buffers as args "
+                         "(utils/flatpack.py): ~7 MB executable, "
+                         "~40-120 s cold process, ~4% lower fps (runtime "
+                         "weight prep). Default: closure for the "
+                         "incremental headline (the product number), "
+                         "packed for the driver-window detail rows")
     ap.add_argument("--detail_budget", type=float, default=None,
                     help="hard wall-clock budget (s, from process start) "
                          "for the detail rows; rows that don't fit are "
@@ -152,6 +166,17 @@ def main():
     args = ap.parse_args()
     t_start = time.perf_counter()
 
+    def stamp(label):
+        # phase timing to stderr: the driver window is a hard budget and
+        # every round's artifact must show WHERE the wall-clock went
+        # (r04: the headline consumed ~486 s of the 600 s window with no
+        # record of which phase ate it)
+        import sys as _sys
+        print(
+            f"[t+{time.perf_counter() - t_start:7.1f}s] {label}",
+            file=_sys.stderr, flush=True,
+        )
+
     if args.batch is None:
         args.batch = 4 if args.mode == "train" else 1
     if args.record_detail is None:
@@ -159,6 +184,13 @@ def main():
             "fast" if args.mode == "incremental" and args.batch == 1
             else "none"
         )
+    if args.weights is None:
+        # full-mode detail rows are driver-window critical (r04: zero
+        # fresh rows landed — each closure-form subprocess pays a
+        # 200-500 s executable load); the headline keeps the closure
+        # form's fps. e2e has its own engine-level packed support.
+        args.weights = "packed" if args.mode in ("full", "e2e") \
+            else "closure"
     args.record_detail = {"true": "full", "false": "none"}.get(
         args.record_detail, args.record_detail
     )
@@ -197,8 +229,10 @@ def main():
                 "(TPU tunnel unreachable?)",
         "vs_baseline": 0,
     }), flush=True))
+    stamp("imports done, initializing device")
     jax.devices()
     init_done()
+    stamp("device init done")
 
     from mfcnet_tpu.models import get_multiframe_segmentation_model
     from mfcnet_tpu.utils.jitinit import jit_init
@@ -337,6 +371,27 @@ def main():
             model, jax.random.PRNGKey(0),
             np.zeros((1, T, H, W, 3), np.float32), **init_kw,
         )
+        if use_depth:
+            # fixture realism, the r4 flow-head trick applied to depth
+            # (VERDICT r4 item 6): under RANDOM-INIT weights the depth
+            # channels inject full-amplitude noise into the fusion
+            # head, fragmenting the argmax masks into worst-case
+            # speckle that drives the device decode's data-dependent
+            # component tiers to their ~480 ms/frame envelope — a
+            # fixture artifact no trained checkpoint produces (the
+            # train row shows depth adds ~2%). Scaling the head's
+            # Conv_0 input slice for the T depth channels keeps the
+            # compute graph identical (same convs, same decode) while
+            # giving the masks the same statistics as the flow-only
+            # row, so the decode runs its production tier.
+            import flax
+
+            fv = flax.core.unfreeze(variables)
+            k0 = fv["params"]["multiframe_net"]["head"]["Conv_0"]
+            k0["kernel"] = (
+                jnp.asarray(k0["kernel"]).at[..., T * C :, :].mul(0.02)
+            )
+            variables = fv
         flow_model = flow_variables = None
         if use_flow:
             # frozen provider at half resolution (reference default is
@@ -482,6 +537,7 @@ def main():
                         flow_model=flow_model,
                         flow_variables=flow_variables,
                         num_streams=S,
+                        weights=args.weights,
                     )
                 run_once = lambda: track_on_frame_streams(
                     stacked, model, variables, cfg, td, engine=engine,
@@ -504,6 +560,7 @@ def main():
                     engine = InferenceEngine(
                         model, variables, cfg,
                         flow_model=flow_model, flow_variables=flow_variables,
+                        weights=args.weights,
                     )
                 run_once = lambda: track_on_frames(
                     frames, model, variables, cfg, td, engine=engine,
@@ -554,6 +611,24 @@ def main():
                 "per-frame H2D over the harness tunnel partially "
                 "overlapped with compute; see the _device row"
             )
+        if args.weights == "packed" and args.source != "video" \
+                and args.engine != "artifact":
+            row["weights"] = "packed"  # see --weights help / flatpack.py
+        # fixture disclosure: deviations from the production TrackerConfig
+        # made for random-init realism (see NOTES_ROUND4.md "Fixture
+        # realism") — a reader of this row must be able to tell the
+        # number excludes the exact-decode tie-fallback cost
+        row["fixture"] = (
+            "decode_tie_fallback=False (random speckle masks near-tie "
+            "top-2 components ~every frame; trained checkpoints flag "
+            "~0.25% — production default ON)"
+        )
+        if use_flow and args.flow == "RAFT":
+            row["fixture"] += (
+                "; RAFT flow2 head weights scaled 0.02x so the frozen "
+                "random-init provider emits bounded ~±3 px flow instead "
+                "of ±130 px garbage (same compute graph)"
+            )
         if use_flow:
             row["note"] = (
                 f"flow-conditioned config: +{T - 1} frozen {args.flow} "
@@ -565,13 +640,15 @@ def main():
             row["note"] = (row.get("note", "") + (
                 "; depth-conditioned (BASELINE config 4): precomputed "
                 "depth maps as a 4th input channel, synthetic uint8 "
-                "stand-ins here. NOTE: with random-init weights the "
-                "depth channel fragments the argmax masks into "
-                "worst-case speckle, driving the device decode's "
-                "data-dependent component loops to their envelope "
-                "(~480 ms/frame profiled) — a fixture artifact, not a "
-                "depth-path cost (the train row shows depth adds ~2%)"
+                "stand-ins here"
             )).lstrip("; ")
+            row["fixture"] += (
+                "; head Conv_0 depth-channel slice scaled 0.02x so the "
+                "random-init depth pathway does not fragment the masks "
+                "into worst-case speckle (same compute graph; decode "
+                "runs its production tier — trained-checkpoint mask "
+                "statistics, cf. the ~2% train-side depth delta)"
+            )
         if S > 1:
             row["note"] = (
                 f"AGGREGATE fps across {S} lockstep video streams on one "
@@ -631,7 +708,13 @@ def main():
             )
 
             flow_fn = build_flow_fn(
-                args.flow, "TernausNetMulti-Basic", (H, W)
+                args.flow, "TernausNetMulti-Basic", (H, W),
+                # bf16 step: frozen-RAFT iterations via the fused
+                # Pallas kernel (the r4 5.5x win, now in the train
+                # path too — the provider is frozen, so no VJP needed)
+                fused_update=(
+                    args.flow == "RAFT" and args.dtype == "bfloat16"
+                ),
             )
         step = make_multiframe_train_step(
             model, ["nll", "soft_jaccard"], [0.7, 0.3], C,
@@ -688,6 +771,22 @@ def main():
         print(json.dumps(row))
         return
 
+    if args.mode == "incremental" and args.record_detail != "none" \
+            and args.weights == "closure":
+        # Driver-window armor for the headline. The closure-form step's
+        # serialized executable is ~416 MB (weights baked as XLA
+        # constants) and this harness's backend takes 200-500 s to
+        # compile/load it per process — highly variable with server
+        # load (r04: the headline ate 486 s of the 600 s window and all
+        # detail rows starved). Plan: (1) measure the PACKED form
+        # in-process first (~40-120 s, small executable) as a
+        # guaranteed headline; (2) attempt the closure form in a
+        # BOUNDED subprocess sized so the detail rows keep a reserve;
+        # (3) print whichever landed (closure preferred — it is the
+        # real product number) and run the detail rows on the rest.
+        args.weights = "packed"
+        args._closure_attempt = True
+
     T, C, H, W = 3, 5, args.height, args.width
     B = args.batch
     model = get_multiframe_segmentation_model(
@@ -695,6 +794,7 @@ def main():
     )
     frames0 = np.zeros((1, T, H, W, 3), np.float32)
     variables = jit_init(model, jax.random.PRNGKey(0), frames0)
+    stamp("model init done")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cvars = jax.tree.map(
@@ -702,6 +802,21 @@ def main():
         else x,
         variables,
     )
+    if args.weights == "packed":
+        from mfcnet_tpu.utils.flatpack import (
+            pack_variables, unpack_variables,
+        )
+
+        packed, pack_spec = pack_variables(cvars)
+        jax.block_until_ready(packed)
+
+        def get_cvars(bufs):
+            return unpack_variables(bufs, pack_spec)
+    else:
+        packed = ()
+
+        def get_cvars(bufs):
+            return cvars
 
     if args.mode == "incremental":
         # s2d ring buffer of per-frame class maps; one base fwd per new
@@ -722,15 +837,15 @@ def main():
                 0, 1, 3, 2, 4
             ).reshape(B, H, W)
 
-        def one_frame(buf, new_frame):
+        def one_frame(cv, buf, new_frame):
             seg_new = model.apply(
-                cvars, new_frame, method="base_forward_s2d"
+                cv, new_frame, method="base_forward_s2d"
             )  # (B, Hb, Wb, 16*C)
             buf = jnp.concatenate(
                 [seg_new, buf[..., : (T - 1) * 16 * C]], axis=-1
             )  # newest first
             logits = model.apply(
-                cvars, buf, method="fuse_s2d", orig_hw=(H, W)
+                cv, buf, method="fuse_s2d", orig_hw=(H, W)
             )  # (B, Hb, Wb, 16*C)
             # decode-adjacent work stays on device: per-frame class mask +
             # the two tip heatmaps are all the tracker's host decode needs
@@ -742,20 +857,25 @@ def main():
             return buf, (mask, _d2s1(p[..., 2]), _d2s1(p[..., 4]))
 
         @jax.jit
-        def step(seg_buf, frames_k):
-            return jax.lax.scan(one_frame, seg_buf, frames_k)
+        def step(seg_buf, frames_k, *bufs):
+            cv = get_cvars(bufs)
+            return jax.lax.scan(
+                lambda b, f: one_frame(cv, b, f), seg_buf, frames_k
+            )
 
         seg_buf = jnp.zeros((B, Hb, Wb, T * 16 * C), dtype)
         frames_k = jnp.zeros((K, B, H, W, 3), dtype)
-        seg_buf, out = step(seg_buf, frames_k)  # compile
+        seg_buf, out = step(seg_buf, frames_k, *packed)  # compile
         float(out[0][0, 0, 0, 0])
+        stamp("step compiled")
+        example_args = (seg_buf, frames_k) + tuple(packed)
 
         def run(n):
             nonlocal seg_buf
             iters = max(1, n // K)
             t0 = time.perf_counter()
             for _ in range(iters):
-                seg_buf, out = step(seg_buf, frames_k)
+                seg_buf, out = step(seg_buf, frames_k, *packed)
             # force completion with a scalar readback — block_until_ready
             # alone does not drain the remote execution queue on the axon
             # tunnel backend
@@ -763,29 +883,36 @@ def main():
             return (time.perf_counter() - t0) * (n / (iters * K))
     else:
         @jax.jit
-        def step(frames):
-            logits = model.apply(cvars, frames)
+        def step(frames, *bufs):
+            logits = model.apply(get_cvars(bufs), frames)
             return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
         frames = jnp.zeros((B, T, H, W, 3), dtype)
-        out = step(frames)
+        out = step(frames, *packed)
         float(out[0, 0, 0, 0])
+        stamp("step compiled")
+        example_args = (frames,) + tuple(packed)
 
         def run(n):
             t0 = time.perf_counter()
             for _ in range(n):
-                out = step(frames)
+                out = step(frames, *packed)
             float(out[0, 0, 0, 0])  # force completion (see above)
             return time.perf_counter() - t0
 
     run(10)  # warmup
+    stamp("warmup done")
     if args.profile:
         from mfcnet_tpu.utils.profiling import trace
 
         with trace(args.profile):
             run(min(args.frames, 50))
-    best = min(run(args.frames) for _ in range(args.trials))
-    fps = args.frames * B / best
+    trial_fps = [
+        round(args.frames * B / run(args.frames), 2)
+        for _ in range(args.trials)
+    ]
+    stamp(f"trials done: {trial_fps}")
+    fps = max(trial_fps)
     headline = {
         "metric": (
             f"mfcnet_3frame_{H}x{W}_inference_{args.mode}_{args.dtype}"
@@ -794,13 +921,18 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 60.0, 3),
+        # variance record: a single number can't distinguish environment
+        # noise from a regression (r04's 113.6 vs r03's 120.7 was
+        # unclassifiable) — every trial's fps goes on the record
+        "trials": args.trials,
+        "trial_fps": trial_fps,
+        "spread_pct": round(
+            100.0 * (max(trial_fps) - min(trial_fps)) / max(trial_fps), 1
+        ),
     }
-    if args.mode == "incremental":
-        headline.update(mfu_fields(
-            step, (seg_buf, frames_k), K * B, fps
-        ))
-    else:
-        headline.update(mfu_fields(step, (frames,), B, fps))
+    frames_per_call = K * B if args.mode == "incremental" else B
+    headline.update(mfu_fields(step, example_args, frames_per_call, fps))
+    stamp("mfu/cost-analysis done")
     if args.mode == "full" and B == 1:
         # reference semantics (T base forwards per frame), single window:
         # the latency-bound configuration. Batched windows meet the gate;
@@ -811,114 +943,178 @@ def main():
             "--batch 16 meets the 60 fps gate under the same semantics, "
             "and the incremental mode is output-bit-identical at ~2x"
         )
-    # headline FIRST: the detail runs below take ~30 min and a driver
-    # timeout must not cost the headline line
-    print(json.dumps(headline), flush=True)
-
-    if args.record_detail != "none":
-        # also put other configs on the record next to the incremental
-        # headline. 'fast' = 3 cheap rows under a hard wall-clock budget
-        # (the driver's default invocation MUST exit 0 inside its window
-        # — round 3's full sweep hit the window and recorded rc=124);
-        # 'full' = the complete sweep over every BASELINE.md config.
-        # Subprocesses keep this process's stdout a single JSON line.
+    if args.weights == "packed":
+        headline["weights"] = "packed"
+        headline["note"] = (headline.get("note", "") + (
+            "; weights passed as shape-grouped stacked args "
+            "(utils/flatpack.py) so the executable is ~7 MB instead of "
+            "~416 MB — required to fit the driver's bench window on "
+            "this tunnel harness; costs ~4% fps vs the closure form's "
+            "compile-time weight prep"
+        )).lstrip("; ")
+    if getattr(args, "_closure_attempt", False):
+        # driver-window armor step 2 (see the block near the top of
+        # main): the packed headline above is the guaranteed result;
+        # now attempt the closure-form headline in a bounded
+        # subprocess, reserving ~3 x 75 s for the detail rows.
         import subprocess
         import sys
 
-        fast_rows = [
-            ["--mode", "full", "--frames", "60", "--trials", "2"],
-            ["--mode", "full", "--frames", "64", "--trials", "2",
-             "--batch", "16"],
-            ["--mode", "e2e", "--source", "device", "--frames", "200",
-             "--trials", "2"],
-        ]
-        full_rows = fast_rows + [
-            ["--mode", "e2e", "--frames", "60", "--trials", "1"],
-            ["--mode", "e2e", "--source", "ram", "--frames", "60",
-             "--trials", "1"],
-            ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
-             "--frames", "100", "--trials", "2"],
-            ["--mode", "e2e", "--source", "device", "--flow",
-             "FlowFormerPlusPlus", "--frames", "60", "--trials", "2"],
-            ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
-             "--depth", "true", "--frames", "100", "--trials", "2"],
-            ["--mode", "e2e", "--source", "device", "--streams", "4",
-             "--frames", "100", "--trials", "2"],
-            ["--mode", "e2e", "--source", "device",
-             "--engine", "artifact", "--frames", "100", "--trials", "2"],
-            ["--mode", "single", "--model", "UNet", "--frames", "100",
-             "--trials", "2"],
-            ["--mode", "single", "--model", "TernausNet16",
-             "--frames", "100", "--trials", "2"],
-            ["--mode", "single", "--model", "ResUNet", "--frames", "100",
-             "--trials", "2"],
-            ["--mode", "flowgen", "--flow", "RAFT", "--frames", "48",
-             "--trials", "2"],
-            ["--mode", "train", "--frames", "100", "--trials", "2",
-             "--dtype", "float32"],
-            ["--mode", "train", "--frames", "100", "--trials", "2",
-             "--dtype", "bfloat16"],
-            ["--mode", "train", "--frames", "60", "--trials", "2",
-             "--dtype", "bfloat16", "--flow", "RAFT"],
-            ["--mode", "train", "--frames", "60", "--trials", "2",
-             "--dtype", "bfloat16", "--flow", "RAFT", "--depth", "true"],
-        ]
-        rows = fast_rows if args.record_detail == "fast" else full_rows
-        budget = args.detail_budget
-
-        results = [headline]
-        for extra in rows:
-            if budget:
-                left = budget - (time.perf_counter() - t_start)
-                if left < 45:
-                    print(
-                        f"[detail] budget exhausted "
-                        f"({budget:.0f}s): skipping {extra}",
-                        file=sys.stderr,
-                    )
-                    continue
-                row_timeout = min(2100, left)
-            else:
-                row_timeout = 2100  # cold remat-train compile > 20 min
+        if args.detail_budget:
+            reserve = 3 * 75.0 + 20.0
+            sub_timeout = (args.detail_budget
+                           - (time.perf_counter() - t_start) - reserve)
+        else:
+            sub_timeout = 2100.0  # unbudgeted (builder full sweeps)
+        if sub_timeout > 60:
             cmd = [sys.executable, __file__, "--record_detail", "none",
-                   "--dtype", args.dtype] + extra
-            for attempt in (1, 2):  # the remote compile service can flake
-                if budget and budget - (time.perf_counter() - t_start) < 45:
-                    break
-                try:
-                    proc = subprocess.run(
-                        cmd, capture_output=True, text=True,
-                        timeout=row_timeout,
-                    )
-                    line = proc.stdout.strip().splitlines()[-1]
-                    results.append(json.loads(line))
-                    print(f"[detail] {line}", file=sys.stderr)
-                    break
-                except Exception as e:  # detail is best-effort
-                    print(
-                        f"[detail] {extra[1]} attempt {attempt} "
-                        f"failed: {e}", file=sys.stderr,
-                    )
-        import pathlib
-
-        out_path = pathlib.Path(__file__).parent / "BENCH_DETAIL.json"
-        if args.record_detail == "fast" and out_path.exists():
-            # MERGE into the committed full-sweep record by metric name
-            # instead of truncating it to the fast subset; refreshed rows
-            # get a 'recorded' stamp so stale vs fresh is explicit
+                   "--weights", "closure", "--dtype", args.dtype,
+                   "--mode", "incremental", "--frames",
+                   str(args.frames), "--trials", str(args.trials)]
             try:
-                old = {
-                    r["metric"]: r
-                    for r in json.loads(out_path.read_text())
-                }
-            except Exception:
-                old = {}
-            stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-            for r in results:
-                r["recorded"] = stamp
-                old[r["metric"]] = r
-            results = list(old.values())
-        out_path.write_text(json.dumps(results, indent=1))
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=sub_timeout,
+                )
+                closure = json.loads(
+                    proc.stdout.strip().splitlines()[-1]
+                )
+                closure["packed_fps"] = headline["value"]
+                headline = closure
+                stamp("closure headline subprocess done")
+            except Exception as e:
+                print(
+                    f"[headline] closure-form subprocess did not fit "
+                    f"({sub_timeout:.0f}s): {e}; keeping the packed-"
+                    f"form headline", file=sys.stderr,
+                )
+        else:
+            print(
+                f"[headline] no budget for the closure-form attempt "
+                f"({sub_timeout:.0f}s left after reserve); keeping "
+                f"the packed-form headline", file=sys.stderr,
+            )
+    # headline FIRST: the detail runs below take ~30 min and a driver
+    # timeout must not cost the headline line
+    print(json.dumps(headline), flush=True)
+    run_detail_rows(args, [headline], t_start)
+
+
+def run_detail_rows(args, results, t_start):
+    """Measure the other BASELINE configs in subprocesses and merge the
+    rows into BENCH_DETAIL.json. 'fast' = 3 cheap packed-weights rows
+    under a hard wall-clock budget (the driver's default invocation MUST
+    exit 0 inside its window — round 3's full sweep hit the window and
+    recorded rc=124; round 4's closure-form rows starved it); 'full' =
+    the complete sweep over every BASELINE.md config (builder
+    sessions)."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    if args.record_detail == "none":
+        return
+
+    fast_rows = [
+        ["--mode", "full", "--frames", "60", "--trials", "2"],
+        ["--mode", "full", "--frames", "64", "--trials", "2",
+         "--batch", "16"],
+        ["--mode", "e2e", "--source", "device", "--frames", "200",
+         "--trials", "2"],
+    ]
+    full_rows = fast_rows + [
+        ["--mode", "e2e", "--frames", "60", "--trials", "1"],
+        ["--mode", "e2e", "--source", "ram", "--frames", "60",
+         "--trials", "1"],
+        ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
+         "--frames", "100", "--trials", "2"],
+        ["--mode", "e2e", "--source", "device", "--flow",
+         "FlowFormerPlusPlus", "--frames", "60", "--trials", "2"],
+        ["--mode", "e2e", "--source", "device", "--flow", "RAFT",
+         "--depth", "true", "--frames", "100", "--trials", "2"],
+        ["--mode", "e2e", "--source", "device", "--streams", "4",
+         "--frames", "100", "--trials", "2"],
+        ["--mode", "e2e", "--source", "device",
+         "--engine", "artifact", "--frames", "100", "--trials", "2"],
+        ["--mode", "single", "--model", "UNet", "--frames", "100",
+         "--trials", "2"],
+        ["--mode", "single", "--model", "TernausNet16",
+         "--frames", "100", "--trials", "2"],
+        ["--mode", "single", "--model", "ResUNet", "--frames", "100",
+         "--trials", "2"],
+        ["--mode", "flowgen", "--flow", "RAFT", "--frames", "48",
+         "--trials", "2"],
+        ["--mode", "train", "--frames", "100", "--trials", "2",
+         "--dtype", "float32"],
+        ["--mode", "train", "--frames", "100", "--trials", "2",
+         "--dtype", "bfloat16"],
+        ["--mode", "train", "--frames", "60", "--trials", "2",
+         "--dtype", "bfloat16", "--flow", "RAFT"],
+        ["--mode", "train", "--frames", "60", "--trials", "2",
+         "--dtype", "bfloat16", "--flow", "RAFT", "--depth", "true"],
+    ]
+    rows = fast_rows if args.record_detail == "fast" else full_rows
+    budget = args.detail_budget
+
+    results = list(results)
+    for extra in rows:
+        if budget:
+            left = budget - (time.perf_counter() - t_start)
+            if left < 45:
+                print(
+                    f"[detail] budget exhausted "
+                    f"({budget:.0f}s): skipping {extra}",
+                    file=sys.stderr,
+                )
+                continue
+            # fast mode: cap each row so one server-slow compile cannot
+            # starve the remaining rows (r5 shakedown: row 1 cold-compiled
+            # for 373 s and rows 2-3 never ran); warm-cache rows take
+            # 30-120 s, and a row that can't fit 180 s won't fit at all
+            row_timeout = min(180 if args.record_detail == "fast"
+                              else 2100, left)
+        else:
+            row_timeout = 2100  # cold remat-train compile > 20 min
+        cmd = [sys.executable, __file__, "--record_detail", "none",
+               "--dtype", args.dtype] + extra
+        for attempt in (1, 2):  # the remote compile service can flake
+            if budget and budget - (time.perf_counter() - t_start) < 45:
+                break
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=row_timeout,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                results.append(json.loads(line))
+                print(f"[detail] {line}", file=sys.stderr)
+                break
+            except Exception as e:  # detail is best-effort
+                print(
+                    f"[detail] {extra[1]} attempt {attempt} "
+                    f"failed: {e}", file=sys.stderr,
+                )
+    import pathlib
+
+    out_path = pathlib.Path(__file__).parent / "BENCH_DETAIL.json"
+    if args.record_detail == "fast" and out_path.exists():
+        # MERGE into the committed full-sweep record by metric name
+        # instead of truncating it to the fast subset; refreshed rows
+        # get a 'recorded' stamp so stale vs fresh is explicit
+        try:
+            old = {
+                r["metric"]: r
+                for r in json.loads(out_path.read_text())
+            }
+        except Exception:
+            old = {}
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for r in results:
+            r["recorded"] = stamp
+            old[r["metric"]] = r
+        results = list(old.values())
+    out_path.write_text(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ from mfcnet_tpu.utils.logging import init_logging
 
 
 def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640),
-                  weights_path=None):
+                  weights_path=None, fused_update: bool = False):
     """Frozen flow provider running inside the jitted step
     (reference: src/engine.py:39-53 — flow between each frame i and frame 0;
     'Basic' model types get flow(frame_i -> frame_0)).
@@ -55,6 +55,13 @@ def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640),
     ``ffpp_things.pth`` — train_multiframe_detection.py:77-93); without
     them the frozen provider is random-init and the fusion head would
     train against noise flow.
+
+    ``fused_update`` (RAFT only): run the provider's recurrent
+    iterations through the fused Pallas update kernel — the XLA conv
+    lowering is relayout-bound at 1/8-scale (ops/raft_update_pallas.py).
+    bf16 envelope; enable for bf16 train steps. Safe inside the grad'd
+    loss: the provider is frozen and its inputs are data, so no VJP of
+    the kernel is ever required (pinned in tests/test_train_extras.py).
     """
 
     def _load(model, *dummies):
@@ -105,6 +112,7 @@ def build_flow_fn(optflow_model: str, model_type: str, input_hw=(480, 640),
         return make_raft_flow_fn(
             basic=basic, input_hw=input_hw,
             variables=_load(RAFT(iters=12), pair, pair),
+            fused_update=fused_update,
         )
     # UnFlow/FFPP params are size-independent; init at the factories'
     # own 64x64 dummy size
@@ -359,6 +367,14 @@ def main(argv=None):
         build_flow_fn(
             args.optflow_model, args.model_type, (H, W),
             weights_path=getattr(args, "load_wts_flow_model", None),
+            # bf16 steps: the frozen RAFT iterations run the fused
+            # Pallas update kernel (its bf16 envelope matches the
+            # step's own compute precision; f32 steps keep XLA convs
+            # for exactness)
+            fused_update=(
+                args.optflow_model == "RAFT"
+                and args.compute_dtype == "bfloat16"
+            ),
         )
         if args.add_optflow_inputs
         else None

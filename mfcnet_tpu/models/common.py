@@ -110,8 +110,14 @@ class DecoderBlockDeconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = ConvReLU(self.mid_features)(x)
-        x = TorchConvTranspose(self.out_features)(x)
+        from mfcnet_tpu.parallel.mesh import respec_spatial
+
+        # under a data x spatial mesh, pin each intermediate's height
+        # sharding (GSPMD's free propagation around the lhs-dilated
+        # deconv flip-flops at bottleneck sizes and inserts an
+        # involuntary full rematerialization — parallel/mesh.py)
+        x = respec_spatial(ConvReLU(self.mid_features)(x))
+        x = respec_spatial(TorchConvTranspose(self.out_features)(x))
         return nn.relu(x)
 
 
@@ -160,12 +166,17 @@ class VGGFeatures(nn.Module):
     @nn.compact
     def __call__(self, x):
         feats = []
+        from mfcnet_tpu.parallel.mesh import respec_spatial
+
         for si, stage in enumerate(self.stage_convs):
             if si > 0:
                 x = max_pool_2x(x)
             for ch in stage:
                 x = nn.Conv(ch, (3, 3), padding="SAME")(x)
                 x = nn.relu(x)
+            # pin each stage output's height sharding under a spatial
+            # mesh (see DecoderBlockDeconv / parallel/mesh.py)
+            x = respec_spatial(x)
             feats.append(x)
         return feats
 

@@ -638,7 +638,17 @@ class FlowFormerPP(nn.Module):
 
     __call__(image1, image2) -> final upsampled flow (B, H, W, 2) in px
     (the reference's eval return is (flow_lowres, flow_up); the engine uses
-    [-1] which is flow_up, src/engine.py:49)."""
+    [-1] which is flow_up, src/engine.py:49).
+
+    Like :class:`mfcnet_tpu.models.raft.RAFT`, the per-image twins
+    encoders and the per-pair solve are exposed as separate methods
+    (``features`` / ``context`` / ``flow_from_features``) so the video
+    engine can CACHE each frame's fnet features and the current frame's
+    context across the window's pairs (the reference pairs the CURRENT
+    frame with each previous one — the flows are not cacheable, the
+    encoders are). ``__call__`` composes the same methods — one
+    definition of the math. Param tree unchanged vs the earlier compact
+    form (all submodule names were already explicit)."""
 
     iters: int = 12
     latent_dim: int = 128
@@ -652,70 +662,111 @@ class FlowFormerPP(nn.Module):
     perceiver_heads: int = 8
     cost_embed_dim: int = 64
 
-    @nn.compact
-    def __call__(self, image1, image2, train: bool = False):
+    def setup(self):
+        self.feat_encoder = TwinsSVTEncoder(
+            self.enc_dims, self.enc_depths, self.enc_heads,
+        )
+        self.context_encoder = TwinsSVTEncoder(
+            self.enc_dims, self.enc_depths, self.enc_heads,
+        )
+        self.cost_perceiver = CostPerceiverEncoder(
+            self.latent_dim, self.latent_tokens, self.perceiver_depth,
+            self.vert_c_dim, self.perceiver_heads, self.cost_embed_dim,
+            self.enc_dims[-1],
+        )
+        self.proj = nn.Conv(2 * self.latent_dim, (1, 1))
+        self.att = GMAAttention(self.latent_dim, self.latent_dim)
+        self.ft_enc0 = nn.Conv(self.query_dim, (1, 1))
+        self.ft_enc1 = nn.Conv(self.query_dim, (1, 1))
+        self.decoder_cross = DecoderCrossAttention(
+            self.query_dim, self.latent_dim
+        )
+        self.update_block = GMAUpdate(self.latent_dim)
+
+    def features(self, image):
+        """(B, H, W, 3) -> (B, H/8, W/8, 256) twins fnet features —
+        per-image, cacheable across a video's frames."""
+        return self.feat_encoder(image)
+
+    def context(self, image):
+        """(B, H, W, 3) -> (ctx, placeholder). ``ctx`` is image1's raw
+        twins context features — FFPP's cost perceiver conditions its
+        vertical attention on them, so (unlike RAFT, whose context
+        reduces to the (net, inp) GRU state) the full tensor is the
+        cacheable quantity; net/inp/attention derive from it via 1x1
+        convs inside :meth:`flow_from_features`. The placeholder second
+        output keeps the provider-generic engine plumbing's
+        (features, net, inp) state-tuple shape."""
+        ctx = self.context_encoder(image)
+        return ctx, jnp.zeros((image.shape[0], 1, 1, 1), ctx.dtype)
+
+    def flow_from_features(self, f1, f2, ctx, _unused=None):
+        """Per-pair solve from precomputed encoders: f1/f2 =
+        ``features`` of image1/image2, ctx = ``context``'s first output
+        for image1. Returns the upsampled flow (B, H, W, 2) in px."""
         from mfcnet_tpu.models.raft import convex_upsample
 
-        fnet = TwinsSVTEncoder(
-            self.enc_dims, self.enc_depths, self.enc_heads,
-            name="feat_encoder",
-        )
-        cnet = TwinsSVTEncoder(
-            self.enc_dims, self.enc_depths, self.enc_heads,
-            name="context_encoder",
-        )
-        feat_s = fnet(image1)
-        feat_t = fnet(image2)
-        context = cnet(image1)
-        B, H1, W1, C = feat_s.shape
+        B, H1, W1, C = f1.shape
 
         # all-pairs cost volume, UNnormalized (encoder.py:364-374)
         cost = jnp.einsum(
-            "bxyc,buvc->bxyuv", feat_s, feat_t,
+            "bxyc,buvc->bxyuv", f1, f2,
             preferred_element_type=jnp.float32,
         )
 
-        memory, cost_maps = CostPerceiverEncoder(
-            self.latent_dim, self.latent_tokens, self.perceiver_depth,
-            self.vert_c_dim, self.perceiver_heads, self.cost_embed_dim,
-            self.enc_dims[-1], name="cost_perceiver",
-        )(cost, context)
+        memory, cost_maps = self.cost_perceiver(cost, ctx)
 
-        ctx = nn.Conv(2 * self.latent_dim, (1, 1), name="proj")(context)
-        net = jnp.tanh(ctx[..., : self.latent_dim])
-        inp = nn.relu(ctx[..., self.latent_dim :])
-        attention = GMAAttention(self.latent_dim, self.latent_dim,
-                                 name="att")(inp)
+        pctx = self.proj(ctx)
+        net = jnp.tanh(pctx[..., : self.latent_dim])
+        inp = nn.relu(pctx[..., self.latent_dim :])
+        attention = self.att(inp)
 
         coords0 = jnp.broadcast_to(
             _coords_xy(H1, W1)[None], (B, H1, W1, 2)
         )
         coords1 = coords0
 
-        token_enc0 = nn.Conv(self.query_dim, (1, 1), name="ft_enc0")
-        token_enc1 = nn.Conv(self.query_dim, (1, 1), name="ft_enc1")
-        cross = DecoderCrossAttention(
-            self.query_dim, self.latent_dim, name="decoder_cross"
+        key, value = self.decoder_cross.compute_kv(memory)  # iter-cached
+        # iteration-invariant per-token cost patches (round 5): each
+        # pixel's 9x9 window sits inside a static 12x12 patch around
+        # its own position for sub-pixel flow steps — a few VPU
+        # shift-blends per iteration instead of two batched hat
+        # einsums, exact cond-fallback otherwise (models/raft.py).
+        from mfcnet_tpu.models.raft import (
+            build_patch_pyramid,
+            lookup_corr_patches,
         )
-        update = GMAUpdate(self.latent_dim, name="update_block")
 
-        key, value = cross.compute_kv(memory)  # cached across iterations
+        cm4 = cost_maps.reshape(
+            B, H1 * W1, cost_maps.shape[1], cost_maps.shape[2]
+        )
+        cost_patches = build_patch_pyramid([cm4], (H1, W1))
         up_flow = None
         for _ in range(self.iters):
             coords1 = jax.lax.stop_gradient(coords1)  # decoder.py:309
-            local_cost = sample_local_cost(cost_maps, coords1)
-            query = token_enc1(nn.gelu(token_enc0(local_cost),
-                                       approximate=False))
+            local_cost = lookup_corr_patches(
+                cost_patches, [cm4], coords1
+            )
+            query = self.ft_enc1(nn.gelu(self.ft_enc0(local_cost),
+                                         approximate=False))
             query = query.reshape(B * H1 * W1, 1, self.query_dim)
             qcoords = coords1.reshape(B * H1 * W1, 1, 2)
-            cost_global = cross(query, key, value, qcoords)
+            cost_global = self.decoder_cross(query, key, value, qcoords)
             cost_global = cost_global.reshape(B, H1, W1, self.query_dim)
             corr = jnp.concatenate([cost_global, local_cost], axis=-1)
             flow = coords1 - coords0
-            net, delta, mask = update(net, inp, corr, flow, attention)
+            net, delta, mask = self.update_block(
+                net, inp, corr, flow, attention
+            )
             coords1 = coords1 + delta
             up_flow = convex_upsample(coords1 - coords0, mask)
         return up_flow
+
+    def __call__(self, image1, image2, train: bool = False):
+        f1 = self.features(image1)
+        f2 = self.features(image2)
+        ctx, _ = self.context(image1)
+        return self.flow_from_features(f1, f2, ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -744,7 +795,17 @@ _STRUCTURAL_DEFAULTS = {
     "cost_heads_num": 1,
     "dropout": 0.0,
     "droppath": 0.0,
+    # parameter-free residual in the cost encoder/decoder (encoder.py:
+    # 286,325): a False config would pass the checkpoint converter yet
+    # produce a silently wrong forward — exactly what this validator
+    # exists to reject. This port hardcodes the True path.
+    "cost_encoder_res": True,
 }
+# NOT validated: expand_factor (critical_params member) — it is consumed
+# ONLY by the NATTEN branch (NA.py:74-92), which any config reaching it
+# already fails on via vertical_encoder_attn; rejecting a non-4 value
+# under 'twins' would refuse configs whose reference forward is
+# identical to ours.
 _REJECT_DETAIL = {
     "vertical_encoder_attn": (
         "NA / NA-twins need NATTEN neighborhood attention, whose CUDA "
@@ -768,6 +829,10 @@ _REJECT_DETAIL = {
         "(PerCostFormer3/quater_upsampler.py:31-119)"
     ),
     "pretrain_mode": "masked-cost pretraining mode (dead for inference)",
+    "cost_encoder_res": (
+        "the no-residual cost-encoder variant (encoder.py:286,325 with "
+        "cost_encoder_res=False); this port hardcodes the residual path"
+    ),
 }
 
 

@@ -221,6 +221,149 @@ def lookup_corr_blocked(bd, offsets, coords, radius: int = 4):
     return jnp.concatenate(out, axis=-1)
 
 
+def build_patch_pyramid(pyramid, grid_hw, radius: int = 4):
+    """Per-token static correlation patches — the iteration-invariant
+    half of the lookup, built ONCE per solve.
+
+    Key observation (round 5): every token's lookup window is centered
+    at ITS OWN grid position plus the current flow estimate, and for
+    video tracking the 1/8-resolution flow displacement is sub-pixel
+    per level (|flow_fullres| < 8 px covers level 0; coarser levels are
+    even tighter). So the (2r+1)^2 window always lies inside a STATIC
+    (2r+3)^2 patch around the token's own position — extractable from
+    the cost volume with static slices (no gather: XLA's TPU gather is
+    index-rate bound, and the per-level hat-einsum formulation this
+    replaces paid ~4.6 ms/frame of op overhead for 96 tiny batched
+    matmuls per solve). Each iteration then reduces to a few masked VPU
+    shift-blends inside these patches (:func:`lookup_corr_patches`),
+    with an exact whole-solve ``lax.cond`` fallback to the einsum path
+    when any displacement leaves its patch.
+
+    Args:
+      pyramid: list of (B, N, Hl, Wl) correlation volumes
+        (:func:`build_corr_pyramid`), N = H*W tokens of the 1/8 grid.
+      grid_hw: (H, W) of the token grid.
+
+    Returns:
+      list of (B, N, P, P) patches, P = 2*radius + 4; patch (dy, dx)
+      holds vol[token, floor(i/2^l) + dy - r - 1,
+      floor(j/2^l) + dx - r - 1] with zeros outside the volume (the
+      window sampler's zeros-padding semantics). P covers the K-tap
+      window for integer center shifts in {-1, 0, 1} plus the bilinear
+      +1 neighbor: indices b + 1 + shift + {0, 1} for b in 0..K-1.
+    """
+    H, W = grid_hw
+    r = radius
+    P = 2 * r + 4
+    m = r + 1  # patch margin above/left of the token's own position
+    patches = []
+    for lvl, corr in enumerate(pyramid):
+        B, N, Hl, Wl = corr.shape
+        assert N == H * W, (N, H, W)
+        # bottom/right margin m+2: floor(i/2^l) overshoots the
+        # floor-halved Hl by up to 1, and the patch extends r+2 below
+        padded = jnp.pad(
+            corr, ((0, 0), (0, 0), (m, m + 2), (m, m + 2))
+        )
+        v = padded.reshape(B, H, W, Hl + P, Wl + P)
+        # static row shear: token row i reads pooled rows
+        # floor(i/2^l)-m .. +m  (P rows starting at floor(i/2^l))
+        rows = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    v[:, i : i + 1], (i >> lvl), (i >> lvl) + P, axis=3
+                )
+                for i in range(H)
+            ],
+            axis=1,
+        )  # (B, H, W, P, Wl+P)
+        # static column shear per token column j
+        cols = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    rows[:, :, j : j + 1], (j >> lvl), (j >> lvl) + P,
+                    axis=4,
+                )
+                for j in range(W)
+            ],
+            axis=2,
+        )  # (B, H, W, P, P)
+        patches.append(cols.reshape(B, N, P, P))
+    return patches
+
+
+def lookup_corr_patches(patches, pyramid, coords, radius: int = 4):
+    """:func:`lookup_corr` from per-token static patches
+    (:func:`build_patch_pyramid`) — identical output (same channel
+    order, same zeros padding, bilinear weights exact in f32), at a few
+    masked VPU shift-blends per level instead of two batched hat
+    einsums. Falls back to :func:`lookup_corr` via ONE whole-solve
+    ``lax.cond`` when any token's displacement leaves its patch
+    (|center - own position| >= 2 at that level — e.g. fast motion at
+    level 0), so outputs are exact for every input.
+    """
+    B, H, W, _ = coords.shape
+    K = 2 * radius + 1
+    n = B * H * W
+    flat = coords.reshape(n, 2)
+    jj, ii = jnp.meshgrid(
+        jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(H, dtype=jnp.float32),
+        indexing="xy",
+    )
+    jj = jnp.tile(jj.reshape(1, H * W), (B, 1)).reshape(n)
+    ii = jnp.tile(ii.reshape(1, H * W), (B, 1)).reshape(n)
+
+    def patch_path(_):
+        outs = []
+        for lvl, pat in enumerate(patches):
+            Pn = pat.reshape(n, *pat.shape[2:])
+            scale = 1.0 / (2.0 ** lvl)
+            # offset of the window center from the patch origin row/col
+            u = flat[:, 0] * scale - jnp.floor(jj * scale)  # x
+            v = flat[:, 1] * scale - jnp.floor(ii * scale)  # y
+            fu = jnp.floor(u)
+            fv = jnp.floor(v)
+            ax = (u - fu)[:, None, None]
+            ay = (v - fv)[:, None, None]
+
+            # columns: blend the two straddling taps, selected among
+            # the 3 possible integer shifts by a per-token mask
+            X = 0.0
+            for s in (-1, 0, 1):
+                ms = (fu == s).astype(Pn.dtype)[:, None, None]
+                X = X + ms * (
+                    (1.0 - ax) * Pn[:, :, 1 + s : 1 + s + K]
+                    + ax * Pn[:, :, 2 + s : 2 + s + K]
+                )
+            Y = 0.0
+            for s in (-1, 0, 1):
+                ms = (fv == s).astype(Pn.dtype)[:, None, None]
+                Y = Y + ms * (
+                    (1.0 - ay) * X[:, 1 + s : 1 + s + K]
+                    + ay * X[:, 2 + s : 2 + s + K]
+                )
+            # (n, Ky, Kx) -> x on the slow axis (torchvision order)
+            outs.append(
+                Y.transpose(0, 2, 1).reshape(B, H, W, K * K)
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+    def einsum_path(_):
+        return lookup_corr(pyramid, coords, radius)
+
+    ok = jnp.bool_(True)
+    for lvl in range(len(patches)):
+        scale = 1.0 / (2.0 ** lvl)
+        u = flat[:, 0] * scale - jnp.floor(jj * scale)
+        v = flat[:, 1] * scale - jnp.floor(ii * scale)
+        ok = ok & jnp.all(
+            (jnp.floor(u) >= -1) & (jnp.floor(u) <= 1)
+            & (jnp.floor(v) >= -1) & (jnp.floor(v) <= 1)
+        )
+    return jax.lax.cond(ok, patch_path, einsum_path, 0)
+
+
 def lookup_corr(pyramid, coords, radius: int = 4):
     """Sample each pyramid level in a (2r+1)^2 window around ``coords``.
 
@@ -392,6 +535,9 @@ class RAFT(nn.Module):
                 compute_dtype=_jnp.dtype(self.fused_dtype).type,
             )
         pyramid = build_corr_pyramid(f1, f2, self.corr_levels)
+        patches = build_patch_pyramid(
+            pyramid, f1.shape[1:3], self.corr_radius
+        )
         B, H8, W8, _ = f1.shape
         xs = jnp.arange(W8, dtype=jnp.float32)
         ys = jnp.arange(H8, dtype=jnp.float32)
@@ -402,8 +548,8 @@ class RAFT(nn.Module):
         flow = jnp.zeros((B, H8, W8, 2), jnp.float32)
         up_flow = None
         for _ in range(self.iters):
-            corr = lookup_corr(
-                pyramid, coords0 + flow, self.corr_radius
+            corr = lookup_corr_patches(
+                patches, pyramid, coords0 + flow, self.corr_radius
             )
             net, delta, mask = self.update_block(net, inp, corr, flow)
             flow = flow + delta
@@ -425,6 +571,7 @@ def make_raft_flow_fn(
     variables=None,
     rng=None,
     input_hw=(64, 64),
+    fused_update: bool = False,
 ):
     """Jittable (B, T, H, W, 3)-frames -> (B, T-1, H, W, 2) flow provider.
 
@@ -434,10 +581,16 @@ def make_raft_flow_fn(
     first (the reference feeds normalized frames straight into RAFT —
     quirk preserved? No: the reference passes the ImageNet-normalized
     tensors directly to RAFT (src/engine.py:41-49), so we do the same).
+
+    ``fused_update``: run the recurrent iterations through the fused
+    Pallas update kernel (ops/raft_update_pallas.py, bf16 envelope —
+    pass only for bf16 compute). The provider is FROZEN in the train
+    step (no gradient path reaches it: frames are data, not params), so
+    the kernel's missing VJP never matters there.
     """
     import numpy as np
 
-    model = RAFT(iters=iters)
+    model = RAFT(iters=iters, fused_update=fused_update)
     if variables is None:
         import jax as _jax
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mfcnet_tpu.parallel.mesh import respec_spatial
 from mfcnet_tpu.models.common import (
     VGG11_STAGES,
     VGG16_STAGES,
@@ -54,9 +55,15 @@ class TernausNet16(nn.Module):
             self.stage_convs, name="encoder"
         )(x)
 
-        center = Dec(nf * 16, nf * 8, name="center")(max_pool_2x(conv5))
+        # under a data x spatial mesh, pin the bottleneck's height
+        # sharding explicitly (H shrinks below the spatial axis extent
+        # here; GSPMD's propagated choices can disagree and trigger an
+        # involuntary full rematerialization — parallel/mesh.py)
+        center = Dec(nf * 16, nf * 8, name="center")(
+            respec_spatial(max_pool_2x(conv5))
+        )
         dec5 = Dec(nf * 16, nf * 8, name="dec5")(
-            jnp.concatenate([center, conv5], axis=-1)
+            respec_spatial(jnp.concatenate([center, conv5], axis=-1))
         )
         dec4 = Dec(nf * 16, nf * 8, name="dec4")(
             jnp.concatenate([dec5, conv4], axis=-1)
@@ -101,9 +108,15 @@ class TernausNet11(nn.Module):
             self.stage_convs, name="encoder"
         )(x)
 
-        center = Dec(nf * 16, nf * 8, name="center")(max_pool_2x(conv5))
+        # under a data x spatial mesh, pin the bottleneck's height
+        # sharding explicitly (H shrinks below the spatial axis extent
+        # here; GSPMD's propagated choices can disagree and trigger an
+        # involuntary full rematerialization — parallel/mesh.py)
+        center = Dec(nf * 16, nf * 8, name="center")(
+            respec_spatial(max_pool_2x(conv5))
+        )
         dec5 = Dec(nf * 16, nf * 8, name="dec5")(
-            jnp.concatenate([center, conv5], axis=-1)
+            respec_spatial(jnp.concatenate([center, conv5], axis=-1))
         )
         dec4 = Dec(nf * 16, nf * 4, name="dec4")(
             jnp.concatenate([dec5, conv4], axis=-1)

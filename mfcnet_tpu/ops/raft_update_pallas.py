@@ -363,11 +363,13 @@ def fused_flow_from_features(variables, f1, f2, net, inp,
     """
     from mfcnet_tpu.models.raft import (
         build_corr_pyramid,
+        build_patch_pyramid,
         convex_upsample,
-        lookup_corr,
+        lookup_corr_patches,
     )
 
     pyramid = build_corr_pyramid(f1, f2, corr_levels)
+    patches = build_patch_pyramid(pyramid, f1.shape[1:3], corr_radius)
     B, H8, W8, _ = f1.shape
     xs = jnp.arange(W8, dtype=jnp.float32)
     ys = jnp.arange(H8, dtype=jnp.float32)
@@ -381,7 +383,9 @@ def fused_flow_from_features(variables, f1, f2, net, inp,
     inp = inp.astype(jnp.float32)
     flow = jnp.zeros((B, H8, W8, 2), jnp.float32)
     for _ in range(iters):
-        corr = lookup_corr(pyramid, coords0 + flow, corr_radius)
+        corr = lookup_corr_patches(
+            patches, pyramid, coords0 + flow, corr_radius
+        )
         net, delta = fused_update_step(
             ub, packed, corr, inp, net, flow,
             compute_dtype=compute_dtype, interpret=interpret,

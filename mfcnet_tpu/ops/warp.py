@@ -132,16 +132,21 @@ def onehot_window_sample(vol, cx, cy, radius: int):
     ar = jnp.arange(K, dtype=jnp.float32)
     rows_c = cy[:, None] - r + ar  # (N, K) window-center y per b
     cols_c = cx[:, None] - r + ar  # (N, K) window-center x per a
+    # The hats stay float32 even for bf16 volumes: rounding the bilinear
+    # FRACTIONS to bf16 (~3 significant digits) would dominate the
+    # sampling error, unlike the earlier exact-0/1 one-hot design. The
+    # MXU takes mixed f32xbf16 operands under Precision.HIGHEST, so this
+    # costs no extra pass; only the fractions' precision changes.
     Ry = jnp.maximum(
         1.0 - jnp.abs(
             rows_c[..., None] - jnp.arange(H, dtype=jnp.float32)
         ), 0.0,
-    ).astype(vol.dtype)  # (N, K, H)
+    )  # (N, K, H) float32
     Cx = jnp.maximum(
         1.0 - jnp.abs(
             cols_c[..., None] - jnp.arange(W, dtype=jnp.float32)
         ), 0.0,
-    ).astype(vol.dtype)  # (N, K, W)
+    )  # (N, K, W) float32
     t1 = jnp.einsum(
         "nbh,nhw->nbw", Ry, vol,
         preferred_element_type=jnp.float32,
@@ -287,7 +292,11 @@ def grid_sample_bilinear_banded(
     pb = max(0, max(hi for _, hi in bounds) - H)
 
     def banded_path(img, fx, fy):
-        if impl == "pallas":
+        # the Pallas tier lays pixels out as (band*W) tiles and assumes
+        # the output grid width equals the image width; Wo != W grids
+        # (legal here and in the XLA tier) route to the XLA banded path
+        # instead of tripping a reshape error inside the kernel wrapper
+        if impl == "pallas" and Wo == W:
             from mfcnet_tpu.ops.warp_pallas import banded_warp_pallas
 
             return banded_warp_pallas(

@@ -165,6 +165,14 @@ def _banded_warp_fwd_impl(img, fx, fy, bounds, band: int,
     """The Pallas forward (see banded_warp_pallas)."""
     B, H, W, C = img.shape
     Ho = fx.shape[1]
+    if fx.shape[2] != W:
+        raise ValueError(
+            f"banded_warp_pallas tiles pixels as (band*W) and requires "
+            f"the output grid width to equal the image width; got grid "
+            f"width {fx.shape[2]} vs image width {W}. Use the XLA "
+            f"banded tier (grid_sample_bilinear_banded routes Wo != W "
+            f"grids there automatically)."
+        )
     nb = len(bounds)
     S = max(hi - lo for lo, hi in bounds)
     bounds = tuple((lo, lo + S) for lo, _ in bounds)  # uniform S

@@ -99,6 +99,39 @@ def spatial_sharding(
     return NamedSharding(mesh, P(*spec))
 
 
+def respec_spatial(x, h_axis: int = 1, min_rows: int = 1):
+    """Pin a spatially-shardable activation's height sharding (or its
+    replication) inside a jitted step — a no-op without an ambient
+    'spatial' mesh axis.
+
+    Why: under a data x spatial mesh, GSPMD propagates shardings through
+    the U-Net freely; at the bottleneck the activation height shrinks
+    below the spatial axis extent (480/32 = 15 rows over 4 shards at the
+    center block) and the propagated choices can disagree between
+    producer and consumer — XLA then warns ``[SPMD] Involuntary full
+    rematerialization`` and inserts a full replicate + repartition
+    (r4 gate artifact, jit(train_step)/.../base/center/ConvReLU_0). This
+    constraint makes the decision explicit: keep H on 'spatial' while
+    every shard gets at least ``min_rows`` rows (GSPMD pads uneven
+    splits — 15 rows over 4 shards is fine), and replicate the H axis
+    once H drops below the axis extent (tiny bottleneck tensors are
+    cheaper to replicate than to scatter over mostly-empty shards). All
+    other axes are left UNCONSTRAINED so the batch/stream sharding
+    keeps whatever layout the caller set up.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or "spatial" not in getattr(mesh, "axis_names", ()):
+        return x
+    n = mesh.shape["spatial"]
+    if n <= 1 or h_axis >= x.ndim:
+        return x
+    U = P.UNCONSTRAINED
+    spec = [U] * x.ndim
+    H = int(x.shape[h_axis])
+    spec[h_axis] = "spatial" if H >= n * min_rows else None
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_multiframe_batch(mesh: Mesh, batch: dict):
     """device_put a multi-frame batch dict with data x spatial sharding.
 

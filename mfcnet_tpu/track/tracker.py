@@ -379,7 +379,7 @@ class InferenceEngine:
     def __init__(self, model, variables, cfg: TrackerConfig,
                  flow_model=None, flow_variables=None,
                  spatial_shards: int = 0, num_streams: int = 1,
-                 stream_shards: int = 1):
+                 stream_shards: int = 1, weights: str = "closure"):
         """``flow_model``/``flow_variables``: optional frozen flow provider
         (a RAFT module) used when cfg.add_optflow_inputs — the reference
         computes flow between the newest frame and each previous frame at
@@ -410,7 +410,16 @@ class InferenceEngine:
         'data' mesh axis (requires num_streams % stream_shards == 0) —
         the pod-serving layout: independent streams on independent
         chips, composable with ``spatial_shards`` as a (data, spatial)
-        mesh. Outputs identical (pinned by test)."""
+        mesh. Outputs identical (pinned by test).
+
+        ``weights``: 'closure' (default) bakes the model/flow variables
+        into the compiled programs as XLA constants — best steady-state
+        fps, but the serialized executables carry ~3x the weight bytes
+        (~400 MB for the flagship), which costs minutes to load per
+        process on a remote-tunnel backend. 'packed' passes them as
+        shape-grouped stacked buffers (utils/flatpack.py): ~7 MB
+        executables, ~0.4 ms/frame runtime weight prep. Outputs
+        identical either way."""
         import jax
         import jax.numpy as jnp
 
@@ -473,15 +482,43 @@ class InferenceEngine:
         # update drift; f32 engines keep the provider exact)
         if flow_variables is not None:
             flow_variables = cast_floats(flow_variables, dtype)
+        if weights == "packed":
+            from mfcnet_tpu.utils.flatpack import (
+                pack_variables, unpack_variables,
+            )
+
+            pm, sm = pack_variables(cvars)
+            wb = {"m": pm}
+            sf = None
+            if flow_variables is not None:
+                pf, sf = pack_variables(flow_variables)
+                wb["f"] = pf
+            jax.block_until_ready(wb)
+            self._wb = wb
+
+            def _cv(wb):
+                return unpack_variables(wb["m"], sm)
+
+            def _fv(wb):
+                return unpack_variables(wb["f"], sf) \
+                    if sf is not None else None
+        else:
+            self._wb = {}
+
+            def _cv(wb):
+                return cvars
+
+            def _fv(wb):
+                return flow_variables
         mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
         std = jnp.asarray([0.229, 0.224, 0.225], dtype)
 
-        def compute_flow(frames_norm):
+        def compute_flow(frames_norm, fv):
             # reference v3 half-res flow semantics — shared with the
             # serving export so live and artifact flow cannot drift
             from mfcnet_tpu.track.outputs import flow_for_window
 
-            return flow_for_window(frames_norm, flow_model, flow_variables)
+            return flow_for_window(frames_norm, flow_model, fv)
 
         # streaming fast path: with no flow/depth inputs the per-frame seg
         # ring buffer lives in the space-to-depth domain (zero layout
@@ -492,27 +529,29 @@ class InferenceEngine:
         )
         self._use_s2d = use_s2d
         # incremental flow path: providers exposing split per-image
-        # encoders (RAFT's features/context/flow_from_features) get the
-        # cached feature ring; others (UnFlow, FlowFormer++) keep a raw
-        # frame ring and run the stateless flow_for_window per fuse
+        # encoders (RAFT's and FlowFormer++'s features/context/
+        # flow_from_features) get the cached feature ring; others
+        # (UnFlow) keep a raw frame ring and run the stateless
+        # flow_for_window per fuse
         flow_split = cfg.add_optflow_inputs and hasattr(
             flow_model, "flow_from_features"
         )
 
         @jax.jit
-        def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
+        def ingest(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8, wb):
             # frame_u8: (H, W, 3) single-stream or (B, H, W, 3) batched
+            cv, fv = _cv(wb), _fv(wb)
             x = frame_u8.astype(dtype) / 255.0
             x = (x - mean) / std
             if x.ndim == 3:
                 x = x[None]
             if use_s2d:
-                seg_new = model.apply(cvars, x, method="base_forward_s2d")
+                seg_new = model.apply(cv, x, method="base_forward_s2d")
                 seg_buf = jnp.concatenate(
                     [seg_new, seg_buf[..., : (T - 1) * 16 * C]], axis=-1
                 )
             else:
-                seg_new = model.apply(cvars, x, method="base_forward")
+                seg_new = model.apply(cv, x, method="base_forward")
                 seg_buf = jnp.concatenate(
                     [seg_new[:, None], seg_buf[:, :-1]], axis=1
                 )
@@ -539,9 +578,7 @@ class InferenceEngine:
                     from mfcnet_tpu.track.outputs import flow_ingest
 
                     feat_buf, _, _ = frame_buf
-                    f_new, net, inp = flow_ingest(
-                        x, flow_model, flow_variables
-                    )
+                    f_new, net, inp = flow_ingest(x, flow_model, fv)
                     frame_buf = (
                         jnp.concatenate(
                             [f_new[:, None], feat_buf[:, :-1]], axis=1
@@ -549,9 +586,9 @@ class InferenceEngine:
                         net, inp,
                     )
                 else:
-                    # providers without split encoders (UnFlow,
-                    # FlowFormer++): raw normalized-frame ring; fuse
-                    # runs the stateless flow_for_window over it
+                    # providers without split encoders (UnFlow): raw
+                    # normalized-frame ring; fuse runs the stateless
+                    # flow_for_window over it
                     frame_buf = jnp.concatenate(
                         [x[:, None], frame_buf[:, :-1]], axis=1
                     )
@@ -590,13 +627,14 @@ class InferenceEngine:
             return outputs_from_probs(probs, cfg)
 
         @jax.jit
-        def fuse(seg_buf, depth_buf, frame_buf):
+        def fuse(seg_buf, depth_buf, frame_buf, wb):
+            cv, fv = _cv(wb), _fv(wb)
             if use_s2d:
                 from mfcnet_tpu.ops.fastconv import from_s2d
 
                 logits = from_s2d(
                     model.apply(
-                        cvars, seg_buf, method="fuse_s2d", orig_hw=(H, W)
+                        cv, seg_buf, method="fuse_s2d", orig_hw=(H, W)
                     ),
                     4, H, W,
                 )
@@ -611,20 +649,20 @@ class InferenceEngine:
                         )
 
                         kwargs["optflow"] = flow_from_feature_ring(
-                            *frame_buf, (H, W), flow_model,
-                            flow_variables,
+                            *frame_buf, (H, W), flow_model, fv,
                         )
                     else:
-                        kwargs["optflow"] = compute_flow(frame_buf)
+                        kwargs["optflow"] = compute_flow(frame_buf, fv)
                 logits = model.apply(
-                    cvars, seg_buf, method="fuse_precomputed", **kwargs
+                    cv, seg_buf, method="fuse_precomputed", **kwargs
                 )
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return _outputs(probs[0] if B == 1 else probs)
 
         @jax.jit
-        def full(frames_u8, depth_u8):
+        def full(frames_u8, depth_u8, wb):
             # frames_u8: (T, H, W, 3) single-stream or (B, T, H, W, 3)
+            cv, fv = _cv(wb), _fv(wb)
             x = frames_u8.astype(dtype) / 255.0
             x = (x - mean) / std
             if x.ndim == 4:
@@ -634,22 +672,23 @@ class InferenceEngine:
                 d = (depth_u8.astype(dtype) / 255.0)[..., None]
                 kwargs["depth"] = d[None] if d.ndim == 4 else d
             if cfg.add_optflow_inputs:
-                kwargs["optflow"] = compute_flow(x)
-            logits = model.apply(cvars, x, **kwargs)
+                kwargs["optflow"] = compute_flow(x, fv)
+            logits = model.apply(cv, x, **kwargs)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             return _outputs(probs[0] if B == 1 else probs)
 
         @jax.jit
-        def ingest_fuse(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8):
+        def ingest_fuse(seg_buf, depth_buf, frame_buf, frame_u8, depth_u8,
+                        wb):
             # one dispatch per post-warmup frame: the nested jitted
             # closures inline, so XLA compiles base forward + ring-buffer
             # roll + fusion head + outputs as ONE program
             seg_buf, depth_buf, frame_buf = ingest(
-                seg_buf, depth_buf, frame_buf, frame_u8, depth_u8
+                seg_buf, depth_buf, frame_buf, frame_u8, depth_u8, wb
             )
             return (
                 seg_buf, depth_buf, frame_buf,
-                fuse(seg_buf, depth_buf, frame_buf),
+                fuse(seg_buf, depth_buf, frame_buf, wb),
             )
 
         self._ingest, self._fuse, self._full = ingest, fuse, full
@@ -765,18 +804,20 @@ class InferenceEngine:
                     self.seg_buf, self.depth_buf, self.frame_buf, out,
                 ) = self._ingest_fuse(
                     self.seg_buf, self.depth_buf, self.frame_buf,
-                    self._put(frame_u8, hax), d,
+                    self._put(frame_u8, hax), d, self._wb,
                 )
                 self._frame_q.append(True)
                 return out
             self.seg_buf, self.depth_buf, self.frame_buf = self._ingest(
                 self.seg_buf, self.depth_buf, self.frame_buf,
-                self._put(frame_u8, hax), d,
+                self._put(frame_u8, hax), d, self._wb,
             )
             self._frame_q.append(True)
             if len(self._frame_q) < T:
                 return None
-            return self._fuse(self.seg_buf, self.depth_buf, self.frame_buf)
+            return self._fuse(
+                self.seg_buf, self.depth_buf, self.frame_buf, self._wb
+            )
         # full mode: keep raw frames, newest-first stacking (reference :251)
         if depth_u8 is None:
             depth_u8 = np.zeros(
@@ -796,6 +837,7 @@ class InferenceEngine:
         return self._full(
             self._put(stack, 2 if batched else 1),
             self._put(dstack, 2 if batched else 1),
+            self._wb,
         )
 
     def step(self, frame_u8, depth_u8=None):

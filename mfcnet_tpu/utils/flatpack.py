@@ -1,0 +1,90 @@
+"""Shape-grouped weight packing: small executables on tunnel backends.
+
+Closing over model variables inside ``jax.jit`` bakes them into the
+executable as constants. XLA then pre-transforms them at compile time
+(retiled copies embedded in the program), which buys ~0.4 ms/call of
+runtime weight-prep — but the serialized executable carries ~3x the
+weight bytes (416 MB for the 69 M-param flagship), and on a remote-
+tunnel backend (this harness; any disaggregated serving setup) loading
+that program costs 200-500 s per process. Measured on the v5e tunnel,
+round 5:
+
+  =========================  ========  ============  ==================
+  variant                    fps/chip  executable    cold process cost
+  =========================  ========  ============  ==================
+  weights as constants          120.5      416 MB       200-500 s
+  26 shape-grouped args         115.1        7 MB        40-120 s
+  1 flat buffer + unpack        110.8        7 MB        40-120 s
+  66 per-leaf args              115.1        7 MB       300 s+ (args)
+  =========================  ========  ============  ==================
+
+The shape-grouped form dominates everything except steady-state fps of
+the constants form: leaves with identical (shape, dtype) stack on a new
+leading axis (a leading-axis slice is a zero-copy view, and XLA assigns
+the stacked parameter whatever layout its consumers want — verified:
+0/28 input-layout mismatches), and ~26 arguments dispatch fine through
+the tunnel (per-arg cost hides under the per-frame device time; the
+per-LEAF form's 66 args do not).
+
+Use ``pack_variables`` once per session, then call the jitted function
+with ``*packed`` and rebuild the pytree inside the jit with
+``unpack_variables``::
+
+    packed, spec = pack_variables(cvars)
+
+    @jax.jit
+    def step(state, x, *packed):
+        cv = unpack_variables(packed, spec)
+        return model.apply(cv, x), state
+
+Gradients flow through ``unpack_variables`` (stack/slice are linear), so
+this also works for donated train states, but its home is inference
+paths where the weights are frozen.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PackSpec(NamedTuple):
+    """Static recipe mapping grouped buffers back to the pytree."""
+
+    treedef: Any  # jax treedef of the original pytree
+    group_indices: tuple[tuple[int, ...], ...]  # leaf idx per group
+    n_leaves: int
+
+
+def pack_variables(variables) -> tuple[list[jax.Array], PackSpec]:
+    """Stack same-(shape, dtype) leaves of ``variables`` into one buffer
+    per group. Returns (buffers, spec) — pass ``*buffers`` as jit args
+    and rebuild with :func:`unpack_variables` inside the jit."""
+    leaves, treedef = jax.tree.flatten(variables)
+    groups = collections.defaultdict(list)
+    for i, leaf in enumerate(leaves):
+        groups[(tuple(leaf.shape), str(jnp.asarray(leaf).dtype))].append(i)
+    gkeys = sorted(groups.keys(), key=repr)
+    buffers = [
+        jnp.stack([jnp.asarray(leaves[i]) for i in groups[k]])
+        for k in gkeys
+    ]
+    spec = PackSpec(
+        treedef=treedef,
+        group_indices=tuple(tuple(groups[k]) for k in gkeys),
+        n_leaves=len(leaves),
+    )
+    return buffers, spec
+
+
+def unpack_variables(buffers, spec: PackSpec):
+    """Rebuild the variables pytree from grouped buffers (inside jit:
+    leading-axis slices — zero-copy views)."""
+    leaves = [None] * spec.n_leaves
+    for buf, idxs in zip(buffers, spec.group_indices):
+        for j, i in enumerate(idxs):
+            leaves[i] = buf[j]
+    return jax.tree.unflatten(spec.treedef, leaves)

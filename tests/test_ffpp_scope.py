@@ -38,6 +38,7 @@ REJECTED = [
     ("cost_heads_num", 2),
     ("dropout", 0.1),
     ("droppath", 0.1),
+    ("cost_encoder_res", False),            # encoder.py:286,325
 ]
 
 

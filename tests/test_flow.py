@@ -310,6 +310,73 @@ def test_raft_fused_update_bf16_envelope():
     assert np.median(err) < 0.05, f"median drift {np.median(err):.4f}"
 
 
+def test_fused_update_in_frozen_flow_train_step():
+    """The bf16 train step with a frozen RAFT provider routed through
+    the fused Pallas update kernel (build_flow_fn fused_update=True —
+    VERDICT r4 item 3): gradients must compute (the provider is frozen,
+    its inputs are data, so the kernel's missing VJP is never needed),
+    and the losses must stay within the bf16 envelope of the XLA-conv
+    provider's step on identical weights and batch."""
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import make_raft_flow_fn
+    from mfcnet_tpu.train.schedule import make_schedule
+    from mfcnet_tpu.train.state import TrainState, multiframe_optimizer
+    from mfcnet_tpu.train.steps import make_multiframe_train_step
+
+    B, T, C, H, W = 2, 3, 5, 64, 64
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(0),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    d = np.zeros((1, H, W, 3), np.float32)
+    from mfcnet_tpu.models.raft import RAFT
+
+    flow_vars = jit_init(RAFT(iters=2), jax.random.PRNGKey(1), d, d)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": rng.rand(B, T, H, W, 3).astype(np.float32),
+        "mask": rng.randint(0, C, (B, H, W)).astype(np.int32),
+    }
+    losses = {}
+    for fused in (False, True):
+        flow_fn = make_raft_flow_fn(
+            basic=True, iters=2, variables=flow_vars, input_hw=(H, W),
+            fused_update=fused,
+        )
+        tx = multiframe_optimizer(
+            make_schedule("StepDecay", 1e-4, 20, 100), T,
+            train_base_model=True, base_pretrained_loaded=True,
+        )
+        state = TrainState.create(
+            model.apply, variables["params"], tx,
+            variables.get("batch_stats", {}),
+        )
+        step = make_multiframe_train_step(
+            model, ["nll"], [1.0], C, train_base_model=True,
+            compute_dtype="bfloat16", flow_fn=flow_fn,
+            # donate=False: the two loop iterations share the init
+            # buffers; donation would delete them after the first step
+            donate=False,
+        )
+        state, parts = step(state, batch)
+        losses[fused] = float(parts["loss_total"])
+        assert np.isfinite(losses[fused])
+    # same batch, same weights: only the provider's update-iteration
+    # matmul precision differs -> losses agree to bf16 envelope
+    assert abs(losses[True] - losses[False]) < 0.05 * (
+        1.0 + abs(losses[False])
+    ), losses
+
+
 def test_lookup_corr_blocked_matches_per_level():
     """Block-diagonal all-levels lookup == the per-level lookup (zeros
     padding, channel order, x-slow-axis layout) on random pyramids and
@@ -333,3 +400,46 @@ def test_lookup_corr_blocked_matches_per_level():
     bd, offs = build_blocked_pyramid(pyramid)
     got = np.asarray(lookup_corr_blocked(bd, offs, coords, 4))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_lookup_corr_patches_matches_per_level():
+    """The static-patch lookup (build_patch_pyramid +
+    lookup_corr_patches — round 5's iteration-invariant reformulation)
+    == lookup_corr exactly: in-patch displacements take the shift-blend
+    path, out-of-patch displacements must trigger the exact einsum
+    fallback cond. Covers uneven pooled sizes (floor-halving), border
+    tokens (zeros padding), and every integer-shift mask value."""
+    from mfcnet_tpu.models.raft import (
+        build_corr_pyramid,
+        build_patch_pyramid,
+        lookup_corr,
+        lookup_corr_patches,
+    )
+
+    rng = np.random.default_rng(31)
+    B, H8, W8, C = 2, 12, 17, 32  # odd W: floor-halved pooled levels
+    f1 = jnp.asarray(rng.standard_normal((B, H8, W8, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((B, H8, W8, C)), jnp.float32)
+    pyramid = build_corr_pyramid(f1, f2, 4)
+    patches = build_patch_pyramid(pyramid, (H8, W8))
+
+    jj, ii = np.meshgrid(np.arange(W8), np.arange(H8), indexing="xy")
+    base = np.broadcast_to(
+        np.stack([jj, ii], -1).astype(np.float32), (B, H8, W8, 2)
+    )
+    # sub-pixel displacements spanning all shift masks (-1, 0, 1)
+    for seed, amp in ((0, 0.45), (1, 0.99)):
+        d = rng.uniform(-amp, amp, (B, H8, W8, 2)).astype(np.float32)
+        coords = jnp.asarray(base + d)
+        want = np.asarray(lookup_corr(pyramid, coords, 4))
+        got = np.asarray(
+            lookup_corr_patches(patches, pyramid, coords, 4)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    # out-of-patch displacement -> exact fallback (still equal)
+    d = rng.uniform(-6, 6, (B, H8, W8, 2)).astype(np.float32)
+    coords = jnp.asarray(base + d)
+    want = np.asarray(lookup_corr(pyramid, coords, 4))
+    got = np.asarray(lookup_corr_patches(patches, pyramid, coords, 4))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

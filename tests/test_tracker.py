@@ -225,6 +225,110 @@ def test_engine_probs_identical_between_modes():
             )
 
 
+def test_engine_packed_weights_identical():
+    """weights='packed' (shape-grouped stacked-arg variables —
+    utils/flatpack.py, the driver-window-sized executables) must match
+    the closure-constant default, in both engine modes, incl. a flow
+    provider exercising the packed flow variables. Equality is
+    tight-allclose, not bitwise: XLA fuses constant-weight and
+    param-weight programs differently (reassociation-level drift only;
+    integer outputs like the argmax mask must still be equal a.e.)."""
+    import jax
+
+    from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.track.tracker import InferenceEngine, TrackerConfig
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, C = 32, 32, 3, 5
+    base = TernausNet16(
+        num_classes=C, num_filters=4,
+        stage_convs=((4,), (8,), (8, 8), (16, 16), (16, 16)),
+    )
+    model = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    variables = jit_init(
+        model, jax.random.PRNGKey(7), np.zeros((1, T, H, W, 3), np.float32)
+    )
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+
+    for mode in ("incremental", "full"):
+        cfg = TrackerConfig(
+            num_input_frames=T, num_classes=C, input_height=H,
+            input_width=W, dtype="float32", mode=mode,
+        )
+        ref = InferenceEngine(model, variables, cfg)
+        pk = InferenceEngine(model, variables, cfg, weights="packed")
+        for t in range(6):
+            a, b = ref.step(frames[t]), pk.step(frames[t])
+            assert (a is None) == (b is None)
+            if a is not None:
+                for x, y in zip(a, b):
+                    xf = np.asarray(x).astype(np.float64)
+                    yf = np.asarray(y).astype(np.float64)
+                    if xf.dtype == yf.dtype and np.issubdtype(
+                        np.asarray(x).dtype, np.integer
+                    ):
+                        # class masks: reassociation can flip argmax only
+                        # on exact ties; demand near-total agreement
+                        assert (xf != yf).mean() < 1e-3
+                    else:
+                        # f16 outputs (shipped tip heats): 1 ulp ~ 1e-3
+                        tol = 2e-3 if np.asarray(x).dtype == np.float16 \
+                            else 5e-6
+                        np.testing.assert_allclose(
+                            xf, yf, atol=tol, rtol=1e-5
+                        )
+
+    # flow provider: packed flow variables path
+    fmodel = MultiFrameSegmenter(
+        base=base, num_classes=C, num_frames=T, variant="basic",
+        base_output="exp",
+    )
+    fvariables = jit_init(
+        fmodel, jax.random.PRNGKey(8),
+        np.zeros((1, T, H, W, 3), np.float32),
+        optflow=np.zeros((1, T - 1, H, W, 2), np.float32),
+    )
+    flow_model = RAFT(iters=1)
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(9),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    cfg = TrackerConfig(
+        num_input_frames=T, num_classes=C, input_height=H,
+        input_width=W, dtype="float32", mode="incremental",
+        add_optflow_inputs=True,
+    )
+    ref = InferenceEngine(
+        fmodel, fvariables, cfg, flow_model=flow_model,
+        flow_variables=flow_vars,
+    )
+    pk = InferenceEngine(
+        fmodel, fvariables, cfg, flow_model=flow_model,
+        flow_variables=flow_vars, weights="packed",
+    )
+    for t in range(5):
+        a, b = ref.step(frames[t]), pk.step(frames[t])
+        assert (a is None) == (b is None)
+        if a is not None:
+            for x, y in zip(a, b):
+                xf = np.asarray(x).astype(np.float64)
+                yf = np.asarray(y).astype(np.float64)
+                if np.issubdtype(np.asarray(x).dtype, np.integer):
+                    assert (xf != yf).mean() < 1e-3
+                else:
+                    tol = 2e-3 if np.asarray(x).dtype == np.float16 \
+                        else 5e-6
+                    np.testing.assert_allclose(
+                        xf, yf, atol=tol, rtol=1e-5
+                    )
+
+
 @pytest.mark.parametrize("T", [2, 5])
 def test_engine_modes_agree_nondefault_window(T):
     """Temporal-window scaling (reference --num_input_frames,
@@ -337,12 +441,12 @@ def test_tracker_with_optical_flow(tmp_path):
 
 def test_tracker_flow_provider_without_split_encoders():
     """Regression: the incremental engine must keep working for flow
-    providers WITHOUT RAFT-style split encoders (UnFlow, FlowFormer++).
-    The feature-ring optimization hard-depended on
-    ``flow_from_features`` and crashed at engine construction for
-    UnFlow; providers without it now keep a raw-frame ring and run the
-    stateless flow_for_window per fuse — incremental and full modes
-    must agree like they do for RAFT."""
+    providers WITHOUT RAFT-style split encoders (UnFlow; FlowFormer++
+    gained split encoders in round 5). The feature-ring optimization
+    hard-depended on ``flow_from_features`` and crashed at engine
+    construction for UnFlow; providers without it now keep a raw-frame
+    ring and run the stateless flow_for_window per fuse — incremental
+    and full modes must agree like they do for RAFT."""
     import jax
 
     from mfcnet_tpu.models import MultiFrameSegmenter, TernausNet16
@@ -995,6 +1099,50 @@ def test_flow_feature_ring_matches_stateless():
     net, inp = feats[0][1], feats[0][2]
     got = np.asarray(flow_from_feature_ring(
         feat_buf, net, inp, (H, W), flow_model, flow_vars
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_flow_feature_ring_matches_stateless_ffpp():
+    """FlowFormer++ gained RAFT-style split encoders in round 5 (its
+    twins fnet features are per-image, its raw context tensor is the
+    per-window cacheable context — models/flowformerpp.py): the
+    feature-ring path must equal the stateless flow_for_window, and the
+    split __call__ must equal the pre-split monolithic forward (pinned
+    vs the torch oracle in tests/test_flow.py; here ring vs stateless)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcnet_tpu.models.flowformerpp import FlowFormerPP
+    from mfcnet_tpu.track.outputs import (
+        flow_for_window,
+        flow_from_feature_ring,
+        flow_ingest,
+    )
+    from mfcnet_tpu.utils.jitinit import jit_init
+
+    H, W, T, B = 64, 64, 3, 2
+    flow_model = FlowFormerPP(iters=2)
+    assert hasattr(flow_model, "flow_from_features")
+    flow_vars = jit_init(
+        flow_model, jax.random.PRNGKey(4),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+        np.zeros((1, H // 2, W // 2, 3), np.float32),
+    )
+    rng = np.random.default_rng(12)
+    frames = jnp.asarray(
+        rng.normal(size=(B, T, H, W, 3)).astype(np.float32)
+    )
+    want = np.asarray(flow_for_window(frames, flow_model, flow_vars))
+
+    feats = [
+        flow_ingest(frames[:, t], flow_model, flow_vars)
+        for t in range(T)
+    ]
+    feat_buf = jnp.stack([f for f, _, _ in feats], axis=1)
+    ctx, placeholder = feats[0][1], feats[0][2]
+    got = np.asarray(flow_from_feature_ring(
+        feat_buf, ctx, placeholder, (H, W), flow_model, flow_vars
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
