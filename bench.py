@@ -414,21 +414,21 @@ def main():
             flow_variables = jit_init(
                 flow_model, jax.random.PRNGKey(1), half, half
             )
-            if args.flow == "RAFT":
-                # a RANDOM-INIT flow head emits ~+-130 px garbage flow,
-                # which no trained provider produces on adjacent video
-                # frames; it forces the banded warp's exact fallback and
-                # makes the bench measure an unrealistic code path.
-                # Scaling the final flow-prediction conv keeps the
-                # compute graph identical while giving the provider
-                # deployment-realistic output statistics (~+-3 px).
-                import flax
+            # a RANDOM-INIT flow head emits garbage flow (RAFT: ~+-130
+            # px), which no trained provider produces on adjacent video
+            # frames; it forces the banded warp's (and the patch
+            # lookup's) exact fallback and makes the bench measure an
+            # unrealistic code path. Scaling the final flow-delta conv
+            # keeps the compute graph identical while giving the
+            # provider deployment-realistic output statistics
+            # (~+-3 px). Both providers name it update_block/flow2.
+            import flax
 
-                fv = flax.core.unfreeze(flow_variables)
-                fl2 = fv["params"]["update_block"]["flow2"]
-                fl2["kernel"] = fl2["kernel"] * 0.02
-                fl2["bias"] = fl2["bias"] * 0.02
-                flow_variables = fv
+            fv = flax.core.unfreeze(flow_variables)
+            fl2 = fv["params"]["update_block"]["flow2"]
+            fl2["kernel"] = fl2["kernel"] * 0.02
+            fl2["bias"] = fl2["bias"] * 0.02
+            flow_variables = fv
         cfg = TrackerConfig(
             num_input_frames=T, num_classes=C, input_height=H,
             input_width=W, dtype=args.dtype, overlay=False,
@@ -623,11 +623,11 @@ def main():
             "top-2 components ~every frame; trained checkpoints flag "
             "~0.25% — production default ON)"
         )
-        if use_flow and args.flow == "RAFT":
+        if use_flow:
             row["fixture"] += (
-                "; RAFT flow2 head weights scaled 0.02x so the frozen "
-                "random-init provider emits bounded ~±3 px flow instead "
-                "of ±130 px garbage (same compute graph)"
+                f"; {args.flow} update_block/flow2 head weights scaled "
+                "0.02x so the frozen random-init provider emits bounded "
+                "~±3 px flow instead of garbage (same compute graph)"
             )
         if use_flow:
             row["note"] = (

@@ -57,34 +57,79 @@ class PackSpec(NamedTuple):
     treedef: Any  # jax treedef of the original pytree
     group_indices: tuple[tuple[int, ...], ...]  # leaf idx per group
     n_leaves: int
+    # flat-buffer groups (small leaves): per group, the (leaf_idx,
+    # offset, size, shape) quadruples; empty tuple = stacked group
+    flat_meta: tuple[tuple, ...] = ()
 
 
-def pack_variables(variables) -> tuple[list[jax.Array], PackSpec]:
-    """Stack same-(shape, dtype) leaves of ``variables`` into one buffer
-    per group. Returns (buffers, spec) — pass ``*buffers`` as jit args
-    and rebuild with :func:`unpack_variables` inside the jit."""
+def pack_variables(
+    variables, small_bytes: int = 1 << 20
+) -> tuple[list[jax.Array], PackSpec]:
+    """Pack ``variables`` into few-argument buffers for jit calls.
+
+    Leaves >= ``small_bytes`` stack with same-(shape, dtype) peers on a
+    new leading axis (leading-axis slices are zero-copy views). Smaller
+    leaves CONCATENATE into one flat buffer per dtype — their in-graph
+    slice+reshape relayout is proportional to their (small) bytes,
+    while keeping the argument count low: the tunnel backend pays
+    ~0.2 ms per argument per dispatch, which dominated the
+    FlowFormer++ engine (402 leaves -> 55 shape groups before this;
+    ~15 buffers after). Returns (buffers, spec) — pass ``*buffers`` as
+    jit args and rebuild with :func:`unpack_variables` inside the jit.
+    """
     leaves, treedef = jax.tree.flatten(variables)
     groups = collections.defaultdict(list)
+    flat_groups = collections.defaultdict(list)
     for i, leaf in enumerate(leaves):
-        groups[(tuple(leaf.shape), str(jnp.asarray(leaf).dtype))].append(i)
+        arr = jnp.asarray(leaf)
+        if arr.size * arr.dtype.itemsize < small_bytes:
+            flat_groups[str(arr.dtype)].append(i)
+        else:
+            groups[(tuple(arr.shape), str(arr.dtype))].append(i)
     gkeys = sorted(groups.keys(), key=repr)
     buffers = [
         jnp.stack([jnp.asarray(leaves[i]) for i in groups[k]])
         for k in gkeys
     ]
+    group_indices = [tuple(groups[k]) for k in gkeys]
+    flat_meta = [()] * len(buffers)
+    for dt in sorted(flat_groups):
+        idxs = flat_groups[dt]
+        meta = []
+        off = 0
+        for i in idxs:
+            arr = jnp.asarray(leaves[i])
+            meta.append((i, off, int(arr.size), tuple(arr.shape)))
+            off += int(arr.size)
+        buffers.append(jnp.concatenate(
+            [jnp.asarray(leaves[i]).reshape(-1) for i in idxs]
+        ))
+        group_indices.append(tuple(idxs))
+        flat_meta.append(tuple(meta))
     spec = PackSpec(
         treedef=treedef,
-        group_indices=tuple(tuple(groups[k]) for k in gkeys),
+        group_indices=tuple(group_indices),
         n_leaves=len(leaves),
+        flat_meta=tuple(flat_meta),
     )
     return buffers, spec
 
 
 def unpack_variables(buffers, spec: PackSpec):
     """Rebuild the variables pytree from grouped buffers (inside jit:
-    leading-axis slices — zero-copy views)."""
+    leading-axis slices are zero-copy views; small-leaf flat buffers
+    pay a slice+reshape proportional to their bytes)."""
     leaves = [None] * spec.n_leaves
-    for buf, idxs in zip(buffers, spec.group_indices):
-        for j, i in enumerate(idxs):
-            leaves[i] = buf[j]
+    flat_meta = spec.flat_meta or ((),) * len(spec.group_indices)
+    for buf, idxs, meta in zip(
+        buffers, spec.group_indices, flat_meta
+    ):
+        if meta:
+            for i, off, size, shape in meta:
+                leaves[i] = jax.lax.slice(
+                    buf, (off,), (off + size,)
+                ).reshape(shape)
+        else:
+            for j, i in enumerate(idxs):
+                leaves[i] = buf[j]
     return jax.tree.unflatten(spec.treedef, leaves)
