@@ -317,7 +317,8 @@ def raft_update_pallas(c1, f1, inp, net, flow, packed, H8: int, W8: int,
 
 def fused_update_step(ub_params, packed, corr, inp, net, flow,
                       compute_dtype=jnp.bfloat16,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      max_tokens: int = 24000):
     """One full RAFT update step == ``UpdateBlock()(net, inp, corr,
     flow)`` minus the mask head: XLA-side convc1 (1x1 matmul on the
     lookup) + convf1 (7x7 conv on the 2-channel flow), then the fused
@@ -325,6 +326,29 @@ def fused_update_step(ub_params, packed, corr, inp, net, flow,
     cdt = compute_dtype
     enc = ub_params["encoder"]
     B, H8, W8, _ = corr.shape
+    # VMEM stack budget: the kernel holds its token-major state in
+    # VMEM (~3.2 KB/token measured from the compiler's accounting);
+    # the tracker's 2x1200 tokens fit trivially, but the frozen-flow
+    # TRAIN step runs full-resolution batched pairs (8 x 4800 tokens =
+    # 122 MB > the 100 MB scoped limit). Chunk the batch axis so each
+    # kernel invocation stays under budget — outputs are concatenated,
+    # values identical (the kernel is per-token).
+    if B > 1 and B * H8 * W8 > max_tokens:
+        cb = max(1, max_tokens // (H8 * W8))
+        nets, deltas = [], []
+        for s in range(0, B, cb):
+            nc, dc = fused_update_step(
+                ub_params, packed, corr[s : s + cb], inp[s : s + cb],
+                net[s : s + cb], flow[s : s + cb],
+                compute_dtype=compute_dtype, interpret=interpret,
+                max_tokens=max_tokens,
+            )
+            nets.append(nc)
+            deltas.append(dc)
+        return (
+            jnp.concatenate(nets, axis=0),
+            jnp.concatenate(deltas, axis=0),
+        )
 
     wc1 = jnp.asarray(enc["convc1"]["kernel"])[0, 0].astype(cdt)
     c1 = jax.nn.relu(

@@ -443,3 +443,42 @@ def test_lookup_corr_patches_matches_per_level():
     want = np.asarray(lookup_corr(pyramid, coords, 4))
     got = np.asarray(lookup_corr_patches(patches, pyramid, coords, 4))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_update_step_batch_chunking_identical():
+    """fused_update_step's VMEM-budget batch chunking (the frozen-flow
+    TRAIN step's full-res token counts blow the 100 MB scoped-vmem
+    stack in one invocation) must produce exactly the unchunked
+    outputs — the kernel is per-token, so splitting the batch axis is
+    value-neutral."""
+    from mfcnet_tpu.models.raft import RAFT
+    from mfcnet_tpu.ops.raft_update_pallas import (
+        fused_update_step,
+        pack_update_weights,
+    )
+
+    d = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jit_init(RAFT(iters=1), jax.random.PRNGKey(0), d, d)
+    ub = variables["params"]["update_block"]
+    packed = pack_update_weights(ub, jnp.float32)
+    rng = np.random.default_rng(5)
+    B, H8, W8 = 4, 8, 8
+    corr = jnp.asarray(
+        rng.standard_normal((B, H8, W8, 324)), jnp.float32
+    )
+    inp = jnp.asarray(
+        rng.standard_normal((B, H8, W8, 128)), jnp.float32
+    )
+    net = jnp.asarray(jnp.tanh(jnp.asarray(
+        rng.standard_normal((B, H8, W8, 128)), jnp.float32
+    )))
+    flow = jnp.asarray(
+        rng.standard_normal((B, H8, W8, 2)), jnp.float32
+    )
+    args = (ub, packed, corr, inp, net, flow)
+    n1, d1 = fused_update_step(*args, compute_dtype=jnp.float32)
+    n2, d2 = fused_update_step(
+        *args, compute_dtype=jnp.float32, max_tokens=H8 * W8
+    )  # forces one-sample chunks
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
