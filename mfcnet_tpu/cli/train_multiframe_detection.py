@@ -367,14 +367,13 @@ def main(argv=None):
         build_flow_fn(
             args.optflow_model, args.model_type, (H, W),
             weights_path=getattr(args, "load_wts_flow_model", None),
-            # bf16 steps: the frozen RAFT iterations run the fused
-            # Pallas update kernel (its bf16 envelope matches the
-            # step's own compute precision; f32 steps keep XLA convs
-            # for exactness)
-            fused_update=(
-                args.optflow_model == "RAFT"
-                and args.compute_dtype == "bfloat16"
-            ),
+            # fused_update stays OFF for training: measured NEGATIVE at
+            # full-res train token counts (r5: 0.928 vs 0.977 steps/s —
+            # the Pallas kernel's 5.5x win is specific to the tracker's
+            # relayout-bound 30x40 scale, and 8x4800 tokens need VMEM
+            # batch chunking). Opt in via build_flow_fn if a config's
+            # scale warrants it.
+            fused_update=False,
         )
         if args.add_optflow_inputs
         else None

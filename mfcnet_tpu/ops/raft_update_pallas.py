@@ -318,7 +318,7 @@ def raft_update_pallas(c1, f1, inp, net, flow, packed, H8: int, W8: int,
 def fused_update_step(ub_params, packed, corr, inp, net, flow,
                       compute_dtype=jnp.bfloat16,
                       interpret: bool | None = None,
-                      max_tokens: int = 24000):
+                      max_tokens: int = 9600):
     """One full RAFT update step == ``UpdateBlock()(net, inp, corr,
     flow)`` minus the mask head: XLA-side convc1 (1x1 matmul on the
     lookup) + convf1 (7x7 conv on the 2-channel flow), then the fused
@@ -327,12 +327,13 @@ def fused_update_step(ub_params, packed, corr, inp, net, flow,
     enc = ub_params["encoder"]
     B, H8, W8, _ = corr.shape
     # VMEM stack budget: the kernel holds its token-major state in
-    # VMEM (~3.2 KB/token measured from the compiler's accounting);
-    # the tracker's 2x1200 tokens fit trivially, but the frozen-flow
-    # TRAIN step runs full-resolution batched pairs (8 x 4800 tokens =
-    # 122 MB > the 100 MB scoped limit). Chunk the batch axis so each
-    # kernel invocation stays under budget — outputs are concatenated,
-    # values identical (the kernel is per-token).
+    # VMEM; the tracker's 2x1200 tokens fit trivially, but the
+    # frozen-flow TRAIN step runs full-resolution batched pairs
+    # (8 x 4800 tokens hit a 122 MB stack vs the 100 MB scoped limit,
+    # and even 5 x 4800 still overflowed — the stack is NOT linear in
+    # tokens; 9600 is the measured-safe budget). Chunk the batch axis
+    # so each kernel invocation stays under it — outputs are
+    # concatenated, values identical (the kernel is per-token).
     if B > 1 and B * H8 * W8 > max_tokens:
         cb = max(1, max_tokens // (H8 * W8))
         nets, deltas = [], []
